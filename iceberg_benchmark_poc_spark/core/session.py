@@ -1,0 +1,68 @@
+"""SparkSession factory tuned for the engine's workloads.
+
+Defaults are chosen for correctness-at-any-scale first, then local speed:
+
+- AQE on (coalesce post-shuffle partitions, runtime skew-join splitting,
+  runtime broadcast demotion/promotion). At 100 TB the static
+  ``spark.sql.shuffle.partitions`` is only an upper bound — AQE coalesces.
+- UTC session timezone so timestamp semantics match the DuckDB oracle and are
+  cluster-location independent.
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the events fixture stores
+  TIMESTAMP(NANOS) which Spark's vectorized reader otherwise rejects; the IO
+  layer converts the raw nanos to microsecond timestamps (see core.io).
+- Arrow enabled for any pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_NAME = "iceberg-benchmark-poc-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = ENGINE_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster callers pass ``master=None`` with an externally-managed session or
+    their own master URL — every query in this package is master-agnostic.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 32))))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- correctness / portability ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- adaptive execution: the scale story ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan efficiency ---
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- python interchange ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,78 @@
+"""Distributed vector-similarity primitives over ARRAY<FLOAT> columns.
+
+Parity-exact math: float32*float32 products are exact in float64 (24+24 < 53
+mantissa bits), and summation uses a DECIMAL(30,12) fold so the result is
+independent of element order and identical to the DuckDB oracle. All
+expression-level — zip_with/aggregate run inside codegen; no UDF, no explode,
+no shuffle for the per-vector math.
+
+Scale path: brute-force cosine top-k is O(|queries| x |corpus|); it stays
+tractable by broadcasting the (small) query set so the corpus is scanned once
+with no shuffle, and the per-query top-k is a windowed rank over |queries| x k
+candidates. For corpus-x-corpus search use the LSH route in operators.text or
+an IVF pre-cluster (bucket join), not this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+DOT_DECIMAL = "decimal(30,12)"
+
+
+def dot_decimal(a: Column, b: Column) -> Column:
+    """Order-independent exact dot product of two float arrays (as DECIMAL)."""
+    products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(
+        products,
+        F.lit(0).cast(DOT_DECIMAL),
+        lambda acc, z: (acc + z.cast(DOT_DECIMAL)).cast(DOT_DECIMAL),
+    )
+
+
+def sq_norm_decimal(a: Column) -> Column:
+    return dot_decimal(a, a)
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector (rows matching
+    ``query_pred``), the k nearest corpus vectors.
+
+    Output: (query_id, neighbor_id, cosine DOUBLE, rank INT). Self-matches are
+    excluded; ties break on neighbor_id so results are total-ordered and
+    reproducible.
+    """
+    with_norm = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.sqrt(sq_norm_decimal(F.col(vec_col)).cast("double")).alias("norm"),
+    )
+    queries = (
+        with_norm.filter(query_pred)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    pairs = with_norm.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot_decimal(F.col("embedding"), F.col("q_embedding")).cast("double")
+            / (F.col("norm") * F.col("q_norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,243 @@
+"""Vector-similarity queries over the ``embeddings`` table (vec_id,
+embedding ARRAY<FLOAT>, label).
+
+Adds the similarity-search surface a training-data pipeline needs on top of
+the reference's capabilities: brute-force cosine top-k as the exact baseline,
+a deterministic sign-LSH bucketing as the approximate scale path, and
+per-label centroids as the IVF coarse-quantizer build step.
+
+All vector math is expression-level (zip_with/aggregate inside codegen) with
+the DECIMAL fold from operators.vectors, so results are order-independent and
+bit-identical to the DuckDB oracle. No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..core.io import load_table
+from ..core.registry import register
+from ..operators.vectors import cosine_topk, dot_decimal, sq_norm_decimal
+
+QUERY_MOD = 100  # vec_id % 100 == 0 rows are the query set
+TOP_K = 3
+N_HYPERPLANES = 4  # sign-LSH bits -> 16 buckets
+
+# DuckDB twins of the decimal-fold vector math ------------------------------
+
+_NORMS_CTE = """
+norms AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)) AS norm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+)
+"""
+
+# bucket = sum_j [emb[2j+1] > emb[2j+2]] << j  (1-based element indexing)
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{2 * j + 1}] > embedding[{2 * j + 2}] THEN {1 << j} ELSE 0 END)"
+    for j in range(N_HYPERPLANES)
+)
+
+
+def _bucket_col() -> F.Column:
+    b = None
+    for j in range(N_HYPERPLANES):
+        bit = F.when(
+            F.element_at(F.col("embedding"), 2 * j + 1) > F.element_at(F.col("embedding"), 2 * j + 2),
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        b = bit if b is None else b + bit
+    return b.cast("int")
+
+
+@register(
+    "q_embed_topk",
+    oracle=f"""
+        WITH {_NORMS_CTE.strip()},
+        dots AS (
+          SELECT q_id AS query_id, c_id AS neighbor_id,
+                 SUM(CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS dot
+          FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   unnest(list_zip(c.embedding, q.embedding)) AS z
+            FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+          )
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT d.query_id, d.neighbor_id,
+                 CAST(d.dot AS DOUBLE) / (nc.norm * nq.norm) AS cosine
+          FROM dots d
+          JOIN norms nq ON nq.vec_id = d.query_id
+          JOIN norms nc ON nc.vec_id = d.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        WHERE rank <= {TOP_K}
+        """,
+    tags=("embeddings", "similarity", "topk"),
+)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: exact nearest neighbors for the query set.
+
+    The query set (vec_id % 100 == 0) is broadcast, so the corpus is scanned
+    exactly once with no shuffle of the big side; per-query top-k is a
+    windowed rank over |queries| x corpus candidates. This is the exactness
+    baseline that q_embed_ann's bucketed search is measured against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, F.col("vec_id") % QUERY_MOD == 0, k=TOP_K)
+
+
+@register(
+    "q_embed_buckets",
+    oracle=f"""
+        SELECT {_BUCKET_SQL} AS bucket,
+               count(*)                   AS n_vecs,
+               count(DISTINCT label)      AS n_labels
+        FROM embeddings
+        GROUP BY 1
+        """,
+    tags=("embeddings", "lsh"),
+)
+def q_embed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket histogram: the ANN index build step.
+
+    Four deterministic hyperplanes (sign of emb[2j] - emb[2j+1]) hash every
+    vector to one of 16 buckets in a single narrow scan — the partition key
+    for bucketed ANN search. At 100 TB this becomes the DataFrame's physical
+    partitioning (repartition(bucket) + sorted write), so candidate search is
+    partition-pruned I/O, not compute.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy(_bucket_col().alias("bucket")).agg(
+        F.count("*").alias("n_vecs"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@register(
+    "q_embed_ann",
+    oracle=f"""
+        WITH {_NORMS_CTE.strip()},
+        bucketed AS (
+          SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+        ),
+        dots AS (
+          SELECT q_id AS query_id, c_id AS neighbor_id, bucket,
+                 SUM(CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS dot
+          FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket AS bucket,
+                   unnest(list_zip(c.embedding, q.embedding)) AS z
+            FROM bucketed q JOIN bucketed c
+              ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0
+          )
+          GROUP BY 1, 2, 3
+        ),
+        scored AS (
+          SELECT d.query_id, d.neighbor_id, d.bucket,
+                 CAST(d.dot AS DOUBLE) / (nc.norm * nq.norm) AS cosine
+          FROM dots d
+          JOIN norms nq ON nq.vec_id = d.query_id
+          JOIN norms nc ON nc.vec_id = d.neighbor_id
+        )
+        SELECT query_id, neighbor_id, bucket, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        WHERE rank <= {TOP_K}
+        """,
+    tags=("embeddings", "similarity", "lsh", "topk"),
+)
+def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: cosine search restricted to the query's LSH bucket.
+
+    The scale path: instead of |queries| x |corpus| scoring, each query only
+    scores vectors in its own sign-LSH bucket (~1/16 of the corpus here; with
+    b bits, 2^-b). The join is an equi-join on bucket — co-partitionable,
+    skew handled by AQE — and recall vs q_embed_topk is measured in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
+    with_norm = bucketed.select(
+        "vec_id",
+        "embedding",
+        "bucket",
+        F.sqrt(sq_norm_decimal(F.col("embedding")).cast("double")).alias("norm"),
+    )
+    queries = with_norm.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("bucket"),
+    )
+    pairs = with_norm.join(F.broadcast(queries), "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        (
+            dot_decimal(F.col("embedding"), F.col("q_embedding")).cast("double")
+            / (F.col("norm") * F.col("q_norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cosine", "rank")
+    )
+
+
+#: fixed-point scale for centroid accumulation: floor(x * 2^24) is computed
+#: exactly in binary floating point (float32 mantissas fit), so the integer
+#: sums are engine-independent — unlike double->DECIMAL casts, whose
+#: round-half behavior differs between Spark (HALF_UP) and DuckDB.
+CENTROID_SCALE = 1 << 24
+
+
+@register(
+    "q_embed_centroids",
+    oracle=f"""
+        SELECT label, dim,
+               CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
+                 / {CENTROID_SCALE} / count(*)
+                 AS centroid,
+               count(*) AS n_vecs
+        FROM (
+          SELECT label,
+                 unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(embedding) AS x
+          FROM embeddings
+        )
+        GROUP BY label, dim
+        """,
+    tags=("embeddings", "agg"),
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector: the IVF coarse-quantizer training step.
+
+    posexplode fans each vector into (label, dim, value) rows; the grouped
+    mean combines map-side, so the shuffle carries |labels| x |dims| partial
+    sums regardless of corpus size. Accumulation is 2^-24 fixed-point (exact
+    integer sums, order- and engine-independent). The resulting centroids
+    seed IVF-style ANN (assign vectors to nearest centroid, search only
+    matching cells).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("label", (F.col("pos") + 1).cast("bigint").alias("dim"), "x")
+    xq = F.floor(F.col("x").cast("double") * F.lit(float(CENTROID_SCALE))).cast("bigint")
+    return exploded.groupBy("label", "dim").agg(
+        (F.sum(xq).cast("double") / F.lit(float(CENTROID_SCALE)) / F.count("*")).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )

@@ -1,0 +1,527 @@
+"""Scan-planning and pruning queries (SURVEY.md §2.1, §2.2, §2.6, §2.7).
+
+These re-express the reference's metadata benchmarks as declarative plans:
+
+- q_scan_flat / q_partition_filter — manifest scan + partition pruning
+  (reference poc/test_adaptive_metadata_tree.py:203-211).
+- q_minmax_prune — file qualification by column min/max stats
+  (reference poc/test_wide_table_pruning.py:272-277).
+- q_skip_rate / q_range_span / q_sorted_write — the writer-organization
+  experiment: sorted vs unsorted layout -> row-group skipping
+  (reference tab0_content.txt:120-224; headline 99.2x I/O reduction).
+- q_scan_tree — 3-level manifest-tree planning with partition-summary pruning
+  (reference poc/test_adaptive_metadata_tree.py:58-317).
+- q_compaction — 100-small-manifests -> 1 rewrite accounting
+  (reference poc/test_single_file_commits.py:153-194).
+- q_file_stats — per-file footer statistics collection
+  (reference poc/test_wide_table_pruning.py:142-180).
+- q_wide_projection — narrow projection out of a wide scan; Catalyst prunes
+  columns so the Parquet reader materializes only what is selected
+  (reference poc/test_wide_table_pruning.py:153-191).
+
+Scale notes: file_meta is *metadata* (one row per data file). Even a 100 TB /
+128 MB-file table is < 1M manifest rows, so the global-ordering windows used
+for row-group assignment are safe; they model the single writer that lays out
+row groups. Data-table queries (q_file_stats, q_wide_projection) avoid
+driver-side iteration entirely and keep filters/projections at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..core.fixtures import (
+    ENTRY_BYTES,
+    EPOCH_DATE,
+    ROW_GROUP_ENTRIES,
+    file_meta,
+    with_fixtures,
+)
+from ..core.io import load_table
+from ..core.registry import register
+
+N_PROBES = 100
+PROBE_STRIDE_DAYS = 18
+TREE_PROBE_DATE = "2022-03-01"
+MANIFEST_HEADER_BYTES = 1024
+
+# ---------------------------------------------------------------------------
+# flat scans + partition filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_flat",
+    oracle=with_fixtures(
+        """
+        SELECT file_id, file_path, partition_date, partition_hour,
+               record_count, file_size_bytes
+        FROM file_meta
+        """,
+        "file_meta",
+    ),
+    tags=("scan",),
+)
+def q_scan_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat manifest scan: project the planning-relevant entry columns."""
+    return file_meta(spark, sf_dir).select(
+        "file_id", "file_path", "partition_date", "partition_hour", "record_count", "file_size_bytes"
+    )
+
+
+@register(
+    "q_partition_filter",
+    oracle=with_fixtures(
+        """
+        SELECT file_id, file_path, partition_date, partition_hour, record_count
+        FROM file_meta
+        WHERE partition_date BETWEEN DATE '2022-01-01' AND DATE '2022-01-31'
+        """,
+        "file_meta",
+    ),
+    tags=("filter", "pruning"),
+)
+def q_partition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-equality planning: entries matching a date-range predicate.
+
+    On a real Iceberg/parquet table this predicate never touches data files —
+    Catalyst turns it into PartitionFilters. Here it is the manifest-side
+    filter the reference runs per query (poc/test_adaptive_metadata_tree.py:207).
+    """
+    fm = file_meta(spark, sf_dir)
+    return fm.filter(
+        (F.col("partition_date") >= F.lit("2022-01-01").cast("date"))
+        & (F.col("partition_date") <= F.lit("2022-01-31").cast("date"))
+    ).select("file_id", "file_path", "partition_date", "partition_hour", "record_count")
+
+
+@register(
+    "q_minmax_prune",
+    oracle=with_fixtures(
+        """
+        SELECT file_id, metric_min, metric_max
+        FROM (
+          SELECT file_id,
+                 (file_id * 37) % 200 - 100 - 50 AS metric_min,
+                 (file_id * 37) % 200 - 100      AS metric_max
+          FROM file_meta
+        )
+        WHERE metric_max > 0
+        """,
+        "file_meta",
+    ),
+    tags=("filter", "pruning"),
+)
+def q_minmax_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-based file qualification: keep files whose max(metric) > 0.
+
+    This is V4 aggregated-stats pruning (reference
+    poc/test_wide_table_pruning.py:272-277): the predicate is answered from
+    file-level min/max without opening any footer.
+    """
+    fm = file_meta(spark, sf_dir)
+    metric_max = (F.col("file_id") * 37) % 200 - 100
+    stats = fm.select(
+        "file_id",
+        (metric_max - 50).alias("metric_min"),
+        metric_max.alias("metric_max"),
+    )
+    return stats.filter(F.col("metric_max") > 0)
+
+
+# ---------------------------------------------------------------------------
+# writer organization: sorted vs unsorted layout -> row-group skipping
+# ---------------------------------------------------------------------------
+
+
+def _layout_row_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign entries to row groups under both layouts and aggregate stats.
+
+    'unsorted' = arrival (file_id) order; 'sorted' = ORDER BY
+    (partition_date, partition_hour, file_id) — the writer sort policy the
+    reference's Experiment A measures (tab0_content.txt:120-140).
+    """
+    fm = file_meta(spark, sf_dir).select("file_id", "partition_date", "partition_hour")
+    w_uns = Window.orderBy("file_id")
+    w_srt = Window.orderBy("partition_date", "partition_hour", "file_id")
+    uns = fm.select(
+        F.lit("unsorted").alias("layout"),
+        F.floor((F.row_number().over(w_uns) - 1) / ROW_GROUP_ENTRIES).alias("rg_id"),
+        "partition_date",
+    )
+    srt = fm.select(
+        F.lit("sorted").alias("layout"),
+        F.floor((F.row_number().over(w_srt) - 1) / ROW_GROUP_ENTRIES).alias("rg_id"),
+        "partition_date",
+    )
+    return (
+        uns.unionByName(srt)
+        .groupBy("layout", "rg_id")
+        .agg(
+            F.min("partition_date").alias("min_date"),
+            F.max("partition_date").alias("max_date"),
+            F.count("*").alias("n_entries"),
+        )
+    )
+
+
+_LAYOUT_RG_SQL = f"""
+  SELECT layout, rg_id,
+         min(partition_date) AS min_date,
+         max(partition_date) AS max_date,
+         count(*) AS n_entries
+  FROM (
+    SELECT 'unsorted' AS layout,
+           CAST(floor((row_number() OVER (ORDER BY file_id) - 1) / {ROW_GROUP_ENTRIES}) AS BIGINT) AS rg_id,
+           partition_date
+    FROM file_meta
+    UNION ALL
+    SELECT 'sorted' AS layout,
+           CAST(floor((row_number() OVER (ORDER BY partition_date, partition_hour, file_id) - 1) / {ROW_GROUP_ENTRIES}) AS BIGINT) AS rg_id,
+           partition_date
+    FROM file_meta
+  )
+  GROUP BY layout, rg_id
+"""
+
+_PROBES_SQL = f"""
+  SELECT DATE '{EPOCH_DATE}' + CAST(p.range * {PROBE_STRIDE_DAYS} AS INTEGER) AS probe_date
+  FROM range({N_PROBES}) p
+"""
+
+
+def _probe_dates(spark: SparkSession) -> DataFrame:
+    return spark.range(N_PROBES).select(
+        F.date_add(F.to_date(F.lit(EPOCH_DATE)), (F.col("id") * PROBE_STRIDE_DAYS).cast("int")).alias("probe_date")
+    )
+
+
+@register(
+    "q_skip_rate",
+    oracle=with_fixtures(
+        f"""
+        SELECT layout,
+               count(DISTINCT rg_id)                       AS n_row_groups,
+               count(*)                                    AS checks,
+               CAST(sum(skipped) AS BIGINT)                AS skipped,
+               sum(skipped) / count(*)                     AS skip_rate,
+               CAST(sum(CASE WHEN skipped = 0 THEN n_entries * {ENTRY_BYTES} ELSE 0 END) AS BIGINT)
+                                                           AS bytes_read_total
+        FROM (
+          SELECT rg.layout, rg.rg_id, rg.n_entries, pr.probe_date,
+                 CASE WHEN pr.probe_date < rg.min_date OR pr.probe_date > rg.max_date
+                      THEN 1 ELSE 0 END AS skipped
+          FROM ({_LAYOUT_RG_SQL}) rg
+          CROSS JOIN ({_PROBES_SQL}) pr
+        )
+        GROUP BY layout
+        """,
+        "file_meta",
+    ),
+    tags=("pruning", "flagship"),
+)
+def q_skip_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: writer-organization row-group skip rate, sorted vs unsorted.
+
+    For each of 100 probe dates, a row group can be skipped iff the probe
+    falls outside its [min_date, max_date] (reference tab0_content.txt:200-207).
+    Sorted layout packs each row group into a ~1%-of-domain date range ->
+    ~99% skip rate; unsorted row groups span the whole domain -> ~0%.
+    Reproduces the reference's 99.2x bytes-read reduction as a query.
+    """
+    rg = _layout_row_groups(spark, sf_dir)
+    probes = _probe_dates(spark)
+    checks = rg.crossJoin(F.broadcast(probes)).withColumn(
+        "skipped",
+        F.when((F.col("probe_date") < F.col("min_date")) | (F.col("probe_date") > F.col("max_date")), 1).otherwise(0),
+    )
+    return checks.groupBy("layout").agg(
+        F.countDistinct("rg_id").alias("n_row_groups"),
+        F.count("*").alias("checks"),
+        F.sum("skipped").cast("bigint").alias("skipped"),
+        (F.sum("skipped") / F.count("*")).alias("skip_rate"),
+        F.sum(F.when(F.col("skipped") == 0, F.col("n_entries") * ENTRY_BYTES).otherwise(0))
+        .cast("bigint")
+        .alias("bytes_read_total"),
+    )
+
+
+@register(
+    "q_range_span",
+    oracle=with_fixtures(
+        f"""
+        SELECT layout,
+               count(*)                                   AS n_row_groups,
+               CAST(sum(max_date - min_date) AS BIGINT)   AS total_span_days,
+               sum(max_date - min_date) / count(*)        AS avg_span_days
+        FROM ({_LAYOUT_RG_SQL})
+        GROUP BY layout
+        """,
+        "file_meta",
+    ),
+    tags=("pruning",),
+)
+def q_range_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average per-row-group date-range span under each layout.
+
+    The reference reports 99.8% of domain unsorted vs 1.0% sorted
+    (tab0_content.txt:30-42); span in days is the scale-free equivalent.
+    """
+    rg = _layout_row_groups(spark, sf_dir)
+    span = F.datediff(F.col("max_date"), F.col("min_date"))
+    return rg.groupBy("layout").agg(
+        F.count("*").alias("n_row_groups"),
+        F.sum(span).cast("bigint").alias("total_span_days"),
+        (F.sum(span) / F.count("*")).alias("avg_span_days"),
+    )
+
+
+@register(
+    "q_sorted_write",
+    oracle=with_fixtures(
+        f"""
+        SELECT rg_id, min_date, max_date,
+               CAST(max_date - min_date AS BIGINT) AS span_days,
+               n_entries
+        FROM ({_LAYOUT_RG_SQL})
+        WHERE layout = 'sorted'
+        """,
+        "file_meta",
+    ),
+    tags=("sort", "write"),
+)
+def q_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group manifest of the sorted write layout.
+
+    This is the physical outcome of ``df.sortWithinPartitions(partition_date,
+    partition_hour)`` before write (Iceberg: WRITE ORDERED BY): contiguous,
+    narrow min/max ranges per row group (reference tab0_content.txt:134).
+    """
+    rg = _layout_row_groups(spark, sf_dir).filter(F.col("layout") == "sorted")
+    return rg.select(
+        "rg_id",
+        "min_date",
+        "max_date",
+        F.datediff(F.col("max_date"), F.col("min_date")).cast("bigint").alias("span_days"),
+        "n_entries",
+    )
+
+
+# ---------------------------------------------------------------------------
+# manifest tree planning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_tree",
+    oracle=with_fixtures(
+        f"""
+        WITH sorted_entries AS (
+          SELECT partition_date,
+                 CAST(floor((row_number() OVER (ORDER BY partition_date, partition_hour, file_id) - 1)
+                      / {ROW_GROUP_ENTRIES}) AS BIGINT) AS leaf_id
+          FROM file_meta
+        ),
+        leaves AS (
+          SELECT leaf_id, CAST(floor(leaf_id / 10) AS BIGINT) AS branch_id,
+                 min(partition_date) AS min_date, max(partition_date) AS max_date,
+                 count(*) AS n_entries
+          FROM sorted_entries GROUP BY leaf_id
+        ),
+        branches AS (
+          SELECT branch_id, min(min_date) AS min_date, max(max_date) AS max_date
+          FROM leaves GROUP BY branch_id
+        ),
+        vb AS (SELECT branch_id FROM branches
+               WHERE DATE '{TREE_PROBE_DATE}' BETWEEN min_date AND max_date),
+        vl AS (SELECT l.leaf_id FROM leaves l JOIN vb ON l.branch_id = vb.branch_id
+               WHERE DATE '{TREE_PROBE_DATE}' BETWEEN l.min_date AND l.max_date)
+        SELECT
+          (SELECT count(*) FROM branches)                 AS n_branches,
+          (SELECT count(*) FROM leaves)                   AS n_leaves,
+          (SELECT count(*) FROM vb)                       AS branches_visited,
+          (SELECT count(*) FROM vl)                       AS leaves_visited,
+          1 + (SELECT count(*) FROM vb) + (SELECT count(*) FROM vl)
+                                                          AS manifests_read,
+          (SELECT count(*) FROM sorted_entries se JOIN vl ON se.leaf_id = vl.leaf_id
+           WHERE se.partition_date = DATE '{TREE_PROBE_DATE}')
+                                                          AS files_matched
+        """,
+        "file_meta",
+    ),
+    tags=("scan", "tree", "pruning"),
+)
+def q_scan_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level manifest-tree scan planning with partition-summary pruning.
+
+    Root -> 10-leaf branches -> 100-entry leaves over the *sorted* layout;
+    each level keeps partition_date min/max summaries, so planning a
+    single-date query visits root + qualifying branches + qualifying leaves
+    only (reference poc/test_adaptive_metadata_tree.py:279-317 walks all of
+    them linearly; Iceberg's manifest-list pruning is the native analog).
+    Returns one row of planning metrics.
+    """
+    fm = file_meta(spark, sf_dir)
+    probe = F.to_date(F.lit(TREE_PROBE_DATE))
+    w_srt = Window.orderBy("partition_date", "partition_hour", "file_id")
+    entries = fm.select(
+        "partition_date",
+        F.floor((F.row_number().over(w_srt) - 1) / ROW_GROUP_ENTRIES).alias("leaf_id"),
+    )
+    leaves = entries.groupBy("leaf_id").agg(
+        F.min("partition_date").alias("min_date"),
+        F.max("partition_date").alias("max_date"),
+        F.count("*").alias("n_entries"),
+    ).withColumn("branch_id", F.floor(F.col("leaf_id") / 10))
+    branches = leaves.groupBy("branch_id").agg(
+        F.min("min_date").alias("min_date"), F.max("max_date").alias("max_date")
+    )
+    vb = branches.filter((probe >= F.col("min_date")) & (probe <= F.col("max_date"))).select("branch_id")
+    vl = (
+        leaves.join(vb, "branch_id")
+        .filter((probe >= F.col("min_date")) & (probe <= F.col("max_date")))
+        .select("leaf_id")
+    )
+    matched = entries.join(vl, "leaf_id").filter(F.col("partition_date") == probe)
+
+    counts = [
+        branches.agg(F.count("*").alias("n_branches")),
+        leaves.agg(F.count("*").alias("n_leaves")),
+        vb.agg(F.count("*").alias("branches_visited")),
+        vl.agg(F.count("*").alias("leaves_visited")),
+        matched.agg(F.count("*").alias("files_matched")),
+    ]
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(c)
+    return row.select(
+        "n_branches",
+        "n_leaves",
+        "branches_visited",
+        "leaves_visited",
+        (F.lit(1) + F.col("branches_visited") + F.col("leaves_visited")).alias("manifests_read"),
+        "files_matched",
+    )
+
+
+# ---------------------------------------------------------------------------
+# compaction accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_compaction",
+    oracle=with_fixtures(
+        f"""
+        SELECT 'before' AS stage,
+               count(DISTINCT file_id % 100)                    AS n_manifests,
+               count(*)                                         AS n_entries,
+               CAST(count(*) * {ENTRY_BYTES}
+                    + count(DISTINCT file_id % 100) * {MANIFEST_HEADER_BYTES} AS BIGINT)
+                                                                AS total_bytes
+        FROM file_meta
+        UNION ALL
+        SELECT 'after' AS stage,
+               1                                                AS n_manifests,
+               count(*)                                         AS n_entries,
+               CAST(count(*) * {ENTRY_BYTES} + {MANIFEST_HEADER_BYTES} AS BIGINT)
+                                                                AS total_bytes
+        FROM file_meta
+        """,
+        "file_meta",
+    ),
+    tags=("compaction", "set-ops"),
+)
+def q_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest compaction accounting: 100 small manifests -> 1.
+
+    The union-all of per-manifest entries into a single compacted manifest is
+    the relational core of Iceberg's rewrite_manifests (reference
+    poc/test_single_file_commits.py:153-194). Output: before/after manifest
+    count, entry count, and bytes (entries x 200B + 1KB header each).
+    """
+    fm = file_meta(spark, sf_dir).withColumn("manifest_id", F.col("file_id") % 100)
+    before = fm.agg(
+        F.countDistinct("manifest_id").alias("n_manifests"),
+        F.count("*").alias("n_entries"),
+    ).select(
+        F.lit("before").alias("stage"),
+        "n_manifests",
+        "n_entries",
+        (F.col("n_entries") * ENTRY_BYTES + F.col("n_manifests") * MANIFEST_HEADER_BYTES)
+        .cast("bigint")
+        .alias("total_bytes"),
+    )
+    after = fm.agg(F.count("*").alias("n_entries")).select(
+        F.lit("after").alias("stage"),
+        F.lit(1).cast("bigint").alias("n_manifests"),
+        "n_entries",
+        (F.col("n_entries") * ENTRY_BYTES + MANIFEST_HEADER_BYTES).cast("bigint").alias("total_bytes"),
+    )
+    return before.unionByName(after)
+
+
+# ---------------------------------------------------------------------------
+# per-file footer stats + wide projection (real data table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_file_stats",
+    oracle="""
+        SELECT
+          CAST(l_orderkey % 50 AS INTEGER)                AS file_id,
+          count(*)                                        AS record_count,
+          min(CAST(l_shipdate AS DATE))                   AS min_shipdate,
+          max(CAST(l_shipdate AS DATE))                   AS max_shipdate,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+          count(DISTINCT l_returnflag)                    AS n_flags
+        FROM lineitem
+        GROUP BY 1
+        """,
+    tags=("agg", "stats"),
+)
+def q_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file column statistics (footer stats collection as a query).
+
+    Files are synthesized as l_orderkey % 50 buckets; the aggregate mirrors
+    what a Parquet writer records per file: row count, min/max, sums
+    (reference poc/test_wide_table_pruning.py:142-180 reads these back from
+    footers; Iceberg surfaces them as tbl.files readable_metrics).
+    Map-side partial aggregation makes this one shuffle of 50 rows at any SF.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy((F.col("l_orderkey") % 50).cast("int").alias("file_id"))
+        .agg(
+            F.count("*").alias("record_count"),
+            F.min(F.to_date("l_shipdate")).alias("min_shipdate"),
+            F.max(F.to_date("l_shipdate")).alias("max_shipdate"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
+            F.countDistinct("l_returnflag").alias("n_flags"),
+        )
+    )
+
+
+@register(
+    "q_wide_projection",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+        """,
+    tags=("scan", "projection"),
+)
+def q_wide_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow projection + pushed filter out of a wider table.
+
+    Catalyst column pruning means the Parquet scan materializes 3 of 11
+    columns (check ReadSchema in explain()); the date predicate is pushed to
+    row-group stats. This is the V4 wide-table lesson (reference
+    poc/test_wide_table_pruning.py:153-191) expressed natively.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") <= F.lit("1996-03-31").cast("date"))
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")

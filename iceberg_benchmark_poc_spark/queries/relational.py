@@ -1,0 +1,142 @@
+"""Star-schema analytics exercising Catalyst end-to-end.
+
+The reference has no SQL corpus (SURVEY.md §5.5) — these queries exist because
+"same capabilities on Spark" inherits the whole relational engine, and they
+are the plans whose physical shape matters most at 100 TB: pushed scans,
+broadcast dimension joins, partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.io import load_table
+from ..core.registry import register
+
+
+@register(
+    "q_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)       AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)  AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+                                                                            AS sum_disc_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+               count(*)                                                     AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    tags=("agg", "group", "relational"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem.
+
+    The classic partial-aggregation showcase: billions of rows reduce to a
+    handful of (returnflag, linestatus) groups map-side before the shuffle.
+    Decimal folds keep the float sums order-independent (engine parity rule).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_star_join",
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+                                                             AS revenue,
+               count(*)                                      AS n_lineitems
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        GROUP BY r.r_name, n.n_name
+        """,
+    tags=("join", "group", "relational"),
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region/nation: 4-way star join with broadcast dimensions.
+
+    customer/nation/region are dimension-sized at every SF, so they are
+    explicitly broadcast — the fact table (lineitem) is never shuffled for
+    them. Only the lineitem<->orders join moves big data, and AQE handles any
+    orderkey skew. This is the join topology every reference "resolution
+    strategy" approximates (small side replicated to the big side's tasks).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.to_date("o_orderdate") <= F.lit("1996-12-31").cast("date"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@register(
+    "q_top_parts",
+    oracle="""
+        SELECT p_brand, p_partkey, p_name, total_qty
+        FROM (
+          SELECT p.p_brand, p.p_partkey, p.p_name,
+                 CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+                 row_number() OVER (
+                   PARTITION BY p.p_brand
+                   ORDER BY CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) DESC, p.p_partkey
+                 ) AS rk
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY p.p_brand, p.p_partkey, p.p_name
+        )
+        WHERE rk <= 3
+        """,
+    tags=("join", "window", "topk", "relational"),
+)
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by shipped quantity within each brand (windowed top-k).
+
+    Generalizes the reference's min-by selection (§2.6) to grouped top-k:
+    aggregate first (shrinks to |part| rows), then rank within brand — the
+    window runs on the aggregated table, never on raw lineitem.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("total_qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("total_qty").desc(), F.col("p_partkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "total_qty")
+    )

@@ -1,0 +1,156 @@
+"""Batch twins of the streaming window queries (SURVEY.md §2.9).
+
+The reference benchmarks the *commit pattern* streaming engines create, not
+stream operators; our engine exposes real Structured Streaming in
+``iceberg_benchmark_poc_spark.streaming``. These batch formulations compute
+identical results on the events fixture so the DuckDB oracle can gate them —
+the streaming module's micro-batch outputs are asserted equal to these in
+tests (stream-batch unification is the Spark guarantee being exercised).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..core.io import load_table
+from ..core.registry import register
+
+SESSION_GAP_MINUTES = 30
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)   AS window_start,
+               event_type,
+               count(*)                                    AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+               count(DISTINCT user_id)                     AS n_users
+        FROM events
+        GROUP BY 1, 2
+        """,
+    tags=("streaming", "window-agg"),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream.
+
+    Streaming form: ``readStream.groupBy(window('ts','1 hour'),
+    'event_type')`` with a watermark; this batch twin uses date_trunc so the
+    oracle can verify values. Partial aggregation + AQE keep the shuffle
+    proportional to distinct (hour, type) — not to event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+        WITH offsets AS (SELECT o.range AS off_min FROM range(0, 60, 30) o),
+        assigned AS (
+          SELECT CAST(date_trunc('hour', ts - to_minutes(CAST(off_min AS INTEGER))) AS TIMESTAMP)
+                   + to_minutes(CAST(off_min AS INTEGER))                AS window_start,
+                 value, event_id
+          FROM events, offsets
+        )
+        SELECT window_start,
+               count(*)                                     AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM assigned
+        GROUP BY window_start
+        """,
+    tags=("streaming", "window-agg"),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour windows advancing every 30 minutes.
+
+    Each event lands in 2 overlapping windows (window duration / slide);
+    batch form replicates each row per offset then tumbles — exactly how
+    Spark's streaming window() operator expands slides internally.
+    """
+    e = load_table(spark, sf_dir, "events")
+    offsets = spark.range(0, 60, 30).select(F.col("id").cast("int").alias("off_min"))
+    assigned = e.crossJoin(F.broadcast(offsets)).select(
+        F.expr(
+            "date_trunc('hour', ts - make_interval(0, 0, 0, 0, 0, off_min, 0))"
+            " + make_interval(0, 0, 0, 0, 0, off_min, 0)"
+        ).alias("window_start"),
+        "value",
+    )
+    return assigned.groupBy("window_start").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+        WITH marked AS (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                        OR epoch_us(CAST(ts AS TIMESTAMP))
+                           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                           > {SESSION_GAP_MINUTES} * 60 * 1000000
+                      THEN 1 ELSE 0 END AS is_new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+          SELECT user_id, ts, value,
+                 CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id,
+               count(*)                                     AS n_events,
+               CAST(min(ts) AS TIMESTAMP)                   AS session_start,
+               CAST(max(ts) AS TIMESTAMP)                   AS session_end,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
+        """,
+    tags=("streaming", "window-agg", "session"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) via gaps-and-islands.
+
+    Streaming form is ``session_window(ts, '30 minutes')`` /
+    ``applyInPandasWithState``; this batch twin derives identical sessions
+    with lag + cumulative sum per user. The window partitions by user_id, so
+    it scales horizontally — no global ordering anywhere.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w_order)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("is_new_session"),
+        "event_id",
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_new_session").over(w_cum).cast("bigint"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )

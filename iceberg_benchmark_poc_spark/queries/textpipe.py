@@ -1,0 +1,447 @@
+"""Training-data text-pipeline queries over the ``documents`` table.
+
+The reference has no text surface at all — these operators exist because the
+engine's north star is a 100 TB LLM-corpus pipeline (dedup, quality filtering,
+language ID, fingerprinting). Everything is expression-level Spark SQL (no
+Python UDFs): md5 is the only hash primitive, folded to a portable 60-bit
+integer so the DuckDB oracle computes bit-identical values.
+
+Scale design notes per query are in the docstrings; the common themes:
+- shingle/word explosions feed map-side-combinable aggregations, so shuffles
+  carry per-document rows, not per-token rows;
+- pairwise similarity is only ever computed on LSH candidates or an explicit
+  sample — never a blind corpus x corpus cross join;
+- band-bucket self-joins are the skew hot spot (viral boilerplate text lands
+  thousands of docs in one bucket) — AQE skew-join splitting handles that at
+  scale, and the bucket key includes the full band signature so bucket
+  cardinality stays bounded by true collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.fixtures import hash60
+from ..core.io import load_table
+from ..core.registry import register
+from ..operators.text import (
+    LSH_ROWS_PER_BAND,
+    MINHASH_K,
+    PORTABLE_HASH_PRIME,
+    jaccard_for_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+    word_shingles,
+)
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by")
+LANG_MARKER_THRESHOLD = 0.05  # stopword-ratio cut for the lang-id heuristic
+NGRAM_SAMPLE_MOD = 25  # q_ngram_jaccard pairs come from doc_id % 25 == 0
+BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # letters / digits / single punct
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+# words CTE shared by every oracle below (identical tokenization on both sides:
+# split on runs of whitespace after trim)
+_WORDS_CTE = r"""
+words AS (
+  SELECT doc_id, lang, source, trim(text) AS txt,
+         string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+)
+"""
+
+# distinct word-trigram shingles (docs with < 3 words contribute the whole
+# text as one shingle), hashed to the portable 60-bit space mod P
+_SHINGLES_CTE = f"""
+{_WORDS_CTE},
+widx AS (
+  SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words
+),
+shingles AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM widx WHERE i <= len(ws) - 2
+  UNION
+  SELECT DISTINCT doc_id, txt AS shingle FROM words WHERE len(ws) < 3
+),
+hashed AS (
+  SELECT doc_id, shingle,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {PORTABLE_HASH_PRIME} AS h
+  FROM shingles
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics + exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_doc_stats",
+    oracle="""
+        SELECT lang, source,
+               count(*)                      AS n_docs,
+               CAST(sum(n_chars) AS BIGINT)  AS total_chars,
+               sum(n_chars) / count(*)       AS avg_chars
+        FROM documents
+        GROUP BY lang, source
+        """,
+    tags=("text", "agg"),
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile: document counts and sizes per (lang, source).
+
+    The first query of any corpus intake job. Grouped aggregation with
+    map-side partials — shuffle carries |lang| x |source| rows only.
+    """
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+        SELECT md5(text)     AS text_hash,
+               count(*)      AS n_copies,
+               min(doc_id)   AS keeper_id
+        FROM documents
+        GROUP BY md5(text)
+        """,
+    tags=("text", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on full text, keep lowest doc_id.
+
+    The canonical first dedup pass: group on md5(text) (never on the text
+    itself — the shuffle key must be fixed-width at 100 TB), count copies,
+    elect min(doc_id) as the keeper. Downstream: semi-join documents against
+    keeper ids.
+    """
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               length(txt)                                  AS n_chars,
+               len(ws)                                      AS n_ws_tokens,
+               len(regexp_extract_all(txt, '{BPE_TOKEN_PATTERN}'))
+                                                            AS n_bpe_tokens,
+               length(regexp_replace(txt, '\\s+', '', 'g')) AS n_alpha_chars,
+               len(list_filter(ws, w -> list_contains({_STOPLIST_SQL}, w))) / len(ws)
+                                                            AS stop_ratio,
+               least(len(ws) / 128.0, 1.0) * 0.5
+                 + len(list_filter(ws, w -> list_contains({_STOPLIST_SQL}, w))) / len(ws) * 0.3
+                 + least(length(regexp_replace(txt, '\\s+', '', 'g')) / len(ws) / 8.0, 1.0) * 0.2
+                                                            AS quality_score
+        FROM (SELECT doc_id, trim(text) AS txt, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents) w
+        """,
+    tags=("text", "quality"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length / token / stopword signals.
+
+    The quality-filter features an LLM-corpus pipeline computes per document:
+    whitespace token count, BPE-ish regex token count, non-space chars,
+    stopword ratio, and a weighted score. Pure narrow projection — whole-stage
+    codegen, zero shuffle, linear scan at any scale.
+    """
+    d = _docs(spark, sf_dir)
+    txt = F.trim(F.col("text"))
+    ws = F.split(txt, r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    n_alpha = F.length(F.regexp_replace(txt, r"\s+", ""))
+    stop_ratio = n_stop / F.size(ws)
+    return d.select(
+        "doc_id",
+        F.length(txt).alias("n_chars"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.regexp_count(txt, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
+        n_alpha.alias("n_alpha_chars"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            F.least(F.size(ws) / F.lit(128.0), F.lit(1.0)) * 0.5
+            + stop_ratio * 0.3
+            + F.least(n_alpha / F.size(ws) / F.lit(8.0), F.lit(1.0)) * 0.2
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+        WITH scored AS (
+          SELECT lang,
+                 len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 w -> list_contains({_STOPLIST_SQL}, w)))
+                   / len(string_split_regex(trim(text), '\\s+')) AS marker_ratio
+          FROM documents
+        )
+        SELECT lang,
+               CASE WHEN marker_ratio >= {LANG_MARKER_THRESHOLD} THEN 'en' ELSE 'und' END
+                                                            AS predicted_lang,
+               count(*)                                     AS n_docs,
+               CAST(sum(CAST(marker_ratio AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+                                                            AS avg_marker_ratio
+        FROM scored
+        GROUP BY 1, 2
+        """,
+    tags=("text", "lang-id"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic confusion matrix (marker-word voting).
+
+    A minimal n-gram-style language detector: the ratio of tokens that are
+    English marker words decides 'en' vs 'und'; grouped against the labeled
+    lang column this yields the detector's confusion matrix. In production the
+    marker list generalizes to per-language character-n-gram profiles — the
+    plan shape (narrow scan -> tiny grouped agg) is unchanged.
+    """
+    d = _docs(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w))) / F.size(ws)
+    scored = d.select("lang", ratio.alias("marker_ratio"))
+    return scored.groupBy(
+        "lang",
+        F.when(F.col("marker_ratio") >= LANG_MARKER_THRESHOLD, F.lit("en")).otherwise(F.lit("und")).alias(
+            "predicted_lang"
+        ),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("marker_ratio").cast("decimal(38,12)")).cast("double") / F.count("*")).alias(
+            "avg_marker_ratio"
+        ),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               list_reduce(
+                 list_prepend(
+                   CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(trim(text), '\\s+'),
+                                  w -> (('0x' || substr(md5(w), 1, 15))::BIGINT) % {PORTABLE_HASH_PRIME})),
+                 (acc, x) -> (acc * 31 + x) % {PORTABLE_HASH_PRIME}) AS fingerprint
+        FROM documents
+        """,
+    tags=("text", "fingerprint"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash.
+
+    fp = fold(words, acc -> (acc*31 + h60(word) mod P) mod P) — unlike a
+    bag-of-words hash this distinguishes word order, so it detects exact
+    near-prefix duplication. One expression per row, no shuffle; fingerprints
+    are then dedup keys exactly like q_dedup_exact's md5.
+    """
+    d = _docs(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    fp = F.aggregate(
+        ws,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * 31 + hash60(w) % PORTABLE_HASH_PRIME) % PORTABLE_HASH_PRIME,
+    )
+    return d.select("doc_id", F.size(ws).alias("n_tokens"), fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate detection: minhash-LSH, n-gram jaccard, simhash
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_minhash_dedup",
+    oracle=f"""
+        WITH {_SHINGLES_CTE.strip()},
+        sigs AS (
+          SELECT doc_id, CAST(k.range AS INTEGER) AS k,
+                 MIN(((k.range * 2 + 3) * h + (k.range * 5 + 7)) % {PORTABLE_HASH_PRIME}) AS minhash
+          FROM hashed, range({MINHASH_K}) k
+          GROUP BY 1, 2
+        ),
+        bands AS (
+          SELECT doc_id, CAST(floor(k / {LSH_ROWS_PER_BAND}) AS BIGINT) AS band,
+                 string_agg(CAST(k AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), ':' ORDER BY k) AS band_sig
+          FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(sb.shingle) AS inter
+          FROM pairs p
+          JOIN hashed sa ON sa.doc_id = p.doc_a
+          LEFT JOIN hashed sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               i.inter / (za.n + zb.n - i.inter) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        """,
+    tags=("text", "dedup", "lsh"),
+)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate candidates with exact Jaccard verification.
+
+    The full scale pipeline: shingle (word trigrams) -> 8 minhashes per doc
+    (map-side-combined min agg) -> 4 LSH bands -> band-bucket self-join for
+    candidates -> exact shingle Jaccard only on candidates. Corpus x corpus
+    comparison cost collapses from O(n^2) to O(collisions); every stage
+    shuffles per-doc or per-candidate rows, never per-shingle.
+    """
+    d = _docs(spark, sf_dir)
+    shingles = word_shingles(d)
+    sigs = minhash_signatures(shingles)
+    pairs = lsh_candidate_pairs(sigs)
+    return jaccard_for_pairs(pairs, shingles)
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""
+        WITH {_WORDS_CTE.strip()},
+        sample AS (SELECT doc_id, txt, ws FROM words WHERE doc_id % {NGRAM_SAMPLE_MOD} = 0),
+        sidx AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM sample),
+        grams AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+          FROM sidx WHERE i <= len(ws) - 1
+          UNION
+          SELECT DISTINCT doc_id, txt AS gram FROM sample WHERE len(ws) < 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+        ),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(gb.gram) AS inter
+          FROM pairs p
+          JOIN grams ga ON ga.doc_id = p.doc_a
+          LEFT JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+          GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               i.inter / (za.n + zb.n - i.inter) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        """,
+    tags=("text", "dedup"),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard over a deterministic document sample.
+
+    The ground-truth similarity measure LSH approximates, computed on the
+    doc_id % 25 sample so all pairs stay tractable (it is the oracle for LSH
+    recall measurements in tests). At full scale this query only ever runs on
+    candidates or audit samples — never the whole corpus.
+    """
+    d = _docs(spark, sf_dir)
+    sample = d.filter(F.col("doc_id") % NGRAM_SAMPLE_MOD == 0)
+    txt = F.trim(F.col("text"))
+    ws = F.split(txt, r"\s+")
+    n = F.size(ws)
+    bigrams_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array(txt))
+    grams = sample.select("doc_id", F.explode(bigrams_arr).alias("gram")).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ids = sample.select("doc_id")
+    pairs = (
+        ids.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        pairs.join(ga, "doc_a")
+        .join(gb.withColumn("matched", F.lit(1)), ["doc_b", "gram"], "left")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("matched").alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_simhash",
+    oracle="""
+        WITH dwords AS (
+          SELECT DISTINCT doc_id, w
+          FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents)
+          WHERE w <> ''
+        ),
+        hw AS (
+          SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM dwords
+        ),
+        votes AS (
+          SELECT doc_id, CAST(b.range AS INTEGER) AS b,
+                 SUM(((h >> CAST(b.range AS INTEGER)) & 1) * 2 - 1) AS v
+          FROM hw, range(16) b
+          GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM votes
+        GROUP BY doc_id
+        """,
+    tags=("text", "dedup", "simhash"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document.
+
+    Distinct words vote ±1 on each signature bit of their 60-bit hash; the
+    majority sign packs into a 16-bit integer. Near-duplicates then reduce to
+    hamming-distance <= d over an integer column — a cheap self-join on
+    signature bands, no text comparison at all. Shuffle volume is one row per
+    (doc, bit): 16x docs, independent of document length.
+    """
+    d = _docs(spark, sf_dir)
+    return simhash16(d)

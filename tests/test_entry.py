@@ -1,0 +1,32 @@
+"""Driver-contract smoke tests for __spark_entry__.py."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
+)
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"layout", "skip_rate"}
+
+
+def test_registry_contract(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 35, f"expected a wide operator surface, got {len(qs)}"
+    assert set(oracles) <= set(qs)
+    missing_oracle = set(qs) - set(oracles)
+    # every op is oracle-gated unless genuinely non-SQL-expressible
+    assert not missing_oracle, f"queries lacking oracles: {missing_oracle}"
+    for name, fn in qs.items():
+        assert callable(fn), name
