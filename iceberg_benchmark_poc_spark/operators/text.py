@@ -34,18 +34,26 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     Output: (doc_id, shingle STRING, h BIGINT) where h is the portable 60-bit
     hash reduced mod PORTABLE_HASH_PRIME. Documents with < 3 words produce a
     single whole-text shingle so every doc has a non-empty shingle set.
+
+    The word array is materialized as a column BEFORE the trigram lambda:
+    expressions referenced inside higher-order-function lambdas are
+    re-evaluated per element (no subexpression elimination there), so an
+    inline split() would re-tokenize the document O(words) times.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(words)
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.trim(F.col(text_col)).alias("txt"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+    )
+    ws = F.col("ws")
+    n = F.size(ws)
     trigrams = F.transform(
         F.sequence(F.lit(1), n - (SHINGLE_WORDS - 1)),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1), F.element_at(words, i + 2)
-        ),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
     )
-    shingle_arr = F.when(n >= SHINGLE_WORDS, trigrams).otherwise(F.array(F.trim(F.col(text_col))))
+    shingle_arr = F.when(n >= SHINGLE_WORDS, trigrams).otherwise(F.array(F.col("txt")))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingle_arr).alias("shingle"))
+        tokenized.select("doc_id", F.explode(shingle_arr).alias("shingle"))
         .distinct()
         .withColumn("h", hash60(F.col("shingle")) % PORTABLE_HASH_PRIME)
     )
@@ -55,22 +63,18 @@ def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Minhash signature rows: (doc_id, k INT, minhash BIGINT).
 
     Hash family h_k(x) = ((2k+3)*x + 5k+7) mod P — deterministic, portable,
-    overflow-safe. The groupBy combines map-side: shuffle volume is
-    O(docs * k), independent of shingle count.
+    overflow-safe. All k minima are computed as k aggregate expressions in ONE
+    groupBy pass (not a k-way explode): the map side reduces each partition to
+    one row per doc before the single shuffle, and the (doc_id, k, minhash)
+    shape is restored by a shuffle-free stack() unpivot.
     """
-    ks = shingles.sparkSession.range(k).select(F.col("id").cast("int").alias("k"))
-    return (
-        shingles.crossJoin(F.broadcast(ks))
-        .select(
-            "doc_id",
-            "k",
-            (
-                ((F.col("k") * 2 + 3) * F.col("h") + (F.col("k") * 5 + 7)) % PORTABLE_HASH_PRIME
-            ).alias("hk"),
-        )
-        .groupBy("doc_id", "k")
-        .agg(F.min("hk").alias("minhash"))
-    )
+    min_cols = [
+        F.min(((2 * i + 3) * F.col("h") + (5 * i + 7)) % PORTABLE_HASH_PRIME).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    agg = shingles.groupBy("doc_id").agg(*min_cols)
+    stack_expr = f"stack({k}, " + ", ".join(f"cast({i} as int), mh{i}" for i in range(k)) + ") as (k, minhash)"
+    return agg.select("doc_id", F.expr(stack_expr))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, rows_per_band: int = LSH_ROWS_PER_BAND) -> DataFrame:
@@ -127,28 +131,21 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     packs the per-bit majority signs. Near-dup docs differ in few bits
     (compare via hamming distance over bitwise XOR downstream).
     """
-    spark = docs.sparkSession
     words = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
         .withColumn("h", hash60(F.col("w")))
     )
-    bits = spark.range(16).select(F.col("id").cast("int").alias("b"))
-    votes = (
-        words.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "b",
-            # shiftright() only takes a literal shift in the Python API; the SQL
-            # form accepts a column
-            (F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(0))
-        .cast("bigint")
-        .alias("simhash")
-    )
+    # all 16 bit-counts as aggregate expressions in one groupBy pass — no 16x
+    # bit explosion, one shuffle of per-doc partial counts. Majority vote for
+    # bit b: sum(+1/-1 votes) > 0  <=>  2 * popcount_b > n_words.
+    bit_counts = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}") for b in range(16)
+    ]
+    counted = words.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_counts)
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return counted.select("doc_id", sig.cast("bigint").alias("simhash"))

@@ -359,7 +359,12 @@ def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (poc/test_parallel_s3_fetching.py:123-125); here it is ORDER BY + LIMIT 1
     over a modeled cost curve — Spark executes as a TakeOrdered, no full sort.
     """
-    configs = spark.createDataFrame([(t,) for t in (1, 10, 25, 50, 100)], "threads int")
+    # spark.range + element_at keeps this JVM-only (createDataFrame would
+    # round-trip the literals through the Python serializer)
+    thread_opts = F.array(*[F.lit(t) for t in (1, 10, 25, 50, 100)])
+    configs = spark.range(5).select(
+        F.element_at(thread_opts, (F.col("id") + 1).cast("int")).alias("threads")
+    )
     timed = configs.select(
         "threads",
         (F.ceil(F.lit(1000.0) / F.col("threads")) * 55.0 + F.col("threads") * 2.0).alias("time_ms"),

@@ -368,9 +368,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates or audit samples — never the whole corpus.
     """
     d = _docs(spark, sf_dir)
-    sample = d.filter(F.col("doc_id") % NGRAM_SAMPLE_MOD == 0)
-    txt = F.trim(F.col("text"))
-    ws = F.split(txt, r"\s+")
+    # bind the word array as a column before the lambda (see word_shingles)
+    sample = d.filter(F.col("doc_id") % NGRAM_SAMPLE_MOD == 0).select(
+        "doc_id",
+        F.trim(F.col("text")).alias("txt"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+    )
+    ws = F.col("ws")
     n = F.size(ws)
     bigrams_arr = F.when(
         n >= 2,
@@ -378,7 +382,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), n - 1),
             lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
         ),
-    ).otherwise(F.array(txt))
+    ).otherwise(F.array(F.col("txt")))
     grams = sample.select("doc_id", F.explode(bigrams_arr).alias("gram")).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     ids = sample.select("doc_id")
