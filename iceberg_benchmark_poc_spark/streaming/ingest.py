@@ -1,0 +1,109 @@
+"""Micro-batch ingest: the reference's single-file-commit workload as a real
+Structured Streaming job.
+
+Reference suite 5 (poc/test_single_file_commits.py) hand-times JSON manifest
+writes per commit to argue streaming engines can commit one file at a time.
+Here the same workload is the genuine article: a file-source stream consumed
+``maxFilesPerTrigger=1`` so every micro-batch is one input file, committed by
+``foreachBatch`` with per-commit metrics (latency, rows, cumulative bytes) —
+the numbers the reference synthesizes are measured from a live query instead.
+
+On a cluster the sink would be an Iceberg table (``writeStream.toTable``)
+and the catalog provides atomic commit + optimistic retry; parquet append
+keeps this runnable offline with identical plan shape.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+)
+
+
+def split_events_for_streaming(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 20) -> str:
+    """Materialize the events fixture as n parquet files (one per micro-batch).
+
+    The ts column is normalized to microseconds here so the streaming schema
+    is a plain TIMESTAMP (streaming readers need an explicit schema).
+    """
+    from ..core.io import load_table
+
+    src = os.path.join(out_dir, "stream_src")
+    load_table(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(src)
+    return src
+
+
+def stream_events(spark: SparkSession, src_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over the split events directory."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+@dataclass
+class CommitLog:
+    """Driver-side commit metrics collected by foreachBatch."""
+
+    commits: list[dict] = field(default_factory=list)
+
+    def record(self, batch_id: int, n_rows: int, wall_ms: float, bytes_written: int) -> None:
+        cum = (self.commits[-1]["cum_bytes"] if self.commits else 0) + bytes_written
+        self.commits.append(
+            {
+                "commit_id": batch_id,
+                "n_rows": n_rows,
+                "commit_ms": wall_ms,
+                "bytes_written": bytes_written,
+                "cum_bytes": cum,
+            }
+        )
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, names in os.walk(path):
+        for n in names:
+            total += os.path.getsize(os.path.join(root, n))
+    return total
+
+
+def micro_batch_commit_metrics(
+    spark: SparkSession,
+    src_dir: str,
+    sink_dir: str,
+    files_per_trigger: int = 1,
+) -> CommitLog:
+    """Run the ingest stream to completion; return per-commit metrics.
+
+    Every micro-batch is appended to the parquet sink and timed — commit
+    latency, rows/commit, and cumulative sink bytes (the reference's
+    "manifest growth" curve, measured on real files).
+    """
+    log = CommitLog()
+    out = os.path.join(sink_dir, "sink")
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        before = _dir_bytes(out) if os.path.exists(out) else 0
+        t0 = time.perf_counter()
+        n = batch_df.count()
+        batch_df.write.mode("append").parquet(out)
+        wall_ms = (time.perf_counter() - t0) * 1000
+        log.record(batch_id, n, wall_ms, _dir_bytes(out) - before)
+
+    q = (
+        stream_events(spark, src_dir, files_per_trigger)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", os.path.join(sink_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return log

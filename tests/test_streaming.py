@@ -1,0 +1,99 @@
+"""Streaming surface tests: stream-batch equivalence + micro-batch commits.
+
+The window functions run twice — once on the static events table, once as a
+Structured Streaming query over the same data (memory sink, availableNow) —
+and the results must be identical (modulo the documented approx_count_distinct
+substitution). This is the unified-semantics guarantee the engine exposes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from iceberg_benchmark_poc_spark.core.io import load_table
+from iceberg_benchmark_poc_spark.streaming import (
+    micro_batch_commit_metrics,
+    session_totals,
+    sliding_totals,
+    split_events_for_streaming,
+    stream_events,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR, rows_to_key
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    return split_events_for_streaming(spark, SF_DIR, base, n_files=10), base
+
+
+def _run_stream(spark, df, mode: str):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _assert_same(a_df, b_df, drop=()):
+    a_df, b_df = a_df.drop(*drop), b_df.drop(*drop)
+    assert sorted(a_df.columns) == sorted(b_df.columns)
+    a = rows_to_key([tuple(r) for r in a_df.collect()], a_df.columns)
+    b = rows_to_key([tuple(r) for r in b_df.collect()], b_df.columns)
+    assert a == b
+
+
+def test_tumbling_stream_matches_batch(spark, stream_src):
+    src, _ = stream_src
+    batch = tumbling_counts(load_table(spark, SF_DIR, "events"))
+    stream = _run_stream(spark, tumbling_counts(stream_events(spark, src)), "complete")
+    # n_users is approx on the stream path (documented) — compare the rest
+    _assert_same(batch, stream, drop=("n_users",))
+
+
+def test_sliding_stream_matches_batch(spark, stream_src):
+    src, _ = stream_src
+    batch = sliding_totals(load_table(spark, SF_DIR, "events"))
+    stream = _run_stream(spark, sliding_totals(stream_events(spark, src)), "complete")
+    _assert_same(batch, stream)
+
+
+def test_session_stream_matches_batch(spark, stream_src):
+    src, _ = stream_src
+    batch = session_totals(load_table(spark, SF_DIR, "events"))
+    # session-window streams only support append (watermark-gated) or
+    # complete; complete keeps every session in state, which is fine for a
+    # finite test stream
+    stream = _run_stream(
+        spark, session_totals(stream_events(spark, src, files_per_trigger=10)), "complete"
+    )
+    _assert_same(batch, stream)
+
+
+def test_session_batch_matches_gaps_and_islands(spark):
+    """session_window (engine op) == lag+cumsum formulation (oracle-checked)."""
+    from iceberg_benchmark_poc_spark.queries.streamlike import q_stream_session
+
+    via_session_window = session_totals(load_table(spark, SF_DIR, "events")).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+    via_islands = q_stream_session(spark, SF_DIR).select(
+        "user_id", "session_start", "session_end", "n_events", "total_value"
+    )
+    _assert_same(via_session_window, via_islands)
+
+
+def test_micro_batch_commits(spark, stream_src, tmp_path):
+    src, _ = stream_src
+    log = micro_batch_commit_metrics(spark, src, str(tmp_path))
+    assert len(log.commits) >= 1
+    total_rows = sum(c["n_rows"] for c in log.commits)
+    expected = load_table(spark, SF_DIR, "events").count()
+    assert total_rows == expected
+    # manifest-growth curve: cumulative bytes strictly increasing
+    cums = [c["cum_bytes"] for c in log.commits]
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    assert all(c["commit_ms"] > 0 for c in log.commits)
