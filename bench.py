@@ -45,19 +45,27 @@ def main() -> None:
         queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # reference-suite workloads (BASELINE.md comparison) unless disabled
+    suites = None
+    if os.environ.get("SPARK_GRAFT_SUITES", "1") == "1":
+        import tempfile
+
+        from iceberg_benchmark_poc_spark.bench import run_all_suites
+
+        suites = run_all_suites(spark, SF_DIR, tempfile.mkdtemp(prefix="bench_suites_"))
+
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_from_dir(SF_DIR),
-                "n_queries": len(timings),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+    }
+    if suites is not None:
+        out["suites"] = suites
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -1,0 +1,67 @@
+"""Smoke + invariant tests for the reference-suite benchmark harness."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_benchmark_poc_spark.bench.suites import (
+    suite_adaptive_tree,
+    suite_concurrent_writers,
+    suite_delete_storm,
+    suite_density_policy,
+    suite_dv_resolution,
+    suite_wide_table,
+    suite_writer_org,
+)
+
+
+def test_writer_org_invariants(spark):
+    r = suite_writer_org(spark, n_entries=10_000)
+    # the reference's core finding: sorted layout always skips more and reads less
+    assert r["skip_rate_sorted"] > r["skip_rate_unsorted"]
+    assert r["bytes_read_sorted_mb"] < r["bytes_read_unsorted_mb"]
+    # 10K entries -> 10 row groups -> each sorted group spans ~10% of the
+    # domain, so skip rate ~= 0.9 here (99% at the reference's 100K scale)
+    assert r["skip_rate_sorted"] >= 0.85
+    assert r["bytes_reduction_x"] >= 9  # ~10x at 10 row groups; 93x at reference scale
+
+
+def test_delete_storm_counts(spark):
+    r = suite_delete_storm(spark, n_files=1_000)
+    assert r["metadata_reads_inline"] == 1
+    assert r["metadata_reads_external"] == 1_001
+    assert r["files_with_dv"] == 300  # deterministic 30% coverage
+    assert r["modeled_speedup_x"] > 100
+
+
+def test_density_policy_all_inline(spark):
+    r = suite_density_policy(spark, n_mdvs=2_000)
+    assert r["inline_rate"] == 1.0  # reference: 100% in all scenarios
+    assert r["decision_wall_ms"] < 51_108.8  # beat the reference's O(n^2) time
+
+
+def test_dv_resolution_shapes(spark):
+    r = suite_dv_resolution(spark, scales=(1_000,))
+    row = r["1000"]
+    assert set(row) == {"hash_join_ms", "positional_join_ms", "coalesced_join_ms"}
+    assert all(v > 0 for v in row.values())
+
+
+def test_adaptive_tree_prunes(spark):
+    r = suite_adaptive_tree(spark, scales=(10_000,))
+    row = r["10000"]
+    # pruned walk touches a tiny fraction of the 100 leaves
+    assert row["leaves_visited"] <= 3
+    assert row["files_matched"] >= 1
+
+
+def test_wide_table_stats_agree(spark, tmp_path):
+    r = suite_wide_table(spark, str(tmp_path), n_cols=50, n_files=5, rows_per_file=200)
+    assert r["files_qualifying_v3"] == r["files_qualifying_v4"] == 5
+    assert r["v4_stats_lookup_ms"] < r["v3_footer_scan_ms"]
+
+
+def test_concurrent_writers_all_commit(spark, tmp_path):
+    r = suite_concurrent_writers(spark, str(tmp_path), n_writers=3, writes_each=4)
+    assert r["final_version"] == 12  # every write eventually commits
+    assert 0.0 <= r["conflict_rate"] < 1.0
