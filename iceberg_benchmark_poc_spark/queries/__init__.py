@@ -16,4 +16,5 @@ from . import aggregates  # noqa: F401
 from . import relational  # noqa: F401
 from . import textpipe  # noqa: F401
 from . import embeddings  # noqa: F401
+from . import multimodal  # noqa: F401
 from . import streamlike  # noqa: F401
