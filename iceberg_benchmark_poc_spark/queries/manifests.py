@@ -368,33 +368,37 @@ def q_scan_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "partition_date",
         F.floor((F.row_number().over(w_srt) - 1) / ROW_GROUP_ENTRIES).alias("leaf_id"),
     )
-    leaves = entries.groupBy("leaf_id").agg(
-        F.min("partition_date").alias("min_date"),
-        F.max("partition_date").alias("max_date"),
-        F.count("*").alias("n_entries"),
-    ).withColumn("branch_id", F.floor(F.col("leaf_id") / 10))
-    branches = leaves.groupBy("branch_id").agg(
-        F.min("min_date").alias("min_date"), F.max("max_date").alias("max_date")
+    # branch summaries come from a window over the leaf table (tiny), so every
+    # tree-level count falls out of ONE aggregation over per-leaf flags
+    # instead of five cross-joined aggregates
+    w_branch = Window.partitionBy("branch_id")
+    leaves = (
+        entries.groupBy("leaf_id")
+        .agg(
+            F.min("partition_date").alias("min_date"),
+            F.max("partition_date").alias("max_date"),
+        )
+        .withColumn("branch_id", F.floor(F.col("leaf_id") / 10))
+        .withColumn("b_min", F.min("min_date").over(w_branch))
+        .withColumn("b_max", F.max("max_date").over(w_branch))
+        .withColumn("branch_hit", (probe >= F.col("b_min")) & (probe <= F.col("b_max")))
+        .withColumn(
+            "leaf_hit",
+            F.col("branch_hit") & (probe >= F.col("min_date")) & (probe <= F.col("max_date")),
+        )
     )
-    vb = branches.filter((probe >= F.col("min_date")) & (probe <= F.col("max_date"))).select("branch_id")
-    vl = (
-        leaves.join(vb, "branch_id")
-        .filter((probe >= F.col("min_date")) & (probe <= F.col("max_date")))
-        .select("leaf_id")
+    tree_counts = leaves.agg(
+        F.countDistinct("branch_id").alias("n_branches"),
+        F.count("*").alias("n_leaves"),
+        F.countDistinct(F.when(F.col("branch_hit"), F.col("branch_id"))).alias("branches_visited"),
+        F.sum(F.col("leaf_hit").cast("bigint")).alias("leaves_visited"),
     )
-    matched = entries.join(vl, "leaf_id").filter(F.col("partition_date") == probe)
-
-    counts = [
-        branches.agg(F.count("*").alias("n_branches")),
-        leaves.agg(F.count("*").alias("n_leaves")),
-        vb.agg(F.count("*").alias("branches_visited")),
-        vl.agg(F.count("*").alias("leaves_visited")),
-        matched.agg(F.count("*").alias("files_matched")),
-    ]
-    row = counts[0]
-    for c in counts[1:]:
-        row = row.crossJoin(c)
-    return row.select(
+    matched = (
+        entries.join(leaves.filter("leaf_hit").select("leaf_id"), "leaf_id")
+        .filter(F.col("partition_date") == probe)
+        .agg(F.count("*").alias("files_matched"))
+    )
+    return tree_counts.crossJoin(matched).select(
         "n_branches",
         "n_leaves",
         "branches_visited",

@@ -1,0 +1,211 @@
+"""Temporal join operators: as-of and range/interval joins, plus rollup and
+set-operation coverage.
+
+The reference has no temporal join surface (SURVEY.md §2.3 marks
+theta/range/as-of joins absent), but a complete engine needs them — they are
+the canonical "operator Spark lacks as a single primitive" case the engine
+composes from existing ops: broadcast + argmax for as-of against a compact
+build side, interval predicates for range joins. Every query keeps its DuckDB
+oracle twin.
+
+Scale notes: the as-of build side here (hourly rate snapshots) is
+dimension-sized and broadcast, so the probe side streams with no shuffle. For
+fact×fact as-of at 100 TB, the engine pattern is union-tag + last_value
+window partitioned by entity key (see q_stream_session's per-user windows) —
+never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.io import load_table
+from ..core.registry import register
+
+RATE_EVERY_MIN = 90  # snapshot cadence of the derived rate table
+
+
+def _rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rate-snapshot dimension derived from the events span.
+
+    One snapshot every 90 minutes from the epoch of the events table; value
+    is modular arithmetic on the tick number (no RNG).
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    return bounds.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "lo"),
+                F.col("hi"),
+                F.expr(f"interval {RATE_EVERY_MIN} minutes"),
+            )
+        ).alias("rate_ts")
+    ).select(
+        "rate_ts",
+        ((F.unix_timestamp("rate_ts") / 60).cast("bigint") % 1000).alias("rate_value"),
+    )
+
+
+_RATES_SQL = f"""
+rates AS (
+  SELECT rate_ts,
+         (CAST(epoch(rate_ts) / 60 AS BIGINT) % 1000) AS rate_value
+  FROM (
+    SELECT unnest(generate_series(
+             date_trunc('hour', (SELECT min(CAST(ts AS TIMESTAMP)) FROM events)),
+             (SELECT max(CAST(ts AS TIMESTAMP)) FROM events),
+             INTERVAL {RATE_EVERY_MIN} MINUTE)) AS rate_ts
+  )
+)
+"""
+
+
+@register(
+    "q_asof_join",
+    oracle=f"""
+        WITH {_RATES_SQL.strip()},
+        sample AS (
+          SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+          WHERE event_id % 10 = 0
+        )
+        SELECT s.event_id, s.ts, s.value,
+               max(r.rate_ts)                 AS rate_ts,
+               max_by(r.rate_value, r.rate_ts) AS rate_value
+        FROM sample s JOIN rates r ON r.rate_ts <= s.ts
+        GROUP BY s.event_id, s.ts, s.value
+        """,
+    tags=("join", "asof", "temporal"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest rate snapshot at-or-before
+    its timestamp.
+
+    Composed as broadcast inequality join + max/max_by argmax — the right
+    pattern when the build side is a compact snapshot dimension (the common
+    case: prices, configs, exchange rates). The probe side never shuffles.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "ts", "value"
+    )
+    r = _rates(spark, sf_dir)
+    joined = e.join(F.broadcast(r), r.rate_ts <= e.ts)
+    return joined.groupBy("event_id", "ts", "value").agg(
+        F.max("rate_ts").alias("rate_ts"),
+        F.expr("max_by(rate_value, rate_ts)").alias("rate_value"),
+    )
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+        WITH {_RATES_SQL.strip()},
+        windows AS (
+          SELECT rate_ts AS win_start,
+                 rate_ts + INTERVAL 30 MINUTE AS win_end,
+                 CAST(epoch(rate_ts) / 60 AS BIGINT) % 7 AS win_id
+          FROM rates
+          WHERE (CAST(epoch(rate_ts) / 60 AS BIGINT) % 1000) % 3 = 0
+        )
+        SELECT w.win_start, CAST(w.win_id AS BIGINT) AS win_id,
+               count(*)                              AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events e JOIN windows w
+          ON CAST(e.ts AS TIMESTAMP) >= w.win_start AND CAST(e.ts AS TIMESTAMP) < w.win_end
+        GROUP BY w.win_start, w.win_id
+        """,
+    tags=("join", "range", "temporal"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: events falling inside derived maintenance windows.
+
+    Interval containment against a broadcast window table — each event tests
+    the predicate in-task, no shuffle of the event side. (On two large sides
+    the engine buckets both by coarse time range first so the theta join is
+    confined within co-partitioned buckets.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        _rates(spark, sf_dir)
+        .filter(F.col("rate_value") % 3 == 0)
+        .select(
+            F.col("rate_ts").alias("win_start"),
+            (F.col("rate_ts") + F.expr("interval 30 minutes")).alias("win_end"),
+            ((F.unix_timestamp("rate_ts") / 60).cast("bigint") % 7).alias("win_id"),
+        )
+    )
+    joined = e.join(F.broadcast(w), (e.ts >= w.win_start) & (e.ts < w.win_end))
+    return joined.groupBy("win_start", "win_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+        SELECT coalesce(lang, 'ALL')   AS lang,
+               coalesce(source, 'ALL') AS source,
+               count(*)                AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY ROLLUP (lang, source)
+        """,
+    tags=("agg", "rollup"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: per (lang, source), per lang, and grand total in
+    one pass — Spark's ROLLUP grouping sets, free from Catalyst (the
+    reference aggregates each level with separate Python loops).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+        WITH dv_files AS (
+          SELECT o_orderkey AS file_id FROM orders WHERE o_orderkey % 10 < 3
+        ),
+        recent AS (
+          SELECT o_orderkey AS file_id FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT 'intersect' AS op, count(*) AS n FROM (
+          SELECT file_id FROM dv_files INTERSECT SELECT file_id FROM recent)
+        UNION ALL
+        SELECT 'except' AS op, count(*) AS n FROM (
+          SELECT file_id FROM dv_files EXCEPT SELECT file_id FROM recent)
+        UNION ALL
+        SELECT 'union' AS op, count(*) AS n FROM (
+          SELECT file_id FROM dv_files UNION SELECT file_id FROM recent)
+        """,
+    tags=("set-ops",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over file-id sets: intersect / except / distinct union.
+
+    The reference's inline-vs-spilled complement sets (SURVEY §2.7) done with
+    the engine's native set operators instead of O(n^2) list membership.
+    """
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("file_id"))
+    dv_files = o.filter(F.col("file_id") % 10 < 3)
+    recent = o.filter(F.col("file_id") % 7 == 0)
+
+    def count_of(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count_of(dv_files.intersect(recent), "intersect")
+        .unionByName(count_of(dv_files.exceptAll(recent).distinct(), "except"))
+        .unionByName(count_of(dv_files.union(recent).distinct(), "union"))
+    )
