@@ -1,0 +1,56 @@
+"""Approximate and skew-aware aggregation queries.
+
+q_salted_agg is oracle-gated (salting is a physical rewrite — the logical
+result is exactly the unsalted groupBy). q_approx_stats has NO oracle twin:
+HLL/quantile-sketch results are engine-specific by design, so the driver
+applies its rows-only check (the documented non-SQL-expressible case); the
+engine-side test instead bounds the approximation error against exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.io import load_table
+from ..core.registry import register
+from ..operators.skew import salted_count
+
+
+@register(
+    "q_salted_agg",
+    oracle="""
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    tags=("agg", "skew"),
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase count by a low-cardinality (hence hot) key.
+
+    l_returnflag has 3 values — the worst case for a naive shuffle (3
+    reducers own everything). Salting by l_orderkey spreads each flag across
+    16 partial groups; the merge shuffle carries 48 rows. Result is
+    bit-identical to the plain groupBy, which is exactly what the oracle
+    checks.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count(li, ["l_returnflag"], F.col("l_orderkey"), n_salts=16)
+
+
+@register("q_approx_stats", oracle=None, tags=("agg", "approx"))
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based statistics: approx distinct + approx quantiles.
+
+    The constant-memory path for 100 TB profiling: HyperLogLog counters and
+    quantile sketches merge associatively across partitions, so these run in
+    one combine-shuffle pass regardless of cardinality. No oracle (sketches
+    are engine-specific); tests bound the error against exact answers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("price_quantiles"),
+    )

@@ -15,6 +15,7 @@ provides both halves natively:
 """
 
 from .ingest import micro_batch_commit_metrics, split_events_for_streaming, stream_events
+from .stateful import value_threshold_monitor
 from .windows import session_totals, sliding_totals, tumbling_counts
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "tumbling_counts",
     "sliding_totals",
     "session_totals",
+    "value_threshold_monitor",
 ]

@@ -1,0 +1,84 @@
+"""Physical-plan regression tests: the scale properties the engine promises
+(pushdown, pruning, broadcasts, partial aggregation) must be visible in the
+optimized plans — a slow plan that still returns correct rows should fail CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from iceberg_benchmark_poc_spark.core.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def scans(plan: str) -> list[tuple[str, str]]:
+    """[(table, pushed_filters)] for every parquet scan in the plan."""
+    return [
+        (m.group(1), m.group(2))
+        for m in re.finditer(r"Location.*?/(\w+)\.parquet.*?PushedFilters: (\[[^\]]*\])", plan, re.S)
+    ]
+
+
+def test_wide_projection_prunes_and_pushes(spark):
+    plan = plan_of(spark, "q_wide_projection")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # 3 projected columns + the filter column — nothing else off the 16-col table
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"}
+    table, filters = scans(plan)[0]
+    assert "GreaterThanOrEqual(l_shipdate" in filters and "LessThan(l_shipdate" in filters
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q_star_join")
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    by_table = dict(scans(plan))
+    assert "o_orderdate" in by_table["orders"]  # date range pushed to the orders scan
+
+
+def test_dv_joins_broadcast_the_dv_side(spark):
+    for name in ("q_dv_hash_join", "q_dv_semi_join", "q_dv_anti_join"):
+        assert "BroadcastHashJoin" in plan_of(spark, name), name
+
+
+def test_pricing_summary_partial_aggregates(spark):
+    plan = plan_of(spark, "q_pricing_summary")
+    # partial HashAggregate must appear below (before) the exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_salted_agg_two_phase(spark):
+    plan = plan_of(spark, "q_salted_agg")
+    # two aggregation phases (salted partial + merge), each with map-side partials
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_no_cartesian_in_similarity_path(spark):
+    # LSH candidate generation must never degrade to a cartesian product
+    plan = plan_of(spark, "q_minhash_dedup")
+    assert "CartesianProduct" not in plan
+
+
+def test_approx_stats_bounded_error(spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_poc_spark.core.io import load_table
+
+    row = all_queries()["q_approx_stats"].fn(spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("o"), F.countDistinct("l_partkey").alias("p")
+    ).collect()[0]
+    assert abs(row["approx_orders"] - exact["o"]) / exact["o"] < 0.1
+    assert abs(row["approx_parts"] - exact["p"]) / exact["p"] < 0.1
+    q50, q95, q99 = row["price_quantiles"]
+    assert q50 <= q95 <= q99
