@@ -66,28 +66,42 @@ def test_rowgroup_skipping_is_safe(spark, entries, probe_off, rg_size):
 # ---------------------------------------------------------------------------
 
 
-@given(entries=entries_strategy, probe_off=st.integers(0, 1825))
+@given(entries=entries_strategy)
 @settings(**SETTINGS)
-def test_sorted_layout_never_reads_more(spark, entries, probe_off):
+def test_sorted_layout_never_reads_more_in_aggregate(spark, entries):
+    """Summed over ALL probe dates, the sorted layout never reads more bytes.
+
+    NOTE the aggregate quantifier: for a single adversarial probe a lucky
+    unsorted arrival order can beat sorted (hypothesis found days [0,2,5] in
+    groups of 2 with probe 1: sorted group [0,2] spans the probe while
+    arrival [2,5],[0] skips everything). The theorem — and what the
+    reference's 100-probe experiment measures — is total cost: sorted
+    consecutive grouping minimizes sum-of-group-ranges over equal-size
+    partitions (exchange argument), so total bytes over the probe domain is
+    minimal. Group sizes are kept equal (entries trimmed to a multiple of 5).
+    """
+    entries = entries[: len(entries) - len(entries) % 5] or entries[:1]
     df = spark.createDataFrame(
         [(i, EPOCH + datetime.timedelta(days=d), h) for i, (d, h) in enumerate(entries)],
         "file_id long, partition_date date, partition_hour int",
     )
-    probe = EPOCH + datetime.timedelta(days=probe_off)
 
-    def bytes_read(order_cols):
+    def total_bytes_over_all_probes(order_cols):
         w = Window.orderBy(*order_cols)
         rg = (
             df.withColumn("rg_id", F.floor((F.row_number().over(w) - 1) / 5))
             .groupBy("rg_id")
             .agg(F.min("partition_date").alias("mn"), F.max("partition_date").alias("mx"), F.count("*").alias("n"))
         )
-        row = rg.filter((F.lit(probe) >= F.col("mn")) & (F.lit(probe) <= F.col("mx"))).agg(
-            F.coalesce(F.sum("n"), F.lit(0)).alias("b")
-        ).collect()[0]
-        return row["b"]
+        # an integer-day probe hits a row group iff it falls in [mn, mx]:
+        # total bytes over every probe day = sum(n * (span_days + 1))
+        return rg.agg(
+            F.sum(F.col("n") * (F.datediff("mx", "mn") + 1)).alias("b")
+        ).collect()[0]["b"]
 
-    assert bytes_read(["partition_date", "partition_hour", "file_id"]) <= bytes_read(["file_id"])
+    sorted_total = total_bytes_over_all_probes(["partition_date", "partition_hour", "file_id"])
+    unsorted_total = total_bytes_over_all_probes(["file_id"])
+    assert sorted_total <= unsorted_total
 
 
 # ---------------------------------------------------------------------------
