@@ -26,7 +26,12 @@ ENTRY_BYTES = 200  # poc/test_delete_storm.py:141
 TTFB_MS = 50.0  # poc/utils/s3_simulator.py avg TTFB
 
 
-def _timed(df: DataFrame) -> tuple[float, int]:
+def _timed(df: DataFrame, warm: bool = True) -> tuple[float, int]:
+    """Wall-clock of a full materialization; ``warm`` runs once first so the
+    number is steady-state (codegen compiled, JIT warm) — what the
+    reference's repeated-iteration timings measure."""
+    if warm:
+        df.count()
     t0 = time.perf_counter()
     n = df.count()
     return (time.perf_counter() - t0) * 1000, n
@@ -80,8 +85,7 @@ def suite_writer_org(spark: SparkSession, n_entries: int = 100_000, n_probes: in
     probes = spark.range(n_probes).select(
         F.date_add(F.to_date(F.lit(EPOCH_DATE)), (F.col("id") * 18).cast("int")).alias("probe_date")
     )
-    t0 = time.perf_counter()
-    stats = (
+    query = (
         rg.crossJoin(F.broadcast(probes))
         .withColumn(
             "skipped",
@@ -96,8 +100,10 @@ def suite_writer_org(spark: SparkSession, n_entries: int = 100_000, n_probes: in
                 "bytes_read"
             ),
         )
-        .collect()
     )
+    query.collect()  # warm: codegen + JIT
+    t0 = time.perf_counter()
+    stats = query.collect()
     wall_ms = (time.perf_counter() - t0) * 1000
     r = {row["layout"]: row for row in stats}
     return {
