@@ -14,7 +14,7 @@ from .text import (
     lsh_candidate_pairs,
     simhash16,
 )
-from .vectors import dot_decimal, sq_norm_decimal, cosine_topk
+from .vectors import dot_decimal, dot_double, sq_norm_decimal, cosine_topk
 from .multimodal import media_features
 
 __all__ = [
@@ -25,6 +25,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "simhash16",
     "dot_decimal",
+    "dot_double",
     "sq_norm_decimal",
     "cosine_topk",
     "media_features",
