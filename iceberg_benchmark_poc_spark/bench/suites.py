@@ -272,13 +272,25 @@ def suite_dv_resolution(spark: SparkSession, scales: tuple = (1_000, 10_000, 25_
 
 
 def suite_single_file_commits(spark: SparkSession, sf_dir: str, tmp_dir: str) -> dict:
-    from ..streaming.ingest import micro_batch_commit_metrics, split_events_for_streaming
+    from ..streaming.ingest import _dir_bytes, micro_batch_commit_metrics, split_events_for_streaming
 
     src = split_events_for_streaming(spark, sf_dir, tmp_dir, n_files=20)
     log = micro_batch_commit_metrics(spark, src, os.path.join(tmp_dir, "commits"))
     lat = [c["commit_ms"] for c in log.commits]
     rows = sum(c["n_rows"] for c in log.commits)
     total_s = sum(lat) / 1000
+
+    # compaction: the accumulated small commit files -> 1 (the reference's
+    # 100-manifests->1 rewrite, poc/test_single_file_commits.py:153-194,
+    # on real parquet instead of JSON-indent-biased json.dump)
+    sink = os.path.join(tmp_dir, "commits", "sink")
+    small_files = [f for f in os.listdir(sink) if f.endswith(".parquet")]
+    before_bytes = _dir_bytes(sink)
+    compacted = os.path.join(tmp_dir, "compacted")
+    t0 = time.perf_counter()
+    spark.read.parquet(sink).coalesce(1).write.mode("overwrite").parquet(compacted)
+    compact_ms = (time.perf_counter() - t0) * 1000
+    after_files = [f for f in os.listdir(compacted) if f.endswith(".parquet")]
     return {
         "n_commits": len(log.commits),
         "avg_commit_ms": round(sum(lat) / len(lat), 2),
@@ -286,6 +298,13 @@ def suite_single_file_commits(spark: SparkSession, sf_dir: str, tmp_dir: str) ->
         "max_commit_ms": round(max(lat), 2),
         "rows_per_sec": round(rows / max(total_s, 1e-9), 1),
         "sink_bytes": log.commits[-1]["cum_bytes"],
+        "compaction": {
+            "files_before": len(small_files),
+            "files_after": len(after_files),
+            "bytes_before": before_bytes,
+            "bytes_after": _dir_bytes(compacted),
+            "rewrite_ms": round(compact_ms, 1),
+        },
     }
 
 

@@ -1,12 +1,16 @@
 """Query modules. Importing this package populates the registry.
 
-Each module covers one band of SURVEY.md §2:
+Each module covers one band of SURVEY.md §2 (see COVERAGE.md for the full map):
   manifests   — scans, partition/stat pruning, manifest trees, compaction (§2.1-2.2, 2.7)
   dv          — delete-vector resolution join family (§2.3)
+  dv_payload  — DV position-set codec roundtrip (binary/zlib path, §2.8)
   aggregates  — aggregation, windowed cumulative sums, cost models, top-k (§2.4-2.6)
   relational  — star-schema analytics exercising Catalyst end-to-end
+  temporal    — as-of / range joins, rollup, set algebra
+  approx      — skew-salted and sketch-based aggregation
   textpipe    — training-data text ops: dedup, fingerprints, lang-id, quality
   embeddings  — similarity search over embedding vectors
+  multimodal  — binary payloads through Arrow-batched Pandas UDFs
   streamlike  — batch twins of the streaming window queries (§2.9)
 """
 
