@@ -23,5 +23,6 @@ from . import embeddings  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import temporal  # noqa: F401
 from . import approx  # noqa: F401
+from . import analytic  # noqa: F401
 from . import dv_payload  # noqa: F401
 from . import streamlike  # noqa: F401
