@@ -197,6 +197,104 @@ def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cosine floor for calling two vectors near-duplicates. The synthetic
+#: embeddings are near-orthogonal random vectors (pairwise cosine tops out
+#: ~0.5-0.6), so a production-style 0.9 threshold would select nothing; 0.35
+#: sits above the p99.9 of the pair distribution and keeps the query
+#: non-trivially exercised at every scale factor.
+NEARDUP_THRESHOLD = 0.35
+
+
+@register(
+    "q_embed_neardup",
+    oracle=f"""
+        WITH {_NORMS_CTE.strip()},
+        bucketed AS (
+          SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+        ),
+        dots AS (
+          SELECT keep_id, dup_id,
+                 SUM(CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS dot
+          FROM (
+            SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+                   unnest(list_zip(a.embedding, b.embedding)) AS z
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          )
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT d.dup_id AS vec_id, d.keep_id,
+                 CAST(d.dot AS DOUBLE) / (nk.norm * nd.norm) AS cosine
+          FROM dots d
+          JOIN norms nk ON nk.vec_id = d.keep_id
+          JOIN norms nd ON nd.vec_id = d.dup_id
+        )
+        SELECT vec_id, keep_id AS dup_of, cosine
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, keep_id) AS rn
+          FROM pairs
+          WHERE cosine >= {NEARDUP_THRESHOLD}
+        )
+        WHERE rn = 1
+        """,
+    tags=("embeddings", "dedup", "similarity", "lsh"),
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: LSH candidates + exact verify.
+
+    The embedding leg of the dedup family (exact / minhash / simhash /
+    n-gram Jaccard live in textpipe): candidate pairs come from a sign-LSH
+    bucket equi-join (never the O(n^2) cross join), are verified with the
+    exact cosine, and each duplicate is attributed to its best-matching
+    smaller-id keeper — drop `vec_id IN (SELECT vec_id FROM this)` is the
+    dedup action.
+
+    Scale: the self-join is an equi-join on bucket, so it shuffles both
+    sides by bucket and compares only within buckets (2^-b of all pairs per
+    band). 4 bits / one band keeps the oracle twin cheap; production raises
+    bits and OR-combines bands for recall exactly like q_minhash_dedup's
+    banding. Bucket skew is AQE's skew-join case. On truly duplicated
+    corpora (cosine ~1) sign buckets almost always agree, so single-band
+    recall is high even though it is ~15% at this synthetic threshold
+    (measured in tests vs the brute-force pair set).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        _bucket_col().alias("bucket"),
+        F.sqrt(sq_norm_decimal(F.col("embedding")).cast("double")).alias("norm"),
+    )
+    keep = bucketed.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("k_embedding"),
+        F.col("norm").alias("k_norm"),
+        "bucket",
+    )
+    dup = bucketed.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("embedding").alias("d_embedding"),
+        F.col("norm").alias("d_norm"),
+        "bucket",
+    )
+    pairs = keep.join(dup, "bucket").filter(F.col("keep_id") < F.col("dup_id"))
+    scored = pairs.select(
+        F.col("dup_id").alias("vec_id"),
+        "keep_id",
+        (
+            dot_decimal(F.col("k_embedding"), F.col("d_embedding")).cast("double")
+            / (F.col("k_norm") * F.col("d_norm"))
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("keep_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("keep_id").alias("dup_of"), "cosine")
+    )
+
+
 #: fixed-point scale for centroid accumulation: floor(x * 2^24) is computed
 #: exactly in binary floating point (float32 mantissas fit), so the integer
 #: sums are engine-independent — unlike double->DECIMAL casts, whose

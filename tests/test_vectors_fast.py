@@ -28,3 +28,39 @@ def test_fast_path_matches_parity_neighbors(spark):
     fast_map = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in fast}
     for r in exact:
         assert abs(fast_map[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-9
+
+
+def test_neardup_precision_and_recall(spark):
+    """q_embed_neardup's LSH candidates are a true subset of the brute-force
+    pair set (precision 1.0 — candidates are exact-verified) with non-trivial
+    recall on the near-orthogonal synthetic vectors."""
+    import numpy as np
+
+    from iceberg_benchmark_poc_spark.queries.embeddings import (
+        NEARDUP_THRESHOLD,
+        q_embed_neardup,
+    )
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    iu = np.triu_indices(len(ids), k=1)
+    hit = cos[iu] >= NEARDUP_THRESHOLD
+    true_dups = {int(d) for d in ids[iu[1][hit]]}  # larger-id member of each pair
+    true_pairs = {
+        (int(ids[i]), int(ids[j])) for i, j in zip(iu[0][hit], iu[1][hit])
+    }
+
+    reported = q_embed_neardup(spark, SF_DIR).collect()
+    assert reported, "neardup query found nothing at test scale"
+    for r in reported:
+        assert (r["dup_of"], r["vec_id"]) in true_pairs  # precision 1.0
+        assert r["cosine"] >= NEARDUP_THRESHOLD
+    recall = len({r["vec_id"] for r in reported}) / len(true_dups)
+    assert recall > 0.05  # single-band sign-LSH at a sub-dup threshold
