@@ -14,7 +14,16 @@ from .text import (
     lsh_candidate_pairs,
     simhash16,
 )
-from .vectors import dot_decimal, dot_double, sq_norm_decimal, cosine_topk
+from .vectors import (
+    QUANT_SCALE,
+    cosine_quant,
+    cosine_topk,
+    dot_decimal,
+    dot_double,
+    dot_quant,
+    quantize,
+    sq_norm_decimal,
+)
 from .multimodal import media_features
 
 __all__ = [
@@ -24,9 +33,13 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "simhash16",
+    "QUANT_SCALE",
+    "cosine_quant",
+    "cosine_topk",
     "dot_decimal",
     "dot_double",
+    "dot_quant",
+    "quantize",
     "sq_norm_decimal",
-    "cosine_topk",
     "media_features",
 ]

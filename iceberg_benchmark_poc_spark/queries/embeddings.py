@@ -6,9 +6,10 @@ the reference's capabilities: brute-force cosine top-k as the exact baseline,
 a deterministic sign-LSH bucketing as the approximate scale path, and
 per-label centroids as the IVF coarse-quantizer build step.
 
-All vector math is expression-level (zip_with/aggregate inside codegen) with
-the DECIMAL fold from operators.vectors, so results are order-independent and
-bit-identical to the DuckDB oracle. No UDFs anywhere.
+All vector math is expression-level (zip_with/aggregate inside codegen) on
+2^-20 fixed-point quantized vectors (operators.vectors.quantize/dot_quant):
+exact bigint sums are order-independent and bit-identical to the DuckDB
+oracle, at integer-arithmetic speed. No UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -17,22 +18,28 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..core.io import load_table
 from ..core.registry import register
-from ..operators.vectors import cosine_topk, dot_decimal, sq_norm_decimal
+from ..operators.vectors import QUANT_SCALE, cosine_topk, dot_quant, quantize
 
 QUERY_MOD = 100  # vec_id % 100 == 0 rows are the query set
 TOP_K = 3
 N_HYPERPLANES = 4  # sign-LSH bits -> 16 buckets
 
-# DuckDB twins of the decimal-fold vector math ------------------------------
+# DuckDB twins of the fixed-point vector math -------------------------------
 
-_NORMS_CTE = """
+_NORMS_CTE = f"""
 norms AS (
-  SELECT vec_id,
-         sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)) AS norm
-  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS norm
+  FROM (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {float(QUANT_SCALE)}) AS BIGINT) AS xq
+        FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings))
   GROUP BY vec_id
 )
 """
+
+#: quantized product of one zipped element pair (z = [corpus_x, query_x])
+_QPROD = (
+    f"SUM(CAST(floor(CAST(z[1] AS DOUBLE) * {float(QUANT_SCALE)}) AS BIGINT)"
+    f" * CAST(floor(CAST(z[2] AS DOUBLE) * {float(QUANT_SCALE)}) AS BIGINT))"
+)
 
 # bucket = sum_j [emb[2j+1] > emb[2j+2]] << j  (1-based element indexing)
 _BUCKET_SQL = " + ".join(
@@ -57,8 +64,7 @@ def _bucket_col() -> F.Column:
     oracle=f"""
         WITH {_NORMS_CTE.strip()},
         dots AS (
-          SELECT q_id AS query_id, c_id AS neighbor_id,
-                 SUM(CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS dot
+          SELECT q_id AS query_id, c_id AS neighbor_id, {_QPROD} AS dot
           FROM (
             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                    unnest(list_zip(c.embedding, q.embedding)) AS z
@@ -130,8 +136,7 @@ def q_embed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
         ),
         dots AS (
-          SELECT q_id AS query_id, c_id AS neighbor_id, bucket,
-                 SUM(CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS dot
+          SELECT q_id AS query_id, c_id AS neighbor_id, bucket, {_QPROD} AS dot
           FROM (
             SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket AS bucket,
                    unnest(list_zip(c.embedding, q.embedding)) AS z
@@ -166,16 +171,18 @@ def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew handled by AQE — and recall vs q_embed_topk is measured in tests.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select("vec_id", "embedding", _bucket_col().alias("bucket"))
+    bucketed = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("qe"), _bucket_col().alias("bucket")
+    )
     with_norm = bucketed.select(
         "vec_id",
-        "embedding",
+        "qe",
         "bucket",
-        F.sqrt(sq_norm_decimal(F.col("embedding")).cast("double")).alias("norm"),
+        F.sqrt(dot_quant(F.col("qe"), F.col("qe")).cast("double")).alias("norm"),
     )
     queries = with_norm.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
+        F.col("qe").alias("q_qe"),
         F.col("norm").alias("q_norm"),
         F.col("bucket").alias("bucket"),
     )
@@ -185,7 +192,7 @@ def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         "bucket",
         (
-            dot_decimal(F.col("embedding"), F.col("q_embedding")).cast("double")
+            dot_quant(F.col("qe"), F.col("q_qe")).cast("double")
             / (F.col("norm") * F.col("q_norm"))
         ).alias("cosine"),
     )
@@ -213,8 +220,7 @@ NEARDUP_THRESHOLD = 0.35
           SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
         ),
         dots AS (
-          SELECT keep_id, dup_id,
-                 SUM(CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(30,12))) AS dot
+          SELECT keep_id, dup_id, {_QPROD} AS dot
           FROM (
             SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
                    unnest(list_zip(a.embedding, b.embedding)) AS z
@@ -260,21 +266,24 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured in tests vs the brute-force pair set).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
+    quantized = emb.select(
+        "vec_id", quantize(F.col("embedding")).alias("qe"), _bucket_col().alias("bucket")
+    )
+    bucketed = quantized.select(
         "vec_id",
-        "embedding",
-        _bucket_col().alias("bucket"),
-        F.sqrt(sq_norm_decimal(F.col("embedding")).cast("double")).alias("norm"),
+        "qe",
+        "bucket",
+        F.sqrt(dot_quant(F.col("qe"), F.col("qe")).cast("double")).alias("norm"),
     )
     keep = bucketed.select(
         F.col("vec_id").alias("keep_id"),
-        F.col("embedding").alias("k_embedding"),
+        F.col("qe").alias("k_qe"),
         F.col("norm").alias("k_norm"),
         "bucket",
     )
     dup = bucketed.select(
         F.col("vec_id").alias("dup_id"),
-        F.col("embedding").alias("d_embedding"),
+        F.col("qe").alias("d_qe"),
         F.col("norm").alias("d_norm"),
         "bucket",
     )
@@ -283,7 +292,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_id").alias("vec_id"),
         "keep_id",
         (
-            dot_decimal(F.col("k_embedding"), F.col("d_embedding")).cast("double")
+            dot_quant(F.col("k_qe"), F.col("d_qe")).cast("double")
             / (F.col("k_norm") * F.col("d_norm"))
         ).alias("cosine"),
     ).filter(F.col("cosine") >= NEARDUP_THRESHOLD)
