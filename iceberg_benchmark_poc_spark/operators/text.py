@@ -59,6 +59,121 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document distinct shingle sets, kept packed as arrays.
+
+    Output: (doc_id, sh_arr ARRAY<STRING>, h_arr ARRAY<BIGINT>) with the same
+    shingle/hash definitions as word_shingles — but never exploded: the whole
+    construction is narrow (zero shuffles), and downstream minhash/Jaccard
+    stages operate on the arrays, so per-shingle rows never hit a shuffle.
+    h_arr positions don't correspond to sh_arr positions (both are
+    independently distinct sets); minhash only needs the set of hashes.
+    """
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.trim(F.col(text_col)).alias("txt"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
+    )
+    ws = F.col("ws")
+    n = F.size(ws)
+    trigrams = F.transform(
+        F.sequence(F.lit(1), n - (SHINGLE_WORDS - 1)),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+    )
+    shingle_arr = F.when(n >= SHINGLE_WORDS, trigrams).otherwise(F.array(F.col("txt")))
+    with_sh = tokenized.select("doc_id", F.array_distinct(shingle_arr).alias("sh_arr"))
+    return with_sh.select(
+        "doc_id",
+        "sh_arr",
+        F.transform(F.col("sh_arr"), lambda s: hash60(s) % PORTABLE_HASH_PRIME).alias("h_arr"),
+    )
+
+
+def minhash_from_arrays(docs_arr: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Wide minhash signatures from packed hash arrays: (doc_id, mh0..mh{k-1}).
+
+    Each signature column is array_min over an affine-transformed copy of
+    h_arr — k cheap passes over a bigint array per doc, no aggregation, no
+    shuffle (the groupBy formulation shuffles per-doc partials; this never
+    leaves the scan stage). Same hash family as minhash_signatures.
+    """
+    def affine(i):
+        # one-arg lambda: a two-arg lambda would make F.transform pass the
+        # array index as the second argument, clobbering the closure
+        return lambda h: ((2 * i + 3) * h + (5 * i + 7)) % PORTABLE_HASH_PRIME
+
+    return docs_arr.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(F.col("h_arr"), affine(i))).alias(f"mh{i}")
+            for i in range(k)
+        ],
+    )
+
+
+def lsh_pairs_from_wide(
+    signatures: DataFrame, k: int = MINHASH_K, rows_per_band: int = LSH_ROWS_PER_BAND
+) -> DataFrame:
+    """Candidate pairs from wide signatures via banded self-join.
+
+    Band signatures are built directly from the mh columns (same "k=mh"
+    colon-joined format as lsh_candidate_pairs), exploded to (doc_id, band,
+    band_sig) rows — the only shuffled shape is n_docs x n_bands short
+    strings, then the band-bucket equi-join.
+    """
+    n_bands = k // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.concat_ws("=", F.lit(i), F.col(f"mh{i}"))
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = signatures.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        left.join(right, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_from_arrays(pairs: DataFrame, docs_arr: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, via array_intersect.
+
+    Intersection compares shingle STRINGS (not their mod-P hashes), so a hash
+    collision can't inflate the count. Two equi-joins attach each side's
+    packed set; only candidate docs' arrays are shuffled.
+    """
+    a = docs_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+    b = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    counted = joined.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("inter"),
+        F.size(F.col("sh_a")).alias("size_a"),
+        F.size(F.col("sh_b")).alias("size_b"),
+    )
+    return counted.select(
+        "doc_a",
+        "doc_b",
+        (F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))).alias("jaccard"),
+    )
+
+
 def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Minhash signature rows: (doc_id, k INT, minhash BIGINT).
 

@@ -163,10 +163,11 @@ def q_dv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     data_rows = dv.select("file_id").select(
         "file_id", F.explode(F.sequence(F.lit(0), F.lit(ROWS_PER_FILE - 1))).alias("pos")
     )
+    # no .distinct() on the delete side: LEFT ANTI is unaffected by duplicate
+    # build rows, and deduplication would cost a full extra shuffle
     deleted = (
         dv.select("file_id", F.explode(F.sequence(F.lit(0), F.col("deleted_row_count") - 1)).alias("j"))
         .select("file_id", ((F.col("file_id") * 17 + F.col("j") * 13) % ROWS_PER_FILE).alias("pos"))
-        .distinct()
     )
     live = data_rows.join(deleted, ["file_id", "pos"], "left_anti")
     return live.groupBy("file_id").agg(F.count("*").alias("live_rows"))

@@ -44,29 +44,32 @@ ROWS_PER_FILE = 1000
 def q_dv_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode delete positions to compressed blobs, decode, and aggregate.
 
-    Pipeline: per-file position sets -> encode_positions_udf (delta+varint+
-    zlib BinaryType blob) -> decode_positions_udf -> explode -> stats. The
-    oracle recomputes the stats from the generator formula, so a single
-    corrupted bit anywhere in the byte path fails the value hash. Blobs are
-    built and unpacked executor-side in Arrow batches; the shuffle carries
-    one blob per file, never raw positions.
+    Pipeline: per-file position arrays (a transform over sequence — never
+    exploded) -> encode_positions_udf (delta+varint+zlib BinaryType blob) ->
+    decode_positions_udf -> per-array stats. The oracle recomputes the stats
+    from the generator formula, so a single corrupted bit anywhere in the
+    byte path fails the value hash. The whole plan is narrow — zero
+    shuffles: position arrays are built, encoded, decoded, and aggregated
+    within the scan partition, which is exactly how DV blobs behave at scale
+    (the codec is per-file, so it parallelizes embarrassingly). The encoder
+    dedups and sorts internally, so the generated array needs neither
+    distinct nor sort; dedup is asserted by matching the oracle's DISTINCT
+    counts.
     """
     dv = dv_entries(spark, sf_dir).filter(F.col("file_id") % SAMPLE_MOD == 0)
-    positions = (
-        dv.select(
-            "file_id",
-            F.explode(F.sequence(F.lit(0), F.col("deleted_row_count") - 1)).alias("j"),
-        )
-        .select("file_id", ((F.col("file_id") * 17 + F.col("j") * 13) % ROWS_PER_FILE).alias("pos"))
-        .distinct()
-        .groupBy("file_id")
-        .agg(F.collect_list("pos").alias("positions"))
+    positions = dv.select(
+        "file_id",
+        F.transform(
+            F.sequence(F.lit(0), F.col("deleted_row_count") - 1),
+            lambda j: (F.col("file_id") * 17 + j * 13) % ROWS_PER_FILE,
+        ).alias("positions"),
     )
     blobs = positions.select("file_id", encode_positions_udf("positions").alias("payload"))
-    decoded = blobs.select("file_id", F.explode(decode_positions_udf("payload")).alias("pos"))
-    return decoded.groupBy("file_id").agg(
-        F.count("*").alias("n_deleted"),
-        F.min("pos").cast("bigint").alias("min_pos"),
-        F.max("pos").cast("bigint").alias("max_pos"),
-        F.sum("pos").cast("bigint").alias("pos_sum"),
+    decoded = blobs.select("file_id", decode_positions_udf("payload").alias("pos"))
+    return decoded.select(
+        "file_id",
+        F.size("pos").cast("bigint").alias("n_deleted"),
+        F.array_min("pos").cast("bigint").alias("min_pos"),
+        F.array_max("pos").cast("bigint").alias("max_pos"),
+        F.aggregate("pos", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("pos_sum"),
     )

@@ -28,11 +28,11 @@ from ..operators.text import (
     LSH_ROWS_PER_BAND,
     MINHASH_K,
     PORTABLE_HASH_PRIME,
-    jaccard_for_pairs,
-    lsh_candidate_pairs,
-    minhash_signatures,
+    jaccard_from_arrays,
+    lsh_pairs_from_wide,
+    minhash_from_arrays,
+    shingle_arrays,
     simhash16,
-    word_shingles,
 )
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by")
@@ -314,17 +314,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate candidates with exact Jaccard verification.
 
-    The full scale pipeline: shingle (word trigrams) -> 8 minhashes per doc
-    (map-side-combined min agg) -> 4 LSH bands -> band-bucket self-join for
-    candidates -> exact shingle Jaccard only on candidates. Corpus x corpus
-    comparison cost collapses from O(n^2) to O(collisions); every stage
-    shuffles per-doc or per-candidate rows, never per-shingle.
+    The full scale pipeline: shingle (word trigrams, packed arrays) -> 8
+    minhashes per doc (array_min over transformed hash arrays — zero
+    shuffles) -> 4 LSH bands -> band-bucket self-join for candidates ->
+    exact shingle Jaccard (array_intersect) only on candidates. Corpus x
+    corpus comparison cost collapses from O(n^2) to O(collisions), and
+    per-shingle rows never hit a shuffle: the only shuffled shapes are
+    n_docs x 4 band strings and the candidate docs' shingle arrays.
+
+    The shingled corpus feeds two consumers (signatures and Jaccard verify),
+    so it is persisted MEMORY_AND_DISK — the standard iterative-reuse
+    pattern; without it the tokenize+md5 pass runs twice.
     """
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
-    shingles = word_shingles(d)
-    sigs = minhash_signatures(shingles)
-    pairs = lsh_candidate_pairs(sigs)
-    return jaccard_for_pairs(pairs, shingles)
+    docs_arr = shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_from_arrays(docs_arr)
+    pairs = lsh_pairs_from_wide(sigs)
+    return jaccard_from_arrays(pairs, docs_arr)
 
 
 @register(
