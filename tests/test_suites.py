@@ -65,3 +65,6 @@ def test_concurrent_writers_all_commit(spark, tmp_path):
     r = suite_concurrent_writers(spark, str(tmp_path), n_writers=3, writes_each=4)
     assert r["final_version"] == 12  # every write eventually commits
     assert 0.0 <= r["conflict_rate"] < 1.0
+    d = r["spark_data_write"]
+    assert d["final_version"] == 3 * d["writes_each"]
+    assert 0.0 <= d["conflict_rate"] < 1.0
