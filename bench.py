@@ -39,11 +39,19 @@ def main() -> None:
     # warmup: flagship query once, result discarded
     queries["q_skip_rate"].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # steady-state per-query timing: one warm run absorbs plan compilation,
+    # codegen, and Python-worker startup, then the measured run is recorded.
+    # clearCache() between runs drops any DataFrame persisted by the warm
+    # run, so the measured run does all of its own work (it may still
+    # persist-and-reuse within itself — that's part of the query's design).
     timings: dict[str, float] = {}
     for name in sorted(queries):
+        queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         queries[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
 
     # reference-suite workloads (BASELINE.md comparison) unless disabled
     suites = None

@@ -31,19 +31,19 @@ FLAGS = ("A", "N", "R")
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: return-flag counts spread into columns per line number.
 
-    Spark's pivot with an explicit value list stays a single aggregation
-    (no second pass to discover pivot values — at scale always pass the
-    list). The oracle is the equivalent FILTERed aggregation.
+    With a known value list the pivot is conditional aggregation — one
+    count per value in a single groupBy pass (one shuffle, map-side
+    combined). Spark's built-in ``.pivot(col, values)`` plans TWO
+    aggregations ((key, value) pre-agg + pivotfirst) and shuffles twice —
+    reserve it for when the value list must be discovered; at scale,
+    enumerate the columns (plan-asserted single-Exchange in tests).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    pivoted = (
-        li.groupBy("l_linenumber")
-        .pivot("l_returnflag", list(FLAGS))
-        .agg(F.count(F.lit(1)))  # count(*) is not allowed inside pivot
-    )
-    return pivoted.select(
-        "l_linenumber",
-        *[F.coalesce(F.col(f), F.lit(0)).alias(f"n_{f}") for f in FLAGS],
+    return li.groupBy("l_linenumber").agg(
+        *[
+            F.count(F.when(F.col("l_returnflag") == f, F.lit(1))).alias(f"n_{f}")
+            for f in FLAGS
+        ]
     )
 
 

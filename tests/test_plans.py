@@ -68,6 +68,28 @@ def test_no_cartesian_in_similarity_path(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_neardup_bucket_join_stays_equi(spark):
+    # candidate generation must be the bucket equi-join, never a cross
+    # product over the corpus
+    plan = plan_of(spark, "q_embed_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dv_payload_roundtrip_is_narrow(spark):
+    # build -> encode -> decode -> aggregate all happen within the scan
+    # partition; any Exchange is a regression
+    plan = plan_of(spark, "q_dv_payload_roundtrip")
+    assert "Exchange" not in plan
+
+
+def test_pivot_is_single_aggregation(spark):
+    # pivot as conditional aggregation: one shuffle (built-in .pivot()
+    # would plan two aggregations and shuffle twice)
+    plan = plan_of(spark, "q_pivot")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
 def test_approx_stats_bounded_error(spark):
     from pyspark.sql import functions as F
 
