@@ -45,6 +45,63 @@ def _features_from_payload(payload: bytes) -> tuple[int, int, int]:
     return n, first, frames
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame binary"
+
+#: byte-histogram embedding dimensionality (buckets of byte >> 4)
+EMBED_DIM = 16
+EMBED_SCHEMA = "doc_id bigint, embedding array<bigint>"
+
+
+def sample_frames(docs_with_payload: DataFrame, stride: int = FRAME_BYTES) -> DataFrame:
+    """Frame sampling: one output row per ``stride``-byte frame of the payload.
+
+    The row-EXPANDING mapInPandas shape (video -> frames, audio -> windows):
+    output batches are larger than input batches, which Arrow handles
+    natively — the contract is only the output schema. A payload of n bytes
+    yields n // stride + 1 frames (the final, possibly-empty partial frame
+    included, mirroring media_features' n_frames). Still no shuffle;
+    downstream per-frame decoding parallelizes over the same partitions.
+    """
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for k in range(len(b) // stride + 1):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(b[k * stride : (k + 1) * stride])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return docs_with_payload.mapInPandas(expand, FRAME_SCHEMA)
+
+
+def media_embedding(docs_with_payload: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Deterministic media embedding: 16-bucket byte histogram per payload.
+
+    The media -> vector bridge into the similarity stack (q_embed_* / ANN):
+    a real model would emit float vectors here; the byte histogram keeps the
+    leaf deterministic and oracle-checkable while the Spark plumbing
+    (ARRAY column out of mapInPandas, Arrow transport) is production-real.
+    """
+    import numpy as np
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = [
+                np.bincount(
+                    np.frombuffer(bytes(p), dtype=np.uint8) >> 4, minlength=dim
+                )[:dim].tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return docs_with_payload.mapInPandas(hist, EMBED_SCHEMA)
+
+
 def media_features(docs_with_payload: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over a binary payload column.
 

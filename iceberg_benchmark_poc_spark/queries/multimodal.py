@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.io import load_table
 from ..core.registry import register
-from ..operators.multimodal import FRAME_BYTES, media_features
+from ..operators.multimodal import (
+    EMBED_DIM,
+    FRAME_BYTES,
+    media_embedding,
+    media_features,
+    sample_frames,
+)
 
 
 @register(
@@ -42,3 +48,72 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return media_features(payloads)
+
+
+@register(
+    "q_frame_sample",
+    oracle=f"""
+        SELECT d.doc_id,
+               CAST(r.range AS INTEGER) AS frame_idx,
+               CAST(length(substr(d.text, CAST(r.range AS INTEGER) * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS INTEGER)
+                 AS frame_len,
+               md5(substr(d.text, CAST(r.range AS INTEGER) * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+        FROM documents d, range(16) r
+        WHERE r.range <= length(d.text) // {FRAME_BYTES}
+        """,
+    tags=("multimodal", "pandas-udf", "frames"),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: the row-expanding mapInPandas stage, per-frame digests.
+
+    Each payload fans out to n//256+1 frames executor-side (the video ->
+    frames / audio -> windows shape); the oracle reconstructs every frame
+    with substr (payloads are ASCII text, so byte slices == char slices) and
+    must agree on both length and md5 — any batching or slicing error in the
+    Arrow path breaks the hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = sample_frames(payloads)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+@register(
+    "q_media_embed",
+    oracle=f"""
+        WITH chars AS (
+          SELECT doc_id, ascii(c) // 16 AS bucket
+          FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+          WHERE c <> ''
+        ),
+        counts AS (SELECT doc_id, bucket, count(*) AS n FROM chars GROUP BY 1, 2),
+        grid AS (
+          SELECT d.doc_id, r.range AS bucket FROM documents d, range({EMBED_DIM}) r
+        )
+        SELECT g.doc_id,
+               string_agg(CAST(COALESCE(c.n, 0) AS VARCHAR), ',' ORDER BY g.bucket) AS embedding_csv
+        FROM grid g LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.bucket = g.bucket
+        GROUP BY g.doc_id
+        """,
+    tags=("multimodal", "pandas-udf", "embeddings"),
+)
+def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media -> vector bridge: byte-histogram embeddings out of mapInPandas.
+
+    The handoff from the binary column to the similarity stack: payloads
+    stream through Arrow, the UDF emits an ARRAY column (a real model would
+    emit float activations), and the result joins/kNNs like the embeddings
+    table. Serialized to CSV for the oracle comparison only — downstream
+    consumers use the array column.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    emb = media_embedding(payloads)
+    return emb.select(
+        "doc_id", F.array_join("embedding", ",").alias("embedding_csv")
+    )
