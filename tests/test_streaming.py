@@ -86,6 +86,53 @@ def test_session_batch_matches_gaps_and_islands(spark):
     _assert_same(via_session_window, via_islands)
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append mode + watermark: an event arriving after its window's
+    watermark deadline is dropped; the emitted window count excludes it."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_file(name: str, rows, mtime: float):
+        df = spark.createDataFrame(rows, "ts timestamp, user_id bigint, event_type string, value double")
+        path = os.path.join(src, name)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)
+    now = time.time()
+    # Spark filters late rows with the PREVIOUS batch's watermark and evicts
+    # state with the current one, so a late event landing in the very batch
+    # where its window closes still counts. The late event must therefore
+    # arrive after the watermark has exceeded its window end for a full
+    # batch; one file per trigger makes the sequence deterministic.
+    # batch 0: two on-time events in the 10:00 window (wm -> 08:20)
+    write_file("a", [(t(10, 5), 1, "click", 1.0), (t(10, 20), 2, "click", 1.0)], now - 100)
+    # batch 1: 13:30 advances the watermark (2h default) to 11:30 > 11:00
+    write_file("b", [(t(13, 30), 3, "click", 1.0)], now - 80)
+    # batch 2: runs with wm 11:30 -> the 10:00 window is emitted (count 2)
+    write_file("c", [(t(13, 35), 4, "click", 1.0)], now - 60)
+    # batch 3: late-filter wm is now 11:30 -> the 10:40 arrival is dropped
+    write_file("d", [(t(10, 40), 5, "click", 1.0), (t(13, 40), 6, "click", 1.0)], now - 40)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = _run_stream(spark, tumbling_counts(stream), "append")
+    emitted = {r["window_start"].hour: r["n_events"] for r in out.collect()}
+    assert emitted[10] == 2  # the 10:40 late arrival was evicted, not counted
+
+
 def test_micro_batch_commits(spark, stream_src, tmp_path):
     src, _ = stream_src
     log = micro_batch_commit_metrics(spark, src, str(tmp_path))
