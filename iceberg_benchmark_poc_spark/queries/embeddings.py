@@ -312,6 +312,163 @@ CENTROID_SCALE = 1 << 24
 
 
 @register(
+    "q_ivf_topk",
+    oracle=f"""
+        WITH cent AS (
+          SELECT label AS cell, dim,
+                 CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT)) AS DOUBLE)
+                   / {CENTROID_SCALE} / count(*) AS c
+          FROM (SELECT label, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+                FROM embeddings)
+          GROUP BY 1, 2
+        ),
+        centq AS (
+          SELECT cell, dim, CAST(floor(c * {QUANT_SCALE}) AS BIGINT) AS cq FROM cent
+        ),
+        cnorm AS (
+          SELECT cell, sqrt(CAST(SUM(cq * cq) AS DOUBLE)) AS c_norm FROM centq GROUP BY 1
+        ),
+        vq AS (
+          SELECT vec_id, dim, CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS xq
+          FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS x
+                FROM embeddings)
+        ),
+        vnorm AS (
+          SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS norm FROM vq GROUP BY 1
+        ),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT d.vec_id, d.cell,
+                   row_number() OVER (
+                     PARTITION BY d.vec_id
+                     ORDER BY CAST(d.dot AS DOUBLE) / (vn.norm * cn.c_norm) DESC, d.cell
+                   ) AS rn
+            FROM (SELECT v.vec_id, q.cell, SUM(v.xq * q.cq) AS dot
+                  FROM vq v JOIN centq q USING (dim) GROUP BY 1, 2) d
+            JOIN vnorm vn USING (vec_id)
+            JOIN cnorm cn USING (cell)
+          ) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, qa.cell,
+                 SUM(qv.xq * cv.xq) AS dot
+          FROM assigned qa
+          JOIN assigned ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
+          JOIN vq qv ON qv.vec_id = qa.vec_id
+          JOIN vq cv ON cv.vec_id = ca.vec_id AND cv.dim = qv.dim
+          WHERE qa.vec_id % {QUERY_MOD} = 0
+          GROUP BY 1, 2, 3
+        ),
+        scored AS (
+          SELECT p.query_id, p.neighbor_id, p.cell,
+                 CAST(p.dot AS DOUBLE) / (nq.norm * nc.norm) AS cosine
+          FROM pairs p
+          JOIN vnorm nq ON nq.vec_id = p.query_id
+          JOIN vnorm nc ON nc.vec_id = p.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cell, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        WHERE rank <= {TOP_K}
+        """,
+    tags=("embeddings", "similarity", "ivf", "topk"),
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: assign every vector to its nearest centroid, probe 1 cell.
+
+    The second approximate scale path next to sign-LSH (q_embed_ann): the
+    coarse quantizer is the per-label centroid set (q_embed_centroids is its
+    training step), every vector is assigned to its highest-cosine centroid,
+    and each query scores only vectors in its own cell (nprobe=1; production
+    probes the p nearest cells by unioning p assignments).
+
+    Scale: the centroid table folds to ONE broadcast row of
+    array<struct<cell,cq,c_norm>>, so assignment is a map-only array_max
+    expression per vector — no explode, no per-vector window, no shuffle.
+    The probe is a broadcast equi-join on cell; the only shuffles are the
+    |cells| x |dims| centroid partial-aggregate and the final per-query
+    top-k, both tiny. Assignment cost is O(|corpus| x |cells|) inside
+    codegen, the IVF trade: cells ~ sqrt(corpus) keeps it linear-ish.
+
+    Mirrors the reference's stats-based pruning idea (coarse summaries route
+    queries past most of the data, poc/test_wide_table_pruning.py:193-277)
+    applied to vector search.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    xq24 = F.floor(F.col("x").cast("double") * F.lit(float(CENTROID_SCALE))).cast("bigint")
+    cent = exploded.groupBy("label", "dim").agg(
+        (F.sum(xq24).cast("double") / F.lit(float(CENTROID_SCALE)) / F.count("*")).alias("c")
+    )
+    cent_arr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("s"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform(
+                "s", lambda t: F.floor(t["c"] * F.lit(float(QUANT_SCALE))).cast("bigint")
+            ).alias("cq"),
+        )
+    )
+    cent_arr = cent_arr.select(
+        "cell", "cq", F.sqrt(dot_quant(F.col("cq"), F.col("cq")).cast("double")).alias("c_norm")
+    )
+    # one row: the whole coarse quantizer, sorted by cell for a deterministic fold
+    cents_one = cent_arr.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cq", "c_norm"))).alias("cents")
+    )
+
+    vecs = emb.select("vec_id", quantize(F.col("embedding")).alias("qe"))
+    vecs = vecs.select(
+        "vec_id", "qe", F.sqrt(dot_quant(F.col("qe"), F.col("qe")).cast("double")).alias("norm")
+    )
+    # struct comparison is field-ordered, so max(struct(cos, -cell)) is
+    # "highest cosine, then smallest cell" — the oracle's ORDER BY ... DESC, cell
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda t: F.struct(
+                (dot_quant(F.col("qe"), t["cq"]).cast("double") / (F.col("norm") * t["c_norm"])).alias(
+                    "cos"
+                ),
+                (-t["cell"]).alias("negcell"),
+            ),
+        )
+    )
+    assigned = (
+        vecs.join(F.broadcast(cents_one))
+        .withColumn("cell", (-best["negcell"]).alias("cell"))
+        .select("vec_id", "qe", "norm", "cell")
+    )
+
+    queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("norm").alias("q_norm"),
+        "cell",
+    )
+    pairs = assigned.join(F.broadcast(queries), "cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        (
+            dot_quant(F.col("qe"), F.col("q_qe")).cast("double")
+            / (F.col("norm") * F.col("q_norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cosine", "rank")
+    )
+
+
+@register(
     "q_embed_centroids",
     oracle=f"""
         SELECT label, dim,

@@ -68,3 +68,47 @@ def test_neardup_precision_and_recall(spark):
         assert r["cosine"] >= NEARDUP_THRESHOLD
     recall = len({r["vec_id"] for r in reported}) / len(true_dups)
     assert recall > 0.05  # single-band sign-LSH at a sub-dup threshold
+
+
+def test_ivf_assignment_and_recall(spark):
+    """q_ivf_topk probes exactly one cell per query: every reported neighbor
+    shares the query's nearest-centroid cell, per-query results are valid
+    top-k subsets of the probed cell, and rank-1 recall vs the brute-force
+    baseline is non-trivial despite nprobe=1."""
+    import numpy as np
+
+    from iceberg_benchmark_poc_spark.queries.embeddings import (
+        QUERY_MOD,
+        TOP_K,
+        q_embed_topk,
+        q_ivf_topk,
+    )
+
+    rows = load_table(spark, SF_DIR, "embeddings").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # nearest per-label centroid assignment, the reference model
+    cents = np.array([M[labels == lb].mean(axis=0) for lb in sorted(set(labels))])
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    assign = {int(i): int(sorted(set(labels))[c]) for i, c in zip(ids, (Mn @ cn.T).argmax(axis=1))}
+
+    reported = q_ivf_topk(spark, SF_DIR).collect()
+    assert reported
+    per_query = {}
+    for r in reported:
+        per_query.setdefault(r["query_id"], []).append(r)
+        # the probed cell is the query's assigned cell, and the neighbor's
+        assert r["cell"] == assign[r["query_id"]]
+        assert assign[r["neighbor_id"]] == r["cell"]
+    for q, rs in per_query.items():
+        assert len(rs) <= TOP_K
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+    # rank-1 recall vs brute force: the true nearest neighbor lands in the
+    # query's own cell often enough to be found by a single-cell probe
+    brute = {r["query_id"]: r["neighbor_id"] for r in q_embed_topk(spark, SF_DIR).collect() if r["rank"] == 1}
+    ivf1 = {r["query_id"]: r["neighbor_id"] for r in reported if r["rank"] == 1}
+    hits = sum(1 for q, n in brute.items() if ivf1.get(q) == n)
+    assert hits / len(brute) >= 0.2
