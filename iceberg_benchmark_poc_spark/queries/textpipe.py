@@ -19,7 +19,7 @@ Scale design notes per query are in the docstrings; the common themes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..core.fixtures import hash60
 from ..core.io import load_table
@@ -75,6 +75,30 @@ hashed AS (
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
+
+
+def _quality_score(txt: F.Column, ws: F.Column) -> tuple[F.Column, F.Column]:
+    """(stop_ratio, quality_score) columns — shared by q_text_quality and
+    q_corpus_select so the two stay expression-identical (parity-verified
+    against the matching SQL fragments below)."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    n_alpha = F.length(F.regexp_replace(txt, r"\s+", ""))
+    stop_ratio = n_stop / F.size(ws)
+    score = (
+        F.least(F.size(ws) / F.lit(128.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(n_alpha / F.size(ws) / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return stop_ratio, score
+
+
+#: DuckDB twins of _quality_score over (txt, ws) columns
+_STOP_RATIO_SQL = f"len(list_filter(ws, w -> list_contains({_STOPLIST_SQL}, w))) / len(ws)"
+_SCORE_SQL = (
+    f"least(len(ws) / 128.0, 1.0) * 0.5 + {_STOP_RATIO_SQL} * 0.3"
+    " + least(length(regexp_replace(txt, '\\s+', '', 'g')) / len(ws) / 8.0, 1.0) * 0.2"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -170,10 +194,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     txt = F.trim(F.col("text"))
     ws = F.split(txt, r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
     n_alpha = F.length(F.regexp_replace(txt, r"\s+", ""))
-    stop_ratio = n_stop / F.size(ws)
+    stop_ratio, score = _quality_score(txt, ws)
     return d.select(
         "doc_id",
         F.length(txt).alias("n_chars"),
@@ -181,11 +203,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(txt, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
         n_alpha.alias("n_alpha_chars"),
         stop_ratio.alias("stop_ratio"),
-        (
-            F.least(F.size(ws) / F.lit(128.0), F.lit(1.0)) * 0.5
-            + stop_ratio * 0.3
-            + F.least(n_alpha / F.size(ws) / F.lit(8.0), F.lit(1.0)) * 0.2
-        ).alias("quality_score"),
+        score.alias("quality_score"),
     )
 
 
@@ -457,3 +475,94 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     return simhash16(d)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-set selection
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.35  # ~median of the synthetic corpus: keeps about half
+TOKEN_BUDGET = 8000  # absolute BPE-token budget for the selected set
+
+
+@register(
+    "q_corpus_select",
+    oracle=f"""
+        WITH feat AS (
+          SELECT doc_id, md5(text) AS text_hash,
+                 len(regexp_extract_all(txt, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
+                 {_STOP_RATIO_SQL} AS marker_ratio,
+                 {_SCORE_SQL} AS quality_score
+          FROM (SELECT doc_id, text, trim(text) AS txt,
+                       string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents)
+        ),
+        keep AS (SELECT min(doc_id) AS doc_id FROM feat GROUP BY text_hash),
+        cand AS (
+          SELECT f.doc_id, f.n_bpe_tokens, f.quality_score
+          FROM feat f JOIN keep k ON k.doc_id = f.doc_id
+          WHERE f.quality_score >= CAST({QUALITY_MIN} AS DOUBLE)
+            AND f.marker_ratio >= CAST({LANG_MARKER_THRESHOLD} AS DOUBLE)
+        )
+        SELECT doc_id, n_bpe_tokens, quality_score, cum_tokens
+        FROM (
+          SELECT *, CAST(SUM(n_bpe_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_tokens
+          FROM cand
+        )
+        WHERE cum_tokens <= {TOKEN_BUDGET}
+        """,
+    tags=("text", "pipeline", "dedup", "quality"),
+)
+def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set selection: dedup -> quality gate -> token budget.
+
+    The pipeline composition the individual text operators exist for: keep
+    one copy per exact-duplicate class (q_dedup_exact's keeper election),
+    drop documents below the quality and language-marker floors
+    (q_text_quality / q_lang_id's signals), then admit the best-quality
+    documents greedily until an absolute BPE-token budget is hit — the same
+    prefix-sum admission as the reference's bin-packing spill policy
+    (poc/test_density_adaptive_policy.py:313-327), applied to corpus
+    curation.
+
+    Scale: dedup + scoring shuffle by fixed-width hash only. The global
+    ORDER BY in the budget window is the one single-partition step; at
+    100 TB it becomes a two-phase prefix sum (per-range window over
+    range-partitioned quality, plus a broadcast running total of partition
+    sums — rangeBetween on the same expression), or the budget is allocated
+    per quality stratum. Candidate volume is already quality-filtered
+    metadata (doc_id + two numbers), not text, so the sort input is tiny
+    relative to the corpus.
+    """
+    d = _docs(spark, sf_dir)
+    txt = F.trim(F.col("text"))
+    ws = F.split(txt, r"\s+")
+    stop_ratio, score = _quality_score(txt, ws)
+    feat = d.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.regexp_count(txt, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
+        stop_ratio.alias("marker_ratio"),
+        score.alias("quality_score"),
+    )
+    keepers = feat.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    cand = (
+        feat.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .filter(
+            (F.col("quality_score") >= F.lit(QUALITY_MIN))
+            & (F.col("marker_ratio") >= F.lit(LANG_MARKER_THRESHOLD))
+        )
+        .select("doc_id", "n_bpe_tokens", "quality_score")
+    )
+    w = (
+        Window.orderBy(F.col("quality_score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cand.withColumn("cum_tokens", F.sum("n_bpe_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "n_bpe_tokens", "quality_score", "cum_tokens")
+    )
