@@ -154,3 +154,36 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "q_stream_attribution",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id                           AS click_id,
+               make_timestamp(epoch_ns(c.ts) // 1000) AS click_ts,
+               p.event_id                           AS buy_id,
+               make_timestamp(epoch_ns(p.ts) // 1000) AS buy_ts,
+               p.value                              AS buy_value
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click'
+         AND p.event_type = 'purchase'
+         AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+         AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
+        """,
+    tags=("streaming", "interval-join"),
+)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution: the stream-stream interval join's batch twin.
+
+    Same code as the streaming operator (streaming/dedup_join.py) applied to
+    the static events table: equi-join on user_id bounded to purchases within
+    one hour of the click. The oracle compares at microsecond precision —
+    the engine's timestamp grain (the loader truncates the fixture's
+    nanosecond timestamps, io.py).
+    """
+    from ..streaming.dedup_join import attribution_join
+
+    return attribution_join(load_table(spark, sf_dir, "events"))

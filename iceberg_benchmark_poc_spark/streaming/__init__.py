@@ -14,6 +14,7 @@ provides both halves natively:
   guarantee is part of the engine contract).
 """
 
+from .dedup_join import attribution_join, dedup_events
 from .ingest import micro_batch_commit_metrics, split_events_for_streaming, stream_events
 from .stateful import value_threshold_monitor
 from .windows import session_totals, sliding_totals, tumbling_counts
@@ -26,4 +27,6 @@ __all__ = [
     "sliding_totals",
     "session_totals",
     "value_threshold_monitor",
+    "dedup_events",
+    "attribution_join",
 ]

@@ -1,0 +1,85 @@
+"""Streaming deduplication and stream-stream interval joins.
+
+Both are written once for batch AND streaming inputs, like windows.py: the
+same function produces the oracle-checkable batch result on a static frame
+and the stateful streaming operator on a readStream frame. Tests assert the
+two agree (stream-batch unification), which is what lets a 100 TB/day
+pipeline run its backfill and its live path through one code path.
+
+Scale notes:
+- ``dedup_events`` state is one entry per event_id within the watermark
+  horizon — ``dropDuplicatesWithinWatermark`` evicts entries once the
+  watermark passes, so state is bounded by (arrival rate x horizon), not by
+  stream history. Exactly the at-least-once -> effectively-once repair a
+  Kafka ingest needs in front of the micro-batch committer (ingest.py).
+- ``attribution_join`` is the canonical stream-stream time-interval join:
+  click and purchase streams equi-join on user_id with the purchase
+  constrained to [click_ts, click_ts + horizon]. Watermarks on both sides
+  plus the interval bound let Spark drop join state once no future match is
+  possible; shuffle is by user_id on both sides (co-partitioned equi-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEDUP_WATERMARK = "2 hours"
+ATTRIBUTION_HORIZON_MIN = 60  # purchases attribute to clicks within 1 hour
+
+
+def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Drop duplicate event_ids (redelivered events) from the stream.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — two arrivals of the same
+    event_id more than the watermark apart are considered distinct (their
+    state has been evicted), which is the documented trade for bounded state.
+    Batch twin: plain ``dropDuplicates`` over the whole frame.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark or DEDUP_WATERMARK).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def attribution_join(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Attribute each purchase to the user's clicks in the preceding hour.
+
+    Inner equi-join on user_id with an event-time interval bound
+    (click_ts <= buy_ts <= click_ts + horizon). Pass one events frame (it is
+    filtered into the two legs) or two separate frames — streaming callers
+    pass two readStream instances of the same source.
+    """
+    purchases_src = clicks_src if purchases_src is None else purchases_src
+    wm = watermark or DEDUP_WATERMARK
+
+    clicks = clicks_src.filter(F.col("event_type") == "click")
+    purchases = purchases_src.filter(F.col("event_type") == "purchase")
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", wm)
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("ts", wm)
+
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("buy_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"),
+    )
+    cond = (
+        (c["user_id"] == p["buy_user"])
+        & (p["buy_ts"] >= c["click_ts"])
+        & (p["buy_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON_MIN} MINUTES"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "click_id", "click_ts", "buy_id", "buy_ts", "buy_value"
+    )

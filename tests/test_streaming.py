@@ -144,3 +144,56 @@ def test_micro_batch_commits(spark, stream_src, tmp_path):
     cums = [c["cum_bytes"] for c in log.commits]
     assert all(b > a for a, b in zip(cums, cums[1:]))
     assert all(c["commit_ms"] > 0 for c in log.commits)
+
+
+def test_attribution_stream_matches_batch(spark, stream_src):
+    """Stream-stream interval join == the same function on the static table."""
+    from iceberg_benchmark_poc_spark.streaming import attribution_join
+
+    src, _ = stream_src
+    batch = attribution_join(load_table(spark, SF_DIR, "events"))
+    stream = _run_stream(
+        spark,
+        attribution_join(
+            stream_events(spark, src, files_per_trigger=10),
+            stream_events(spark, src, files_per_trigger=10),
+        ),
+        "append",
+    )
+    _assert_same(batch, stream)
+
+
+def test_streaming_dedup_drops_redelivered(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: an event_id redelivered in a later
+    micro-batch (inside the watermark horizon) is emitted exactly once, and
+    the streaming output equals the batch twin on the unioned input."""
+    import datetime as dt
+    import os
+    import time
+
+    from iceberg_benchmark_poc_spark.streaming import dedup_events
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)
+    rows_a = [(1, t(10, 0), 1, "click", 1.0, ""), (2, t(10, 5), 2, "view", 1.0, ""), (3, t(10, 10), 3, "click", 1.0, "")]
+    rows_b = [(2, t(10, 5), 2, "view", 1.0, ""), (4, t(10, 20), 4, "purchase", 2.0, "")]
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    now = time.time()
+    for name, rows, mtime in (("a", rows_a, now - 100), ("b", rows_b, now - 50)):
+        df = spark.createDataFrame(rows, schema)
+        path = os.path.join(src, name)
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    )
+    out = _run_stream(spark, dedup_events(stream), "append")
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+    batch = dedup_events(spark.createDataFrame(rows_a + rows_b, schema))
+    _assert_same(batch, out)
