@@ -104,3 +104,34 @@ def test_approx_stats_bounded_error(spark):
     assert abs(row["approx_parts"] - exact["p"]) / exact["p"] < 0.1
     q50, q95, q99 = row["price_quantiles"]
     assert q50 <= q95 <= q99
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """q_ivf_topk's nearest-centroid assignment must be an expression over a
+    broadcast one-row centroid table: no explode/window shuffle per vector,
+    and the final top-k exchange is the only shuffle after the corpus scan."""
+    plan = plan_of(spark, "q_ivf_topk")
+    # no exchange keyed on the per-vector id: assignment happens in-place on
+    # the scan partitions (posexplode/aggregation exist only on the tiny
+    # |cells| x |dims| centroid side); the sole big-side exchange is the
+    # final per-query top-k window
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", plan)
+    # rank<=k is pushed into the window as a group-limit (top-k, not full sort)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_select_shuffles_metadata_only(spark):
+    """The budget sort of q_corpus_select must order (doc_id, tokens, score)
+    rows — the text column stays behind the dedup/quality stages."""
+    plan = plan_of(spark, "q_corpus_select")
+    m = re.search(r"\((\d+)\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: SinglePartition", plan)
+    assert m, "expected the single-partition exchange for the budget window"
+    assert "text" not in m.group(2)  # only (doc_id, tokens, score) are sorted
+
+
+def test_attribution_join_is_equi_on_user(spark):
+    """The interval join must hash-partition on user_id (equi part) with the
+    time bound as a post-join filter — never a cartesian/BNLJ."""
+    plan = plan_of(spark, "q_stream_attribution")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
