@@ -242,3 +242,114 @@ def test_session_gap_property(spark, gaps_min):
     for a, b in zip(sessions, sessions[1:]):
         # consecutive sessions are separated by more than the 30-minute gap
         assert (b["session_start"] - a["session_end"]).total_seconds() > 30 * 60
+
+
+# ---------------------------------------------------------------------------
+# corpus selection: greedy budget admission matches the Python model
+# ---------------------------------------------------------------------------
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("the quick brown fox jumps over a lazy dog and cat".split()),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_corpus_select_is_greedy_prefix(spark, docs, tmp_path_factory):
+    """q_corpus_select == dedup + threshold filter + greedy best-quality
+    prefix under the token budget, recomputed row-by-row in Python."""
+    import re as _re
+
+    from iceberg_benchmark_poc_spark.queries.textpipe import (
+        BPE_TOKEN_PATTERN,
+        LANG_MARKER_THRESHOLD,
+        QUALITY_MIN,
+        STOPWORDS,
+        TOKEN_BUDGET,
+        q_corpus_select,
+    )
+
+    rows = [(i, " ".join(ws), "en", "web", len(" ".join(ws))) for i, ws in enumerate(docs)]
+    d = str(tmp_path_factory.mktemp("docs"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+    # python model, replicating the engine's expressions operation-for-operation
+    seen_text, cand = set(), []
+    for doc_id, text, *_ in rows:
+        if text in seen_text:
+            continue
+        seen_text.add(text)
+        ws = _re.split(r"\s+", text.strip())
+        n_stop = sum(1 for w in ws if w in STOPWORDS)
+        n_alpha = len(_re.sub(r"\s+", "", text.strip()))
+        stop_ratio = n_stop / len(ws)
+        score = (
+            min(len(ws) / 128.0, 1.0) * 0.5
+            + stop_ratio * 0.3
+            + min(n_alpha / len(ws) / 8.0, 1.0) * 0.2
+        )
+        n_bpe = len(_re.findall(BPE_TOKEN_PATTERN, text.strip()))
+        if score >= QUALITY_MIN and stop_ratio >= LANG_MARKER_THRESHOLD:
+            cand.append((doc_id, n_bpe, score))
+    cand.sort(key=lambda t: (-t[2], t[0]))
+    expected, cum = [], 0
+    for doc_id, n_bpe, _score in cand:
+        cum += n_bpe
+        if cum > TOKEN_BUDGET:
+            break
+        expected.append(doc_id)
+
+    got = [r["doc_id"] for r in q_corpus_select(spark, d).orderBy("cum_tokens").collect()]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# attribution join: exactly the pairs inside the horizon
+# ---------------------------------------------------------------------------
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user_id
+            st.integers(0, 300),  # minutes offset
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_attribution_join_matches_bruteforce(spark, events):
+    from iceberg_benchmark_poc_spark.streaming.dedup_join import (
+        ATTRIBUTION_HORIZON_MIN,
+        attribution_join,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=m), u, t, float(i), "")
+        for i, (u, m, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {(r["click_id"], r["buy_id"]) for r in attribution_join(df).collect()}
+    want = {
+        (c[0], p[0])
+        for c in rows
+        for p in rows
+        if c[3] == "click"
+        and p[3] == "purchase"
+        and c[2] == p[2]
+        and c[1] <= p[1] <= c[1] + datetime.timedelta(minutes=ATTRIBUTION_HORIZON_MIN)
+    }
+    assert got == want
