@@ -271,6 +271,47 @@ def suite_dv_resolution(spark: SparkSession, scales: tuple = (1_000, 10_000, 25_
 # ---------------------------------------------------------------------------
 
 
+def _manifest_commit_bench(tmp_dir: str, batch_sizes: tuple = (1, 100, 1000), commits: int = 10) -> dict:
+    """The reference's actual measurement: JSON-manifest append latency per
+    commit at batch sizes 1..1000 (poc/test_single_file_commits.py:68-109;
+    baseline 4.27 ms / 234 files/s at batch=1, 49.10 ms / 20,367 files/s at
+    batch=1000). Metadata-only by design — the data files already exist; a
+    streaming commit adds one manifest naming them. The Spark data-write
+    path is measured separately below; this one is directly comparable to
+    BASELINE.md."""
+    out = {}
+    mdir = os.path.join(tmp_dir, "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    for bs in batch_sizes:
+        lat, bytes_written = [], 0
+        for c in range(commits):
+            entries = [
+                {
+                    "file_path": f"s3://bucket/data/file_{bs}_{c}_{i:08d}.parquet",
+                    "file_format": "PARQUET",
+                    "record_count": 1000,
+                    "file_size_bytes": 1 << 20,
+                    "partition_date": "2026-01-01",
+                    "snapshot_id": c,
+                    "status": 1,
+                }
+                for i in range(bs)
+            ]
+            path = os.path.join(mdir, f"manifest_{bs}_{c}.json")
+            t0 = time.perf_counter()
+            with open(path, "w") as f:
+                json.dump({"format-version": 2, "entries": entries}, f)
+            lat.append((time.perf_counter() - t0) * 1000)
+            bytes_written += os.path.getsize(path)
+        total_s = sum(lat) / 1000
+        out[f"batch_{bs}"] = {
+            "avg_commit_ms": round(sum(lat) / len(lat), 3),
+            "files_per_sec": round(bs * commits / max(total_s, 1e-9), 1),
+            "avg_manifest_kb": round(bytes_written / commits / 1024, 2),
+        }
+    return out
+
+
 def suite_single_file_commits(spark: SparkSession, sf_dir: str, tmp_dir: str) -> dict:
     from ..streaming.ingest import _dir_bytes, micro_batch_commit_metrics, split_events_for_streaming
 
@@ -292,6 +333,7 @@ def suite_single_file_commits(spark: SparkSession, sf_dir: str, tmp_dir: str) ->
     compact_ms = (time.perf_counter() - t0) * 1000
     after_files = [f for f in os.listdir(compacted) if f.endswith(".parquet")]
     return {
+        "manifest_commit": _manifest_commit_bench(tmp_dir),
         "n_commits": len(log.commits),
         "avg_commit_ms": round(sum(lat) / len(lat), 2),
         "min_commit_ms": round(min(lat), 2),

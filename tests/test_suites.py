@@ -68,3 +68,16 @@ def test_concurrent_writers_all_commit(spark, tmp_path):
     d = r["spark_data_write"]
     assert d["final_version"] == 3 * d["writes_each"]
     assert 0.0 <= d["conflict_rate"] < 1.0
+
+
+def test_manifest_commit_bench_shape(tmp_path):
+    from iceberg_benchmark_poc_spark.bench.suites import _manifest_commit_bench
+
+    r = _manifest_commit_bench(str(tmp_path), batch_sizes=(1, 100), commits=5)
+    assert set(r) == {"batch_1", "batch_100"}
+    for v in r.values():
+        assert v["avg_commit_ms"] > 0 and v["files_per_sec"] > 0
+    # amortization: batching 100 files per commit must raise files/s
+    assert r["batch_100"]["files_per_sec"] > r["batch_1"]["files_per_sec"]
+    # manifest size grows with entries
+    assert r["batch_100"]["avg_manifest_kb"] > r["batch_1"]["avg_manifest_kb"]
