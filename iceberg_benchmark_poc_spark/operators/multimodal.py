@@ -122,3 +122,48 @@ def media_features(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(extract, MEDIA_FEATURE_SCHEMA)
+
+
+RESIZE_W = 8
+RESIZE_H = 8
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, pixels binary"
+
+
+def resize_media(docs_with_payload: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H) -> DataFrame:
+    """Nearest-neighbor resize of each payload's byte raster to out_w x out_h.
+
+    The resize stage of an image pipeline: the payload is treated as a
+    row-major grid ceil(sqrt(n)) bytes wide (the codec stand-in — a real
+    decoder supplies the raster instead), and every output pixel picks its
+    clamped nearest source byte. The resampling arithmetic, fixed-size
+    binary output contract, and Arrow transport are production-real; one
+    mapInPandas pass, no shuffle.
+    """
+    import math
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            px: list[bytes] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                in_w = max(int(math.ceil(math.sqrt(n))), 1)
+                in_h = max(int(math.ceil(n / in_w)), 1)
+                out = bytes(
+                    b[min((y * in_h // out_h) * in_w + (x * in_w // out_w), n - 1)]
+                    for y in range(out_h)
+                    for x in range(out_w)
+                )
+                ids.append(doc_id)
+                px.append(out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": [out_w] * len(ids),
+                    "height": [out_h] * len(ids),
+                    "pixels": px,
+                }
+            )
+
+    return docs_with_payload.mapInPandas(rs, RESIZE_SCHEMA)

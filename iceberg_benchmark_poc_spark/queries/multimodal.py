@@ -18,8 +18,11 @@ from ..core.registry import register
 from ..operators.multimodal import (
     EMBED_DIM,
     FRAME_BYTES,
+    RESIZE_H,
+    RESIZE_W,
     media_embedding,
     media_features,
+    resize_media,
     sample_frames,
 )
 
@@ -117,3 +120,46 @@ def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "doc_id", F.array_join("embedding", ",").alias("embedding_csv")
     )
+
+
+@register(
+    "q_media_resize",
+    oracle=f"""
+        WITH dims AS (
+          SELECT doc_id, text, length(text) AS n,
+                 CAST(ceil(sqrt(length(text))) AS BIGINT) AS in_w
+          FROM documents
+        ),
+        d2 AS (
+          SELECT *, CAST(ceil(CAST(n AS DOUBLE) / in_w) AS BIGINT) AS in_h FROM dims
+        ),
+        px AS (
+          SELECT doc_id, text, n, p.range AS pix,
+                 least(((p.range // {RESIZE_W}) * in_h // {RESIZE_H}) * in_w
+                         + ((p.range % {RESIZE_W}) * in_w // {RESIZE_W}),
+                       n - 1) AS idx
+          FROM d2, range({RESIZE_W * RESIZE_H}) p
+        )
+        SELECT doc_id,
+               CAST({RESIZE_W} AS INTEGER) AS width,
+               CAST({RESIZE_H} AS INTEGER) AS height,
+               md5(string_agg(substr(text, CAST(idx + 1 AS INTEGER), 1), '' ORDER BY pix))
+                 AS pixels_md5
+        FROM px
+        GROUP BY doc_id
+        """,
+    tags=("multimodal", "pandas-udf", "resize"),
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor media resize: fixed 8x8 thumbnail per payload.
+
+    Completes the decode/feature/resize/frame-sample stage set: the oracle
+    recomputes every output pixel's clamped source index with integer
+    arithmetic over the ASCII payload and must agree on the md5 of the
+    resampled bytes — any off-by-one in the resampling or Arrow binary
+    round-trip breaks the hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    thumbs = resize_media(payloads)
+    return thumbs.select("doc_id", "width", "height", F.md5("pixels").alias("pixels_md5"))

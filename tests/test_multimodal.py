@@ -57,3 +57,15 @@ def test_embedding_dim_and_total(spark):
     for r in rows[:50]:
         assert len(r["embedding"]) == EMBED_DIM
         assert sum(r["embedding"]) == len(bytes(p[r["doc_id"]]["payload"]))
+
+
+def test_resize_identity_on_square_input(spark):
+    """Resizing an exactly 8x8 byte raster to 8x8 must return it unchanged
+    (nearest-neighbor with matching grids is the identity)."""
+    from iceberg_benchmark_poc_spark.operators.multimodal import resize_media
+
+    payload = bytes(range(64))
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    [row] = resize_media(df).collect()
+    assert (row["width"], row["height"]) == (8, 8)
+    assert bytes(row["pixels"]) == payload
