@@ -111,15 +111,14 @@ def minhash_from_arrays(docs_arr: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_pairs_from_wide(
+def band_rows(
     signatures: DataFrame, k: int = MINHASH_K, rows_per_band: int = LSH_ROWS_PER_BAND
 ) -> DataFrame:
-    """Candidate pairs from wide signatures via banded self-join.
+    """(doc_id, band, band_sig) rows from wide mh0..mh{k-1} signatures.
 
-    Band signatures are built directly from the mh columns (same "k=mh"
-    colon-joined format as lsh_candidate_pairs), exploded to (doc_id, band,
-    band_sig) rows — the only shuffled shape is n_docs x n_bands short
-    strings, then the band-bucket equi-join.
+    Band signatures use the same "k=mh" colon-joined format as
+    lsh_candidate_pairs; the only shuffled shape downstream is
+    n_docs x n_bands short strings.
     """
     n_bands = k // rows_per_band
     band_structs = F.array(
@@ -137,9 +136,16 @@ def lsh_pairs_from_wide(
             for b in range(n_bands)
         ]
     )
-    bands = signatures.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    return signatures.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
+
+
+def lsh_pairs_from_wide(
+    signatures: DataFrame, k: int = MINHASH_K, rows_per_band: int = LSH_ROWS_PER_BAND
+) -> DataFrame:
+    """Candidate pairs from wide signatures via banded self-join."""
+    bands = band_rows(signatures, k, rows_per_band)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     return (
@@ -148,6 +154,29 @@ def lsh_pairs_from_wide(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def lsh_pairs_between(
+    sig_new: DataFrame,
+    sig_corpus: DataFrame,
+    k: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
+) -> DataFrame:
+    """Cross-set LSH candidates: (new doc, corpus doc) band collisions.
+
+    The incremental-dedup shape: an incoming batch's bands equi-join the
+    standing corpus's bands — never new x corpus text comparison, and at
+    scale the corpus band table is a bucketed/sorted standing index the
+    incoming batch joins into, so each increment shuffles only its own
+    n_new x n_bands strings.
+    """
+    left = band_rows(sig_new, k, rows_per_band).select(
+        F.col("doc_id").alias("doc_a"), "band", "band_sig"
+    )
+    right = band_rows(sig_corpus, k, rows_per_band).select(
+        F.col("doc_id").alias("doc_b"), "band", "band_sig"
+    )
+    return left.join(right, ["band", "band_sig"]).select("doc_a", "doc_b").distinct()
 
 
 def jaccard_from_arrays(pairs: DataFrame, docs_arr: DataFrame) -> DataFrame:

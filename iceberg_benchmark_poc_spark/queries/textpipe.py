@@ -29,6 +29,7 @@ from ..operators.text import (
     MINHASH_K,
     PORTABLE_HASH_PRIME,
     jaccard_from_arrays,
+    lsh_pairs_between,
     lsh_pairs_from_wide,
     minhash_from_arrays,
     shingle_arrays,
@@ -565,4 +566,121 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("cum_tokens", F.sum("n_bpe_tokens").over(w).cast("bigint"))
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("doc_id", "n_bpe_tokens", "quality_score", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: incoming batch vs the standing corpus
+# ---------------------------------------------------------------------------
+
+INCOMING_SOURCE = "src19"  # the fixture's last source plays the new batch
+NEAR_JACCARD = 0.5  # band candidates at/above this are near-duplicates
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=f"""
+        WITH {_SHINGLES_CTE.strip()},
+        sides AS (SELECT doc_id, source FROM documents),
+        sigs AS (
+          SELECT doc_id, CAST(k.range AS INTEGER) AS k,
+                 MIN(((k.range * 2 + 3) * h + (k.range * 5 + 7)) % {PORTABLE_HASH_PRIME}) AS minhash
+          FROM hashed, range({MINHASH_K}) k
+          GROUP BY 1, 2
+        ),
+        bands AS (
+          SELECT doc_id, CAST(floor(k / {LSH_ROWS_PER_BAND}) AS BIGINT) AS band,
+                 string_agg(CAST(k AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), ':' ORDER BY k) AS band_sig
+          FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN sides sa ON sa.doc_id = a.doc_id AND sa.source = '{INCOMING_SOURCE}'
+          JOIN bands b ON b.band = a.band AND b.band_sig = a.band_sig
+          JOIN sides sb ON sb.doc_id = b.doc_id AND sb.source <> '{INCOMING_SOURCE}'
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(sb.shingle) AS inter
+          FROM pairs p
+          JOIN hashed sa ON sa.doc_id = p.doc_a
+          LEFT JOIN hashed sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT i.doc_a, i.inter / (za.n + zb.n - i.inter) AS j
+          FROM inter i
+          JOIN sizes za ON za.doc_id = i.doc_a
+          JOIN sizes zb ON zb.doc_id = i.doc_b
+        ),
+        cand AS (
+          SELECT doc_a AS doc_id, count(*) AS n_band_candidates, max(j) AS max_jaccard
+          FROM jac GROUP BY 1
+        ),
+        exact AS (
+          SELECT DISTINCT i.doc_id
+          FROM documents i JOIN documents c
+            ON i.source = '{INCOMING_SOURCE}' AND c.source <> '{INCOMING_SOURCE}'
+           AND md5(i.text) = md5(c.text)
+        )
+        SELECT i.doc_id,
+               (e.doc_id IS NOT NULL)                          AS exact_dup,
+               COALESCE(c.n_band_candidates, 0)                AS n_band_candidates,
+               COALESCE(c.max_jaccard, CAST(0 AS DOUBLE))      AS max_jaccard,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+                    WHEN COALESCE(c.max_jaccard, CAST(0 AS DOUBLE)) >= CAST({NEAR_JACCARD} AS DOUBLE)
+                      THEN 'drop_near'
+                    ELSE 'keep' END                            AS verdict
+        FROM documents i
+        LEFT JOIN exact e ON e.doc_id = i.doc_id
+        LEFT JOIN cand c ON c.doc_id = i.doc_id
+        WHERE i.source = '{INCOMING_SOURCE}'
+        """,
+    tags=("text", "dedup", "lsh", "incremental"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: screen an incoming batch against the standing corpus.
+
+    The steady-state form of dedup in a continuously-ingesting pipeline —
+    q_minhash_dedup's self-join is the backfill, this is the increment: each
+    new document is checked for (a) exact text collision with the corpus and
+    (b) minhash band collision, with candidates verified by exact Jaccard.
+    Verdict: drop_exact / drop_near (max candidate Jaccard >= 0.5) / keep.
+
+    Scale: the corpus never rescans — its md5 hashes and band rows are a
+    standing index (bucketed by hash/band at rest), and the incoming batch
+    joins into it, shuffling only the batch's own hashes and band strings.
+    Jaccard verification touches only colliding pairs' shingle arrays.
+    """
+    d = _docs(spark, sf_dir)
+    incoming = d.filter(F.col("source") == INCOMING_SOURCE)
+    corpus = d.filter(F.col("source") != INCOMING_SOURCE)
+
+    exact = (
+        incoming.select("doc_id", F.md5("text").alias("text_hash"))
+        .join(corpus.select(F.md5("text").alias("text_hash")).distinct(), "text_hash", "left_semi")
+        .select("doc_id", F.lit(True).alias("exact_flag"))
+    )
+
+    inc_arr = shingle_arrays(incoming)
+    corp_arr = shingle_arrays(corpus)
+    pairs = lsh_pairs_between(minhash_from_arrays(inc_arr), minhash_from_arrays(corp_arr))
+    jac = jaccard_from_arrays(pairs, inc_arr.unionByName(corp_arr))
+    cand = jac.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("n_band_candidates"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+    base = incoming.select("doc_id").join(exact, "doc_id", "left").join(cand, "doc_id", "left")
+    max_jac = F.coalesce(F.col("max_jaccard"), F.lit(0.0))
+    return base.select(
+        "doc_id",
+        F.coalesce(F.col("exact_flag"), F.lit(False)).alias("exact_dup"),
+        F.coalesce(F.col("n_band_candidates"), F.lit(0).cast("bigint")).alias("n_band_candidates"),
+        max_jac.alias("max_jaccard"),
+        F.when(F.coalesce(F.col("exact_flag"), F.lit(False)), F.lit("drop_exact"))
+        .when(max_jac >= NEAR_JACCARD, F.lit("drop_near"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
     )
