@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..core.fixtures import hash60
+from ..core.fixtures import hash60, hash60_sql
 from ..core.io import load_table
 from ..core.registry import register
 from ..operators.text import (
@@ -683,4 +683,231 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(max_jac >= NEAR_JACCARD, F.lit("drop_near"))
         .otherwise(F.lit("keep"))
         .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus analysis + sampling + cluster assignment
+# ---------------------------------------------------------------------------
+
+TOP_TOKENS = 20  # heavy-hitter report size
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents
+        ),
+        agg AS (
+          SELECT w AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+          FROM toks WHERE w <> '' GROUP BY 1
+        )
+        SELECT token, tf, df, rank FROM (
+          SELECT *, CAST(row_number() OVER (ORDER BY tf DESC, token) AS INTEGER) AS rank
+          FROM agg
+        )
+        WHERE rank <= {TOP_TOKENS}
+        """,
+    tags=("text", "agg", "topk"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the most frequent tokens with doc frequency.
+
+    The contamination/boilerplate report every corpus intake runs: term
+    frequency and document frequency per token, ranked, top N. The exploded
+    token stream never reaches the shuffle as raw rows — the groupBy combines
+    map-side, so the shuffle carries one partial row per (partition, distinct
+    token), and hot tokens ('the') are exactly the case partial aggregation
+    flattens. The final top-N rank runs on the aggregated |vocab| rows, and at
+    100 TB the exact pass is preceded by the sketch variant (q_approx_stats'
+    CountMinSketch idea) to cap vocab cardinality.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    agg = toks.groupBy(F.col("w").alias("token")).agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_TOKENS)
+        .select("token", "tf", "df", "rank")
+    )
+
+
+#: per-language keep percentages for the training-mix rebalance; absent = 100.
+SAMPLE_RATES = {"en": 40, "es": 80, "fr": 80}
+
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(SAMPLE_RATES.items()))
+    + " ELSE 100 END"
+)
+
+
+@register(
+    "q_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source,
+               {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS sample_bucket,
+               {_RATE_SQL} AS keep_pct
+        FROM documents
+        WHERE {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < {_RATE_SQL}
+        """,
+    tags=("text", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: rebalance the language mix.
+
+    Training-mix construction downsamples over-represented strata (here: the
+    majority language to 40%, mid languages to 80%) with a HASH-gate, not
+    rand(): keep iff h60(doc_id) % 100 < rate(lang). Deterministic sampling is
+    what makes pipeline runs reproducible and incremental — re-running over
+    new data never flips decisions on old rows, so downstream shards are
+    append-only. Pure narrow filter: no shuffle, fully pushed into the scan,
+    and the rate table generalizes to a broadcast-joined (stratum -> rate)
+    dimension when strata outgrow a CASE expression.
+    """
+    d = _docs(spark, sf_dir)
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    rate = F.lit(100)
+    for lang, pct in sorted(SAMPLE_RATES.items(), reverse=True):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            bucket.alias("sample_bucket"),
+            rate.cast("int").alias("keep_pct"),
+        )
+        .filter(F.col("sample_bucket") < F.col("keep_pct"))
+    )
+
+
+MAX_CC_ITERS = 15  # label-propagation safety cap (graph diameter bound)
+
+
+@register(
+    "q_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_SHINGLES_CTE.strip()},
+        sigs AS (
+          SELECT doc_id, CAST(k.range AS INTEGER) AS k,
+                 MIN(((k.range * 2 + 3) * h + (k.range * 5 + 7)) % {PORTABLE_HASH_PRIME}) AS minhash
+          FROM hashed, range({MINHASH_K}) k
+          GROUP BY 1, 2
+        ),
+        bands AS (
+          SELECT doc_id, CAST(floor(k / {LSH_ROWS_PER_BAND}) AS BIGINT) AS band,
+                 string_agg(CAST(k AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), ':' ORDER BY k) AS band_sig
+          FROM sigs GROUP BY 1, 2
+        ),
+        cpairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(sb.shingle) AS inter
+          FROM cpairs p
+          JOIN hashed sa ON sa.doc_id = p.doc_a
+          LEFT JOIN hashed sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM (
+            SELECT i.doc_a, i.doc_b,
+                   i.inter / (za.n + zb.n - i.inter) AS j
+            FROM inter i
+            JOIN sizes za ON za.doc_id = i.doc_a
+            JOIN sizes zb ON zb.doc_id = i.doc_b
+          ) WHERE j >= CAST({NEAR_JACCARD} AS DOUBLE)
+        ),
+        sym AS (
+          SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
+        ),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN sym e ON e.a = r.dst
+        ),
+        comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_keeper
+        FROM comp
+        """,
+    tags=("text", "dedup", "lsh", "graph"),
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over near-dup pairs.
+
+    Pairwise dedup (q_minhash_dedup) under-deletes: if A~B and B~C but A!~C,
+    pair logic keeps A and C even though all three are one duplicated
+    lineage. The fix is graph connectivity — documents are nodes, verified
+    near-dup pairs (band collision + exact Jaccard >= 0.5) are edges, and
+    every document gets its component's min doc_id as cluster_id; keep one
+    keeper per cluster.
+
+    Components are computed with iterative min-label propagation (the
+    DataFrame form of Pregel/GraphX cc): each round every node takes the min
+    label among itself and its neighbors, converging in <= diameter rounds.
+    Duplicate-cluster graphs are near-cliques (diameter 2-3), so 2-3 rounds
+    suffice; each round is one equi-join + groupBy shuffled on doc_id, and
+    convergence is detected by the (monotonically decreasing) label sum —
+    one cheap scalar agg per round, no row-level diff. Per-round results are
+    localCheckpoint()ed to truncate the iterative lineage, the standard
+    Spark iterative-algorithm pattern.
+
+    The DuckDB twin computes the same components with a recursive CTE —
+    transitive closure is only tractable on verified-duplicate edges, which
+    is exactly why the engine side uses label propagation instead.
+    """
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir)
+    docs_arr = shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
+    jac = jaccard_from_arrays(lsh_pairs_from_wide(minhash_from_arrays(docs_arr)), docs_arr)
+    edges = jac.filter(F.col("jaccard") >= NEAR_JACCARD).select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    docs_arr.unpersist()
+
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
