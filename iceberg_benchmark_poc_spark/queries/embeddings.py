@@ -310,6 +310,11 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: round-half behavior differs between Spark (HALF_UP) and DuckDB.
 CENTROID_SCALE = 1 << 24
 
+#: cells each query probes: its NPROBE nearest centroids. Corpus vectors are
+#: still indexed under exactly one cell — multi-probe widens the search, not
+#: the index.
+NPROBE = 2
+
 
 @register(
     "q_ivf_topk",
@@ -336,27 +341,29 @@ CENTROID_SCALE = 1 << 24
         vnorm AS (
           SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS norm FROM vq GROUP BY 1
         ),
-        assigned AS (
-          SELECT vec_id, cell FROM (
-            SELECT d.vec_id, d.cell,
-                   row_number() OVER (
-                     PARTITION BY d.vec_id
-                     ORDER BY CAST(d.dot AS DOUBLE) / (vn.norm * cn.c_norm) DESC, d.cell
-                   ) AS rn
-            FROM (SELECT v.vec_id, q.cell, SUM(v.xq * q.cq) AS dot
-                  FROM vq v JOIN centq q USING (dim) GROUP BY 1, 2) d
-            JOIN vnorm vn USING (vec_id)
-            JOIN cnorm cn USING (cell)
-          ) WHERE rn = 1
+        ranked AS (
+          SELECT d.vec_id, d.cell,
+                 row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY CAST(d.dot AS DOUBLE) / (vn.norm * cn.c_norm) DESC, d.cell
+                 ) AS rn
+          FROM (SELECT v.vec_id, q.cell, SUM(v.xq * q.cq) AS dot
+                FROM vq v JOIN centq q USING (dim) GROUP BY 1, 2) d
+          JOIN vnorm vn USING (vec_id)
+          JOIN cnorm cn USING (cell)
+        ),
+        assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        probes AS (
+          SELECT vec_id, cell FROM ranked
+          WHERE rn <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
         ),
         pairs AS (
           SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, qa.cell,
                  SUM(qv.xq * cv.xq) AS dot
-          FROM assigned qa
+          FROM probes qa
           JOIN assigned ca ON ca.cell = qa.cell AND ca.vec_id <> qa.vec_id
           JOIN vq qv ON qv.vec_id = qa.vec_id
           JOIN vq cv ON cv.vec_id = ca.vec_id AND cv.dim = qv.dim
-          WHERE qa.vec_id % {QUERY_MOD} = 0
           GROUP BY 1, 2, 3
         ),
         scored AS (
@@ -376,13 +383,15 @@ CENTROID_SCALE = 1 << 24
     tags=("embeddings", "similarity", "ivf", "topk"),
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search: assign every vector to its nearest centroid, probe 1 cell.
+    """IVF multi-probe search: one-cell index, NPROBE-cell query fan-out.
 
     The second approximate scale path next to sign-LSH (q_embed_ann): the
     coarse quantizer is the per-label centroid set (q_embed_centroids is its
-    training step), every vector is assigned to its highest-cosine centroid,
-    and each query scores only vectors in its own cell (nprobe=1; production
-    probes the p nearest cells by unioning p assignments).
+    training step), every corpus vector is indexed under its highest-cosine
+    centroid, and each query scores vectors in its NPROBE nearest cells —
+    the standard IVF recall knob: boundary queries (whose true neighbor sits
+    just across a Voronoi edge) recover it from the second cell at the cost
+    of probing ~NPROBE/|cells| of the corpus instead of 1/|cells|.
 
     Scale: the centroid table folds to ONE broadcast row of
     array<struct<cell,cq,c_norm>>, so assignment is a map-only array_max
@@ -444,11 +453,28 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "qe", "norm", "cell")
     )
 
-    queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qe").alias("q_qe"),
-        F.col("norm").alias("q_norm"),
-        "cell",
+    # query probes: top-NPROBE cells by the same (cos desc, cell asc) order —
+    # reverse(array_sort) of the (cos, negcell) structs, sliced, exploded.
+    # The explode fans out only |queries| x NPROBE rows, never the corpus.
+    probe_structs = F.transform(
+        "cents",
+        lambda t: F.struct(
+            (dot_quant(F.col("qe"), t["cq"]).cast("double") / (F.col("norm") * t["c_norm"])).alias(
+                "cos"
+            ),
+            (-t["cell"]).alias("negcell"),
+        ),
+    )
+    queries = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(F.broadcast(cents_one))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qe").alias("q_qe"),
+            F.col("norm").alias("q_norm"),
+            F.explode(F.slice(F.reverse(F.array_sort(probe_structs)), 1, NPROBE)).alias("p"),
+        )
+        .select("query_id", "q_qe", "q_norm", (-F.col("p.negcell")).alias("cell"))
     )
     pairs = assigned.join(F.broadcast(queries), "cell").filter(F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(

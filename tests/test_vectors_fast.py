@@ -71,13 +71,14 @@ def test_neardup_precision_and_recall(spark):
 
 
 def test_ivf_assignment_and_recall(spark):
-    """q_ivf_topk probes exactly one cell per query: every reported neighbor
-    shares the query's nearest-centroid cell, per-query results are valid
-    top-k subsets of the probed cell, and rank-1 recall vs the brute-force
-    baseline is non-trivial despite nprobe=1."""
+    """q_ivf_topk probes each query's NPROBE nearest cells: every reported
+    neighbor is indexed (rank-1 assignment) in one of the query's probe
+    cells, per-query results are valid top-k subsets, and rank-1 recall vs
+    the brute-force baseline is non-trivial."""
     import numpy as np
 
     from iceberg_benchmark_poc_spark.queries.embeddings import (
+        NPROBE,
         QUERY_MOD,
         TOP_K,
         q_embed_topk,
@@ -90,17 +91,24 @@ def test_ivf_assignment_and_recall(spark):
     M = np.array([r["embedding"] for r in rows], dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     # nearest per-label centroid assignment, the reference model
-    cents = np.array([M[labels == lb].mean(axis=0) for lb in sorted(set(labels))])
+    lbs = sorted(set(labels))
+    cents = np.array([M[labels == lb].mean(axis=0) for lb in lbs])
     cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-    assign = {int(i): int(sorted(set(labels))[c]) for i, c in zip(ids, (Mn @ cn.T).argmax(axis=1))}
+    sims = Mn @ cn.T
+    assign = {int(i): int(lbs[c]) for i, c in zip(ids, sims.argmax(axis=1))}
+    probes = {
+        int(i): {int(lbs[c]) for c in row.argsort()[::-1][:NPROBE]}
+        for i, row in zip(ids, sims)
+    }
 
     reported = q_ivf_topk(spark, SF_DIR).collect()
     assert reported
     per_query = {}
     for r in reported:
         per_query.setdefault(r["query_id"], []).append(r)
-        # the probed cell is the query's assigned cell, and the neighbor's
-        assert r["cell"] == assign[r["query_id"]]
+        # the probed cell is one of the query's NPROBE nearest, and the
+        # neighbor is indexed there (one-cell index, multi-cell probe)
+        assert r["cell"] in probes[r["query_id"]]
         assert assign[r["neighbor_id"]] == r["cell"]
     for q, rs in per_query.items():
         assert len(rs) <= TOP_K
