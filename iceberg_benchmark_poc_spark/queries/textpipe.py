@@ -911,3 +911,141 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# normalized dedup + eval-set decontamination
+# ---------------------------------------------------------------------------
+
+#: q_dedup_norm normalization: casefold, strip non-alphanumerics, collapse
+#: whitespace — the cheap canonicalization that catches trivially-edited
+#: copies (case flips, punctuation churn, reflowed whitespace).
+_NORM_SPARK = lambda c: F.trim(  # noqa: E731
+    F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " ")
+)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "q_dedup_norm",
+    oracle=f"""
+        SELECT md5({_NORM_SQL})              AS norm_hash,
+               count(*)                      AS n_copies,
+               count(DISTINCT md5(text))     AS n_raw_variants,
+               min(doc_id)                   AS keeper_id
+        FROM documents
+        GROUP BY 1
+        """,
+    tags=("text", "dedup"),
+)
+def q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: canonicalize text, then hash-group.
+
+    Sits between q_dedup_exact (byte-identical only) and q_minhash_dedup
+    (fuzzy): casefold + punctuation strip + whitespace collapse, then the
+    same md5 group-by. n_raw_variants > 1 marks groups only normalization
+    unifies — the cheap win before any LSH pass runs. Identical plan shape
+    and scale behavior to q_dedup_exact: the normalization is a narrow
+    codegen expression, the shuffle key is a fixed-width hash.
+    """
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5(_NORM_SPARK(F.col("text"))).alias("norm_hash")).agg(
+        F.count("*").alias("n_copies"),
+        F.countDistinct(F.md5("text")).alias("n_raw_variants"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+
+
+DECON_GRAM_N = 8  # word n-gram width for contamination matching
+EVAL_MOD, EVAL_REM = 50, 7  # doc_id % 50 == 7 plays the held-out eval set
+DECON_FLAG = 0.2  # flag eval docs with >= 20% of their grams in the corpus
+
+_DECON_GRAM_SQL = " || ' ' || ".join(f"ws[i+{j}]" for j in range(DECON_GRAM_N))
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+        WITH {_WORDS_CTE.strip()},
+        widx AS (
+          SELECT doc_id, txt, ws, generate_subscripts(ws, 1) AS i FROM words
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, {_DECON_GRAM_SQL} AS gram
+          FROM widx WHERE i <= len(ws) - {DECON_GRAM_N - 1}
+          UNION
+          SELECT DISTINCT doc_id, txt AS gram
+          FROM words WHERE len(ws) < {DECON_GRAM_N}
+        ),
+        eval_grams AS (
+          SELECT doc_id, gram FROM grams WHERE doc_id % {EVAL_MOD} = {EVAL_REM}
+        ),
+        corpus_grams AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}
+        )
+        SELECT e.doc_id,
+               count(*)                                   AS n_grams,
+               count(c.gram)                              AS n_matched,
+               count(c.gram) * 1.0 / count(*)             AS contamination,
+               count(c.gram) * 1.0 / count(*) >= CAST({DECON_FLAG} AS DOUBLE)
+                                                          AS flagged
+        FROM eval_grams e LEFT JOIN corpus_grams c ON c.gram = e.gram
+        GROUP BY 1
+        """,
+    tags=("text", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: n-gram containment of held-out docs in the corpus.
+
+    The benchmark-leakage check: for each eval document (doc_id % 50 == 7
+    plays the held-out set), the fraction of its distinct word 8-grams that
+    appear anywhere in the training corpus; >= 20% containment flags the doc.
+    Unlike the dedup family this is asymmetric containment, not Jaccard — a
+    100-page training doc that embeds a whole eval question must flag even
+    though its overall similarity is tiny.
+
+    Scale: grams are hashed to fixed width before the join in production (the
+    join here keeps raw grams so the oracle is expression-identical). The
+    corpus gram stream never shuffles and is never broadcast: the tiny eval
+    gram set broadcasts INTO the corpus scan (left-semi) to produce the
+    matched-gram set — bounded by the eval set's size — which then broadcasts
+    back onto the eval grams. Both exchanges move kilobytes while the corpus
+    side stays a map-only scan.
+    """
+    d = _docs(spark, sf_dir)
+    words = d.select(
+        "doc_id",
+        F.trim(F.col("text")).alias("txt"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"),
+    )
+    ws, n = F.col("ws"), F.size(F.col("ws"))
+    gram_arr = F.when(
+        n >= DECON_GRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (DECON_GRAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(DECON_GRAM_N)]
+            ),
+        ),
+    ).otherwise(F.array(F.col("txt")))
+    grams = words.select("doc_id", F.explode(gram_arr).alias("gram")).distinct()
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_REM
+    eval_grams = grams.filter(is_eval)
+    matched = (
+        grams.filter(~is_eval)
+        .select("gram")
+        .join(F.broadcast(eval_grams.select("gram").distinct()), "gram", "left_semi")
+        .distinct()
+        .withColumn("matched", F.lit(1))
+    )
+    joined = eval_grams.join(F.broadcast(matched), "gram", "left")
+    contamination = F.count("matched") * 1.0 / F.count("*")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count("matched").alias("n_matched"),
+        contamination.alias("contamination"),
+        (contamination >= DECON_FLAG).alias("flagged"),
+    )

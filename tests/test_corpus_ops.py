@@ -1,0 +1,153 @@
+"""Exact brute-force checks for the corpus-analysis operators added on top of
+the dedup family: duplicate clustering, stratified sampling, heavy hitters,
+and eval-set decontamination. Each test recomputes the expected answer in
+plain Python over the collected fixture and compares exactly — these are the
+semantics checks; cross-engine value parity is covered by the oracle gate."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from iceberg_benchmark_poc_spark.core.io import load_table
+from iceberg_benchmark_poc_spark.operators.text import (
+    jaccard_from_arrays,
+    lsh_pairs_from_wide,
+    minhash_from_arrays,
+    shingle_arrays,
+)
+from iceberg_benchmark_poc_spark.queries.textpipe import (
+    DECON_FLAG,
+    DECON_GRAM_N,
+    EVAL_MOD,
+    EVAL_REM,
+    NEAR_JACCARD,
+    SAMPLE_RATES,
+    TOP_TOKENS,
+    q_decontaminate,
+    q_dup_clusters,
+    q_heavy_hitters,
+    q_stratified_sample,
+)
+
+from .conftest import SF_DIR
+
+
+def _tokens(text: str) -> list[str]:
+    return [w for w in re.split(r"\s+", text.strip()) if w]
+
+
+def test_dup_clusters_match_union_find(spark):
+    """q_dup_clusters must equal union-find over the verified near-dup edges:
+    same components, cluster_id = min member, sizes and keeper flags exact."""
+    docs = load_table(spark, SF_DIR, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+
+    arr = shingle_arrays(docs)
+    jac = jaccard_from_arrays(lsh_pairs_from_wide(minhash_from_arrays(arr)), arr)
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in jac.filter(F.col("jaccard") >= NEAR_JACCARD).collect()
+    ]
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    comp: dict[int, list[int]] = {}
+    for i in ids:
+        comp.setdefault(find(i), []).append(i)
+    expected = {i: min(members) for root, members in comp.items() for i in members}
+    sizes = {root: len(members) for root, members in comp.items()}
+
+    rows = q_dup_clusters(spark, SF_DIR).collect()
+    assert len(rows) == len(ids)
+    assert edges, "fixture has no near-dup edges; clustering untested"
+    for r in rows:
+        assert r["cluster_id"] == expected[r["doc_id"]]
+        assert r["cluster_size"] == sizes[r["cluster_id"]]
+        assert r["is_keeper"] == (r["doc_id"] == r["cluster_id"])
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    """The sample is a deterministic subset honoring per-stratum rates:
+    re-running flips no decision, unlisted strata keep everything, and
+    downsampled strata land near their configured rate."""
+    docs = {r["doc_id"]: r["lang"] for r in load_table(spark, SF_DIR, "documents").collect()}
+    first = {r["doc_id"]: r for r in q_stratified_sample(spark, SF_DIR).collect()}
+    second = {r["doc_id"]: r for r in q_stratified_sample(spark, SF_DIR).collect()}
+    assert first == second  # hash-gate, not rand(): reruns are identical
+
+    by_lang_total = Counter(docs.values())
+    by_lang_kept = Counter(r["lang"] for r in first.values())
+    for lang, total in by_lang_total.items():
+        rate = SAMPLE_RATES.get(lang, 100)
+        kept = by_lang_kept[lang]
+        if rate == 100:
+            assert kept == total
+        else:
+            assert 0 < kept < total
+            assert abs(kept / total - rate / 100) < 0.15  # uniform hash, n~100+
+    for doc_id, r in first.items():
+        assert r["keep_pct"] == SAMPLE_RATES.get(docs[doc_id], 100)
+        assert 0 <= r["sample_bucket"] < 100
+
+
+def test_heavy_hitters_match_counter(spark):
+    """Top-N tokens equal a plain Counter over the same tokenization, with
+    tf >= df and the (tf desc, token asc) rank order."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    tf = Counter()
+    df = Counter()
+    for r in docs:
+        toks = _tokens(r["text"])
+        tf.update(toks)
+        df.update(set(toks))
+    expected = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_TOKENS]
+
+    rows = sorted(q_heavy_hitters(spark, SF_DIR).collect(), key=lambda r: r["rank"])
+    assert [(r["token"], r["tf"]) for r in rows] == expected
+    for r in rows:
+        assert r["df"] == df[r["token"]]
+        assert r["tf"] >= r["df"] > 0
+
+
+def test_decontaminate_matches_set_containment(spark):
+    """Containment equals Python set math: distinct eval 8-grams intersected
+    with the corpus gram set, flag at the threshold."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+
+    def grams(text: str) -> set[str]:
+        toks = _tokens(text)
+        if len(toks) < DECON_GRAM_N:
+            return {text.strip()}
+        return {
+            " ".join(toks[i : i + DECON_GRAM_N])
+            for i in range(len(toks) - DECON_GRAM_N + 1)
+        }
+
+    eval_docs = {r["doc_id"]: grams(r["text"]) for r in docs if r["doc_id"] % EVAL_MOD == EVAL_REM}
+    corpus: set[str] = set()
+    for r in docs:
+        if r["doc_id"] % EVAL_MOD != EVAL_REM:
+            corpus |= grams(r["text"])
+
+    rows = {r["doc_id"]: r for r in q_decontaminate(spark, SF_DIR).collect()}
+    assert rows.keys() == eval_docs.keys()
+    for doc_id, g in eval_docs.items():
+        r = rows[doc_id]
+        assert r["n_grams"] == len(g)
+        assert r["n_matched"] == len(g & corpus)
+        assert abs(r["contamination"] - len(g & corpus) / len(g)) < 1e-12
+        assert r["flagged"] == (r["contamination"] >= DECON_FLAG)
