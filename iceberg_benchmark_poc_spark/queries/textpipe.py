@@ -879,7 +879,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
+    # propagate only over the edge subgraph: every member of a size>1
+    # component touches an edge, so singletons (the overwhelming majority of
+    # a deduped corpus) never enter the loop — each round's join, checkpoint,
+    # and convergence agg run on |edge nodes| rows, not |corpus| rows.
+    nodes = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint()
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
@@ -904,8 +909,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.unpersist()
     docs_arr.unpersist()
 
+    singletons = d.select("doc_id").join(labels.select("doc_id"), "doc_id", "left_anti")
+    full = labels.unionByName(
+        singletons.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
     w = Window.partitionBy("cluster_id")
-    return labels.select(
+    return full.select(
         "doc_id",
         "cluster_id",
         F.count("*").over(w).alias("cluster_size"),
