@@ -1058,3 +1058,96 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         contamination.alias("contamination"),
         (contamination >= DECON_FLAG).alias("flagged"),
     )
+
+
+SHARD_TOKENS = 2000  # BPE tokens per training shard
+
+
+@register(
+    "q_shard_pack",
+    oracle=f"""
+        WITH feat AS (
+          SELECT doc_id, md5(text) AS text_hash,
+                 len(regexp_extract_all(txt, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
+                 {_STOP_RATIO_SQL} AS marker_ratio,
+                 {_SCORE_SQL} AS quality_score
+          FROM (SELECT doc_id, text, trim(text) AS txt,
+                       string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents)
+        ),
+        keep AS (SELECT min(doc_id) AS doc_id FROM feat GROUP BY text_hash),
+        cand AS (
+          SELECT f.doc_id, f.n_bpe_tokens
+          FROM feat f JOIN keep k ON k.doc_id = f.doc_id
+          WHERE f.quality_score >= CAST({QUALITY_MIN} AS DOUBLE)
+            AND f.marker_ratio >= CAST({LANG_MARKER_THRESHOLD} AS DOUBLE)
+        ),
+        packed AS (
+          SELECT doc_id, n_bpe_tokens,
+                 CAST(floor((SUM(n_bpe_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_bpe_tokens) / {SHARD_TOKENS}) AS BIGINT) AS shard_id
+          FROM cand
+        )
+        SELECT shard_id,
+               count(*)                           AS n_docs,
+               CAST(SUM(n_bpe_tokens) AS BIGINT)  AS shard_tokens,
+               min(doc_id)                        AS first_doc,
+               max(doc_id)                        AS last_doc
+        FROM packed
+        GROUP BY shard_id
+        """,
+    tags=("text", "pipeline", "sharding"),
+)
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing: split the selected corpus into fixed-token training shards.
+
+    The writer side of corpus curation (q_corpus_select picks WHAT to train
+    on; this decides WHERE each document lands): candidates are laid out in
+    doc_id order and cut into ~SHARD_TOKENS-sized contiguous shards by
+    prefix sum — shard_id = floor((cum_tokens - own_tokens) / shard_size),
+    i.e. a document belongs to the shard its first token falls in. The
+    output is the shard manifest (doc count, token count, id range per
+    shard) a downstream `partitionBy(shard_id)` write consumes.
+
+    Scale: the packing input is (doc_id, token_count) metadata, never text.
+    The global prefix sum is the same single-partition window documented in
+    q_corpus_select — at 100 TB it becomes the two-phase per-range prefix
+    sum, and because the order key here is doc_id (not a computed score),
+    range partitioning is free on an id-sorted corpus: each range computes
+    its local cumsum and adds a broadcast base offset.
+    """
+    d = _docs(spark, sf_dir)
+    txt = F.trim(F.col("text"))
+    ws = F.split(txt, r"\s+")
+    stop_ratio, score = _quality_score(txt, ws)
+    feat = d.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.regexp_count(txt, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
+        stop_ratio.alias("marker_ratio"),
+        score.alias("quality_score"),
+    )
+    keepers = feat.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    cand = (
+        feat.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .filter(
+            (F.col("quality_score") >= F.lit(QUALITY_MIN))
+            & (F.col("marker_ratio") >= F.lit(LANG_MARKER_THRESHOLD))
+        )
+        .select("doc_id", "n_bpe_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = cand.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_bpe_tokens").over(w) - F.col("n_bpe_tokens")) / SHARD_TOKENS).cast(
+            "bigint"
+        ),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

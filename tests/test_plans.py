@@ -135,3 +135,32 @@ def test_attribution_join_is_equi_on_user(spark):
     time bound as a post-join filter — never a cartesian/BNLJ."""
     plan = plan_of(spark, "q_stream_attribution")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """The hash-gate sample is a pure narrow filter: no exchange anywhere —
+    sampling must never cost a shuffle regardless of corpus size."""
+    plan = plan_of(spark, "q_stratified_sample")
+    assert "Exchange" not in plan
+
+
+def test_heavy_hitters_aggregates_map_side(spark):
+    """The exploded token stream must partial-aggregate before its exchange
+    (hot tokens collapse map-side), and the top-N rank must be a group-limit,
+    not a full sort of the vocabulary."""
+    plan = plan_of(spark, "q_heavy_hitters")
+    assert re.search(r"partial_count", plan)  # partial agg below the first shuffle
+    # rank<=N collapses to a bounded top-k operator — either the rank-window
+    # group-limit or (better) a full TakeOrderedAndProject pushed from the
+    # row_number filter — never a full sort of the vocabulary
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert not re.search(r"(?m)^\s*\+?-? ?Sort ", plan)
+
+
+def test_decontaminate_corpus_never_shuffles(spark):
+    """Both decontamination joins broadcast the tiny side: the corpus gram
+    stream reaches its semi-join as a scan, never through a gram-keyed
+    exchange."""
+    plan = plan_of(spark, "q_decontaminate")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert not re.search(r"Exchange hashpartitioning\(gram", plan)
