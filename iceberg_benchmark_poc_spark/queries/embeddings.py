@@ -41,18 +41,28 @@ _QPROD = (
     f" * CAST(floor(CAST(z[2] AS DOUBLE) * {float(QUANT_SCALE)}) AS BIGINT))"
 )
 
-# bucket = sum_j [emb[2j+1] > emb[2j+2]] << j  (1-based element indexing)
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{2 * j + 1}] > embedding[{2 * j + 2}] THEN {1 << j} ELSE 0 END)"
-    for j in range(N_HYPERPLANES)
-)
+# band b, bit j compares elements 8b+2j+1 vs 8b+2j+2 (1-based): each band
+# reads its own disjoint slice of the vector, so band buckets are independent
+def _band_bucket_sql(band: int) -> str:
+    base = 2 * N_HYPERPLANES * band
+    return " + ".join(
+        f"(CASE WHEN embedding[{base + 2 * j + 1}] > embedding[{base + 2 * j + 2}]"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(N_HYPERPLANES)
+    )
 
 
-def _bucket_col() -> F.Column:
+#: band 0 — the single-band index used by q_embed_buckets / q_embed_ann
+_BUCKET_SQL = _band_bucket_sql(0)
+
+
+def _bucket_col(band: int = 0) -> F.Column:
+    base = 2 * N_HYPERPLANES * band
     b = None
     for j in range(N_HYPERPLANES):
         bit = F.when(
-            F.element_at(F.col("embedding"), 2 * j + 1) > F.element_at(F.col("embedding"), 2 * j + 2),
+            F.element_at(F.col("embedding"), base + 2 * j + 1)
+            > F.element_at(F.col("embedding"), base + 2 * j + 2),
             F.lit(1 << j),
         ).otherwise(F.lit(0))
         b = bit if b is None else b + bit
@@ -211,21 +221,37 @@ def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: non-trivially exercised at every scale factor.
 NEARDUP_THRESHOLD = 0.35
 
+#: OR-combined sign-LSH bands for near-dup candidate generation: a pair is a
+#: candidate if ANY band's bucket collides — P(candidate) = 1-(1-s^r)^b, the
+#: classic banding amplification (s = per-bit agreement probability).
+N_NEARDUP_BANDS = 3
+
+_BANDS_CTE = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {b} AS band, {_band_bucket_sql(b)} AS bucket FROM embeddings"
+    for b in range(N_NEARDUP_BANDS)
+)
+
 
 @register(
     "q_embed_neardup",
     oracle=f"""
         WITH {_NORMS_CTE.strip()},
-        bucketed AS (
-          SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+        bands AS (
+          {_BANDS_CTE}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         ),
         dots AS (
           SELECT keep_id, dup_id, {_QPROD} AS dot
           FROM (
-            SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-                   unnest(list_zip(a.embedding, b.embedding)) AS z
-            FROM bucketed a JOIN bucketed b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            SELECT c.keep_id, c.dup_id,
+                   unnest(list_zip(ka.embedding, da.embedding)) AS z
+            FROM cand c
+            JOIN embeddings ka ON ka.vec_id = c.keep_id
+            JOIN embeddings da ON da.vec_id = c.dup_id
           )
           GROUP BY 1, 2
         ),
@@ -247,55 +273,68 @@ NEARDUP_THRESHOLD = 0.35
     tags=("embeddings", "dedup", "similarity", "lsh"),
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate dedup: LSH candidates + exact verify.
+    """Embedding-cosine near-duplicate dedup: banded LSH candidates + exact verify.
 
     The embedding leg of the dedup family (exact / minhash / simhash /
-    n-gram Jaccard live in textpipe): candidate pairs come from a sign-LSH
-    bucket equi-join (never the O(n^2) cross join), are verified with the
-    exact cosine, and each duplicate is attributed to its best-matching
-    smaller-id keeper — drop `vec_id IN (SELECT vec_id FROM this)` is the
-    dedup action.
+    n-gram Jaccard live in textpipe): candidate pairs come from OR-combined
+    sign-LSH bands — a pair qualifies if ANY of the 3 bands' 4-bit buckets
+    collide (1-(1-s^4)^3 amplification, the same banding as
+    q_minhash_dedup) — then exact cosine verifies each candidate, and each
+    duplicate is attributed to its best-matching smaller-id keeper — drop
+    `vec_id IN (SELECT vec_id FROM this)` is the dedup action.
 
-    Scale: the self-join is an equi-join on bucket, so it shuffles both
-    sides by bucket and compares only within buckets (2^-b of all pairs per
-    band). 4 bits / one band keeps the oracle twin cheap; production raises
-    bits and OR-combines bands for recall exactly like q_minhash_dedup's
-    banding. Bucket skew is AQE's skew-join case. On truly duplicated
-    corpora (cosine ~1) sign buckets almost always agree, so single-band
-    recall is high even though it is ~15% at this synthetic threshold
-    (measured in tests vs the brute-force pair set).
+    Scale: the self-join is an equi-join on (band, bucket), shuffling each
+    vector N_BANDS times (the LSH trade: linear replication buys quadratic
+    comparison savings; within a band only 2^-bits of pairs compare).
+    Candidates dedup BEFORE the exact-cosine verify so a pair colliding in
+    all 3 bands scores once, not thrice. Bucket skew is AQE's skew-join
+    case. Precision stays 1.0 by construction (exact verify); recall vs the
+    brute-force pair set is measured in tests.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    quantized = emb.select(
-        "vec_id", quantize(F.col("embedding")).alias("qe"), _bucket_col().alias("bucket")
+    feats = emb.select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("qe"),
+        *[_bucket_col(b).alias(f"bucket{b}") for b in range(N_NEARDUP_BANDS)],
     )
-    bucketed = quantized.select(
+    feats = feats.select(
         "vec_id",
         "qe",
-        "bucket",
         F.sqrt(dot_quant(F.col("qe"), F.col("qe")).cast("double")).alias("norm"),
+        *[f"bucket{b}" for b in range(N_NEARDUP_BANDS)],
     )
-    keep = bucketed.select(
-        F.col("vec_id").alias("keep_id"),
-        F.col("qe").alias("k_qe"),
-        F.col("norm").alias("k_norm"),
-        "bucket",
+    bands = None
+    for b in range(N_NEARDUP_BANDS):
+        one = feats.select(
+            "vec_id", F.lit(b).alias("band"), F.col(f"bucket{b}").alias("bucket")
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    cand = (
+        bands.select(F.col("vec_id").alias("keep_id"), "band", "bucket")
+        .join(bands.select(F.col("vec_id").alias("dup_id"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .select("keep_id", "dup_id")
+        .distinct()
     )
-    dup = bucketed.select(
-        F.col("vec_id").alias("dup_id"),
-        F.col("qe").alias("d_qe"),
-        F.col("norm").alias("d_norm"),
-        "bucket",
+    keep = feats.select(
+        F.col("vec_id").alias("keep_id"), F.col("qe").alias("k_qe"), F.col("norm").alias("k_norm")
     )
-    pairs = keep.join(dup, "bucket").filter(F.col("keep_id") < F.col("dup_id"))
-    scored = pairs.select(
-        F.col("dup_id").alias("vec_id"),
-        "keep_id",
-        (
-            dot_quant(F.col("k_qe"), F.col("d_qe")).cast("double")
-            / (F.col("k_norm") * F.col("d_norm"))
-        ).alias("cosine"),
-    ).filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    dup = feats.select(
+        F.col("vec_id").alias("dup_id"), F.col("qe").alias("d_qe"), F.col("norm").alias("d_norm")
+    )
+    scored = (
+        cand.join(keep, "keep_id")
+        .join(dup, "dup_id")
+        .select(
+            F.col("dup_id").alias("vec_id"),
+            "keep_id",
+            (
+                dot_quant(F.col("k_qe"), F.col("d_qe")).cast("double")
+                / (F.col("k_norm") * F.col("d_norm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("keep_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -67,7 +67,9 @@ def test_neardup_precision_and_recall(spark):
         assert (r["dup_of"], r["vec_id"]) in true_pairs  # precision 1.0
         assert r["cosine"] >= NEARDUP_THRESHOLD
     recall = len({r["vec_id"] for r in reported}) / len(true_dups)
-    assert recall > 0.05  # single-band sign-LSH at a sub-dup threshold
+    # 3 OR-combined sign-LSH bands at a sub-dup threshold (0.44 measured);
+    # true duplicates (cosine ~1) would collide in nearly every band
+    assert recall >= 0.3
 
 
 def test_ivf_assignment_and_recall(spark):
