@@ -151,3 +151,29 @@ def test_decontaminate_matches_set_containment(spark):
         assert r["n_matched"] == len(g & corpus)
         assert abs(r["contamination"] - len(g & corpus) / len(g)) < 1e-12
         assert r["flagged"] == (r["contamination"] >= DECON_FLAG)
+
+
+def test_simhash_pairs_exact_all_pairs(spark):
+    """Nibble banding is lossless at hamming <= 3 (pigeonhole: 3 flipped bits
+    leave one of 4 nibbles intact) — the banded join must equal the full
+    all-pairs scan exactly, not approximately."""
+    from iceberg_benchmark_poc_spark.queries.textpipe import (
+        SIMHASH_HAM_MAX,
+        q_simhash,
+        q_simhash_pairs,
+    )
+
+    sigs = {r["doc_id"]: r["simhash"] for r in q_simhash(spark, SF_DIR).collect()}
+    ids = sorted(sigs)
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAM_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q_simhash_pairs(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected, "fixture yields no simhash pairs; banding untested"
