@@ -49,6 +49,11 @@ def get_spark(
         .master(master)
         # --- correctness / portability ---
         .config("spark.sql.session.timeZone", "UTC")
+        # local-mode heap: Spark's 1g driver default is undersized for a
+        # local[32] run where the driver hosts every executor thread —
+        # word/shingle explodes at sf0.1 run at the OOM edge there. No-op
+        # when attaching to an already-running JVM or a real cluster master.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- adaptive execution: the scale story ---
         .config("spark.sql.adaptive.enabled", "true")

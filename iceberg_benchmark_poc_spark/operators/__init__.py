@@ -12,7 +12,7 @@ from .text import (
     word_shingles,
     minhash_signatures,
     lsh_candidate_pairs,
-    simhash16,
+    simhash_sig,
 )
 from .vectors import (
     QUANT_SCALE,
@@ -32,7 +32,7 @@ __all__ = [
     "word_shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",
-    "simhash16",
+    "simhash_sig",
     "QUANT_SCALE",
     "cosine_quant",
     "cosine_topk",

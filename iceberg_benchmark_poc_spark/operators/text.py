@@ -268,8 +268,16 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     )
 
 
-def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """16-bit simhash signature per document: (doc_id, simhash BIGINT).
+#: simhash signature width — the full 60-bit word-hash space. 16 bits is too
+#: narrow for template-heavy corpora (at sf0.1 more than half of ALL pairs
+#: landed within hamming 3); at 60 bits random pairs sit near hamming 30.
+SIMHASH_BITS = 60
+
+
+def simhash_sig(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """``bits``-wide simhash signature per document: (doc_id, simhash BIGINT).
 
     Distinct words vote +1/-1 per bit of their 60-bit hash; the signature
     packs the per-bit majority signs. Near-dup docs differ in few bits
@@ -281,15 +289,15 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         .distinct()
         .withColumn("h", hash60(F.col("w")))
     )
-    # all 16 bit-counts as aggregate expressions in one groupBy pass — no 16x
-    # bit explosion, one shuffle of per-doc partial counts. Majority vote for
-    # bit b: sum(+1/-1 votes) > 0  <=>  2 * popcount_b > n_words.
+    # all bit-counts as aggregate expressions in one groupBy pass — no
+    # per-bit explosion, one shuffle of per-doc partial counts. Majority vote
+    # for bit b: sum(+1/-1 votes) > 0  <=>  2 * popcount_b > n_words.
     bit_counts = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}") for b in range(16)
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}") for b in range(bits)
     ]
     counted = words.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_counts)
     sig = None
-    for b in range(16):
+    for b in range(bits):
         term = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return counted.select("doc_id", sig.cast("bigint").alias("simhash"))

@@ -33,7 +33,7 @@ from ..operators.text import (
     lsh_pairs_from_wide,
     minhash_from_arrays,
     shingle_arrays,
-    simhash16,
+    simhash_sig,
 )
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by")
@@ -439,7 +439,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the 16-bit SimHash signature build, shared by q_simhash and q_simhash_pairs
+#: the 60-bit SimHash signature build, shared by q_simhash and q_simhash_pairs
 _SIMHASH_CTE = """
         dwords AS (
           SELECT DISTINCT doc_id, w
@@ -453,7 +453,7 @@ _SIMHASH_CTE = """
         votes AS (
           SELECT doc_id, CAST(b.range AS INTEGER) AS b,
                  SUM(((h >> CAST(b.range AS INTEGER)) & 1) * 2 - 1) AS v
-          FROM hw, range(16) b
+          FROM hw, range(60) b
           GROUP BY 1, 2
         ),
         sigs16 AS (
@@ -475,16 +475,19 @@ _SIMHASH_CTE = """
     tags=("text", "dedup", "simhash"),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signature per document.
+    """60-bit SimHash signature per document.
 
     Distinct words vote ±1 on each signature bit of their 60-bit hash; the
-    majority sign packs into a 16-bit integer. Near-duplicates then reduce to
+    majority sign packs into a 60-bit integer (the full portable-hash width:
+    16 bits proved too narrow — template-heavy corpora pushed most pairs
+    within hamming 3, see q_simhash_pairs). Near-duplicates then reduce to
     hamming-distance <= d over an integer column — a cheap self-join on
-    signature bands, no text comparison at all. Shuffle volume is one row per
-    (doc, bit): 16x docs, independent of document length.
+    signature bands, no text comparison at all. The signature is built in
+    one groupBy pass with 60 per-bit aggregate expressions; shuffle volume
+    is one partial row per doc, independent of document length.
     """
     d = _docs(spark, sf_dir)
-    return simhash16(d)
+    return simhash_sig(d)
 
 
 # ---------------------------------------------------------------------------
@@ -1162,8 +1165,10 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_HAM_MAX = 3  # pair docs whose signatures differ in <= 3 of 16 bits
-N_SIMHASH_BANDS = 4  # 4-bit nibbles; pigeonhole: hamming<=3 => some nibble equal
+SIMHASH_HAM_MAX = 3  # pair docs whose signatures differ in <= 3 of 60 bits
+N_SIMHASH_BANDS = 4  # 15-bit bands; pigeonhole: hamming<=3 => some band equal
+SIMHASH_BAND_BITS = 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 
 
 @register(
@@ -1172,14 +1177,15 @@ N_SIMHASH_BANDS = 4  # 4-bit nibbles; pigeonhole: hamming<=3 => some nibble equa
         WITH {_SIMHASH_CTE.strip()},
         nib AS (
           SELECT doc_id, simhash, CAST(b.range AS INTEGER) AS band,
-                 (simhash >> CAST(b.range * 4 AS INTEGER)) & 15 AS nibble
+                 (simhash >> CAST(b.range * {SIMHASH_BAND_BITS} AS INTEGER)) & {SIMHASH_BAND_MASK}
+                   AS chunk
           FROM sigs16, range({N_SIMHASH_BANDS}) b
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
                           b.doc_id AS doc_b, b.simhash AS sig_b
           FROM nib a JOIN nib b
-            ON a.band = b.band AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
         FROM cand
@@ -1191,36 +1197,44 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairing: banded hamming-distance self-join.
 
     Completes the SimHash leg (q_simhash builds signatures; this finds the
-    pairs): signatures pair when their hamming distance is <= 3 of 16 bits.
-    Candidates come from an equi-join on 4-bit nibble bands — by pigeonhole,
-    <= 3 differing bits leave at least one of the 4 nibbles identical, so
-    banding has EXACTLY recall 1.0 here (verified in tests against the
-    all-pairs baseline), unlike the probabilistic minhash/sign-LSH bands.
+    pairs): signatures pair when their hamming distance is <= 3 of 60 bits.
+    Candidates come from an equi-join on 15-bit bands — by pigeonhole, <= 3
+    differing bits leave at least one of the 4 bands identical, so banding
+    has EXACTLY recall 1.0 here (verified in tests against the all-pairs
+    baseline), unlike the probabilistic minhash/sign-LSH bands.
 
-    Scale: the self-join key is (band, nibble) — each signature replicates 4
+    Scale: the self-join key is (band, chunk) — each signature replicates 4
     times (vs the corpus-squared all-pairs scan), and the verify is one
     bit_count(xor) per candidate, integer-only inside codegen. This is the
     cheapest member of the dedup family: no shingles, no arrays, signatures
-    are 2 bytes of payload per row at rest.
+    are one BIGINT of payload per row at rest.
     """
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
-    sigs = simhash16(d)
+    # the signature build (tokenize -> 60 per-bit votes) feeds 4 band
+    # branches x 2 join sides — without materialization Spark recomputes the
+    # word-explode pass 8x; persisted, it runs once and the banded join works
+    # on 2-byte signatures only
+    sigs = simhash_sig(d).persist(StorageLevel.MEMORY_AND_DISK)
     nib = None
     for b in range(N_SIMHASH_BANDS):
         one = sigs.select(
             "doc_id",
             "simhash",
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)).alias("nibble"),
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b)
+            .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+            .alias("chunk"),
         )
         nib = one if nib is None else nib.unionByName(one)
     cand = (
-        nib.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "nibble")
+        nib.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "chunk")
         .join(
             nib.select(
-                F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "nibble"
+                F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "chunk"
             ),
-            ["band", "nibble"],
+            ["band", "chunk"],
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "sig_a", "doc_b", "sig_b")

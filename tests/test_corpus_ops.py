@@ -154,9 +154,9 @@ def test_decontaminate_matches_set_containment(spark):
 
 
 def test_simhash_pairs_exact_all_pairs(spark):
-    """Nibble banding is lossless at hamming <= 3 (pigeonhole: 3 flipped bits
-    leave one of 4 nibbles intact) — the banded join must equal the full
-    all-pairs scan exactly, not approximately."""
+    """15-bit banding is lossless at hamming <= 3 (pigeonhole: 3 flipped
+    bits leave one of the 4 bands intact) — the banded join must equal the
+    full all-pairs scan exactly, not approximately."""
     from iceberg_benchmark_poc_spark.queries.textpipe import (
         SIMHASH_HAM_MAX,
         q_simhash,
