@@ -274,6 +274,15 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 SIMHASH_BITS = 60
 
 
+#: lane geometry for the packed-counter aggregation below: each BIGINT sum
+#: carries LANES_PER_SUM independent 20-bit counters, so 60 per-bit counts
+#: need only 20 aggregate columns. A 20-bit lane overflows only for a doc
+#: with > 2^20 distinct words — far beyond any training-corpus document.
+LANE_BITS = 20
+LANES_PER_SUM = 3
+LANE_MASK = (1 << LANE_BITS) - 1
+
+
 def simhash_sig(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
 ) -> DataFrame:
@@ -282,22 +291,37 @@ def simhash_sig(
     Distinct words vote +1/-1 per bit of their 60-bit hash; the signature
     packs the per-bit majority signs. Near-dup docs differ in few bits
     (compare via hamming distance over bitwise XOR downstream).
+
+    The per-bit popcounts are aggregated in packed 20-bit lanes: sum s_j
+    accumulates bits {j, j+20, j+40} of each word hash into lanes 0/20/40 of
+    one BIGINT, so the groupBy carries 20 aggregate columns instead of 60 —
+    one shuffle of narrow per-doc partials, independent of document length.
+    Majority vote for bit b: 2 * popcount_b > n_words.
     """
+    n_sums = (bits + LANES_PER_SUM - 1) // LANES_PER_SUM
     words = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
         .withColumn("h", hash60(F.col("w")))
     )
-    # all bit-counts as aggregate expressions in one groupBy pass — no
-    # per-bit explosion, one shuffle of per-doc partial counts. Majority vote
-    # for bit b: sum(+1/-1 votes) > 0  <=>  2 * popcount_b > n_words.
-    bit_counts = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c{b}") for b in range(bits)
-    ]
-    counted = words.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_counts)
+    packed_sums = []
+    for j in range(n_sums):
+        lanes = None
+        for l in range(LANES_PER_SUM):
+            b = j + n_sums * l
+            if b >= bits:
+                continue
+            lane = F.shiftleft(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)), LANE_BITS * l
+            )
+            lanes = lane if lanes is None else lanes + lane
+        packed_sums.append(F.sum(lanes).alias(f"s{j}"))
+    counted = words.groupBy("doc_id").agg(F.count("*").alias("n"), *packed_sums)
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
+        j, l = b % n_sums, b // n_sums
+        count = F.shiftright(F.col(f"s{j}"), LANE_BITS * l).bitwiseAND(F.lit(LANE_MASK))
+        term = F.when(count * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return counted.select("doc_id", sig.cast("bigint").alias("simhash"))
