@@ -454,11 +454,14 @@ def _optimistic_commit_run(n_writers: int, writes_each: int, meta_write, data_wr
         for i in range(writes_each):
             if data_write is not None:
                 data_write(wid, i)
-            t0 = time.perf_counter()
             with lock:
                 expected = version["v"]
             retries = 0
             while True:
+                # latency is per-attempt (work + CAS of the attempt that
+                # lands), the reference's definition — not cumulative across
+                # lost races and backoff (poc/test_concurrent_writers.py:122-137)
+                t0 = time.perf_counter()
                 meta_write(wid, i, expected)
                 with lock:
                     if version["v"] == expected:
@@ -505,7 +508,11 @@ def suite_concurrent_writers(spark: SparkSession, tmp_dir: str, n_writers: int =
     """
     meta_dir = os.path.join(tmp_dir, "concurrent/meta")
     os.makedirs(meta_dir, exist_ok=True)
-    entries = [{"path": f"data/f{i}.parquet", "records": 1000 + i} for i in range(100)]
+    # manifest sized so one real JSON write takes ~3 ms — the reference's
+    # in-window "work" is time.sleep(uniform(1ms, 5ms)), mean 3 ms
+    # (poc/test_concurrent_writers.py:128); matching the window size is what
+    # makes the conflict-rate shape comparable (a sub-ms write halves it)
+    entries = [{"path": f"data/f{i}.parquet", "records": 1000 + i} for i in range(700)]
 
     def write_manifest(wid: int, i: int, expected: int) -> None:
         manifest = {"base_version": expected, "writer": wid, "seq": i, "entries": entries}
