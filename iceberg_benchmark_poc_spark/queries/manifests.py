@@ -529,3 +529,54 @@ def q_wide_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.to_date("l_shipdate") <= F.lit("1996-03-31").cast("date"))
     ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "q_manifest_json",
+    oracle="""
+        SELECT substr(json_extract_string(doc, '$.committed'), 1, 7) AS month,
+               count(*)                                              AS n_files,
+               sum(CAST(json_extract(doc, '$.records') AS BIGINT))   AS total_records,
+               max(length(json_extract_string(doc, '$.path')))       AS max_path_len
+        FROM (
+          SELECT printf(
+                   '{"path":"s3://tbl/data/f%08d.parquet","records":%d,"committed":"%s"}',
+                   o_orderkey,
+                   1000 + o_orderkey % 5000,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                 ) AS doc
+          FROM orders
+        )
+        GROUP BY 1
+        """,
+    tags=("scan", "json", "manifests"),
+)
+def q_manifest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON manifest-entry parse: serialize, re-parse, aggregate (§2.8 JSON).
+
+    The reference round-trips manifest entries through json.dumps/json.load
+    (poc/test_single_file_commits.py:84-95, poc/test_adaptive_metadata_tree.py
+    :203-211); here the same round-trip stays inside the engine: entries are
+    rendered to JSON text with format_string, re-parsed with from_json
+    against an explicit schema (never schema inference on a big table), and
+    the *parsed* fields drive a monthly rollup. Parse and aggregate are both
+    JVM-side inside whole-stage codegen — at 100 TB the parse cost is the
+    scan cost, with no Python in the loop.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    docs = o.select(
+        F.format_string(
+            '{"path":"s3://tbl/data/f%08d.parquet","records":%d,"committed":"%s"}',
+            F.col("o_orderkey"),
+            F.lit(1000) + F.col("o_orderkey") % 5000,
+            F.to_date("o_orderdate").cast("string"),
+        ).alias("doc")
+    )
+    parsed = docs.select(
+        F.from_json("doc", "path STRING, records BIGINT, committed STRING").alias("m")
+    )
+    return parsed.groupBy(F.substring("m.committed", 1, 7).alias("month")).agg(
+        F.count("*").alias("n_files"),
+        F.sum("m.records").alias("total_records"),
+        F.max(F.length("m.path")).alias("max_path_len"),
+    )

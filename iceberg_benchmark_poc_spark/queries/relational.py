@@ -140,3 +140,115 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("p_brand", "p_partkey", "p_name", "total_qty")
     )
+
+
+@register(
+    "q_ship_priority",
+    oracle="""
+        SELECT l_orderkey, revenue, order_date, o_orderpriority
+        FROM (
+          SELECT l.l_orderkey,
+                 CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+                                                 AS revenue,
+                 CAST(o.o_orderdate AS DATE)     AS order_date,
+                 o.o_orderpriority
+          FROM customer c
+          JOIN orders o   ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND CAST(o.o_orderdate AS DATE) < DATE '1996-06-01'
+            AND CAST(l.l_shipdate AS DATE) > DATE '1996-06-01'
+          GROUP BY 1, 3, 4
+        )
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+    tags=("join", "group", "topk", "relational"),
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: top-10 unshipped orders by revenue.
+
+    Both selective filters (market segment, date window) sit on the scan
+    side of their joins, so pushdown shrinks every input before any shuffle;
+    customer is dimension-sized and broadcast. The final top-10 is a
+    TakeOrderedAndProject — no full sort of the aggregate — with l_orderkey
+    as the deterministic tie-break (engine parity rule for LIMIT).
+    """
+    cutoff = F.lit("1996-06-01").cast("date")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.to_date("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.to_date("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+    )
+
+
+@register(
+    "q_local_volume",
+    oracle="""
+        SELECT n.n_name AS nation,
+               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+                                               AS revenue,
+               count(*)                        AS n_lineitems
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        GROUP BY 1
+        """,
+    tags=("join", "group", "relational"),
+)
+def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue where the customer and
+    the lineitem's supplier share a nation, grouped by nation in one region.
+
+    The interesting join is supplier: its key is composite
+    (l_suppkey = s_suppkey AND s_nationkey = c_nationkey) — the second
+    conjunct correlates two dimensions through the fact row. All four
+    dimensions broadcast, so lineitem<->orders is the only shuffled join;
+    the region filter prunes nations before the fact table ever sees them.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.to_date("o_orderdate") <= F.lit("1996-12-31").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
