@@ -1245,3 +1245,64 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(hamming <= SIMHASH_HAM_MAX)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
+
+
+@register(
+    "q_fuzzy_pairs",
+    oracle="""
+        WITH norm AS (
+          SELECT doc_id, lang,
+                 substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 32) AS prefix
+          FROM documents
+        ),
+        blocked AS (
+          SELECT doc_id, lang, prefix, substr(prefix, 1, 8) AS blk FROM norm
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+        FROM blocked a
+        JOIN blocked b ON a.blk = b.blk AND a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= 4
+        """,
+    tags=("text", "dedup", "fuzzy"),
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairing: blocked levenshtein over normalized
+    prefixes — the fuzzy-match leg of the dedup family.
+
+    Documents normalize (casefold, whitespace-collapse) to a fixed 32-char
+    prefix fingerprint; candidates come from an equi-join on (lang, 8-char
+    block key), so the quadratic levenshtein verify only ever runs inside a
+    block, never across the corpus. Unlike the token-set members (minhash/
+    ngram-jaccard), edit distance catches character-level mutations —
+    typos, OCR noise — that leave most shingles broken.
+
+    Scale: the block key is the classic record-linkage blocking scheme; the
+    fingerprint is fixed-width so the verify is O(32^2) per candidate
+    regardless of document length, inside codegen (no UDF — levenshtein is
+    a JVM built-in). Block-size skew is the knob: a hotter corpus wants a
+    longer block key or a second pass with Spark's thresholded
+    levenshtein(l, r, max) to short-circuit the DP early.
+    """
+    d = _docs(spark, sf_dir)
+    norm = d.select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 32
+        ).alias("prefix"),
+    )
+    blocked = norm.withColumn("blk", F.substring("prefix", 1, 8))
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("prefix").alias("pa"), "blk"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("prefix").alias("pb"), "blk"
+    )
+    return (
+        a.join(b, ["blk", "lang"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", F.levenshtein("pa", "pb").cast("int"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("doc_a", "doc_b", "edit_dist")
+    )

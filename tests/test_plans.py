@@ -164,3 +164,29 @@ def test_decontaminate_corpus_never_shuffles(spark):
     plan = plan_of(spark, "q_decontaminate")
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
     assert not re.search(r"Exchange hashpartitioning\(gram", plan)
+
+
+def test_ship_priority_pushes_filters_and_takes_ordered(spark):
+    plan = plan_of(spark, "q_ship_priority")
+    # top-10 must be TakeOrderedAndProject, never a global sort of the agg
+    assert "TakeOrderedAndProject" in plan
+    by_table = dict(scans(plan))
+    assert "LessThan(o_orderdate" in by_table["orders"]
+    assert "GreaterThanOrEqual(l_shipdate" in by_table["lineitem"]
+    assert "EqualTo(c_mktsegment,BUILDING)" in by_table["customer"]
+
+
+def test_local_volume_broadcasts_all_dimensions(spark):
+    plan = plan_of(spark, "q_local_volume")
+    # customer, supplier, nation, region all broadcast; no dimension shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in dict(scans(plan))["region"]
+
+
+def test_manifest_json_parse_stays_in_codegen(spark):
+    plan = plan_of(spark, "q_manifest_json")
+    # render + parse + rollup is one codegen'd map stage feeding one agg
+    # exchange: no python UDF, no join, and a map-side partial aggregate
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange")
