@@ -310,3 +310,85 @@ def q_ordered_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deleted_row_count",
         F.col("dv_size_bytes").isNotNull().alias("has_dv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert: the row-level mutation the DV machinery exists to serve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+        WITH updates AS (
+          SELECT o_orderkey,
+                 o_totalprice + CAST(10 AS DOUBLE) AS o_totalprice,
+                 'REVISED' AS o_orderpriority,
+                 1 AS src
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000,
+                 CAST(1000 AS DOUBLE) + o_orderkey % 500,
+                 'NEW',
+                 1
+          FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        base AS (
+          SELECT o_orderkey, o_totalprice, o_orderpriority, 0 AS src FROM orders
+        ),
+        merged AS (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM updates)
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+               sum(src) AS n_from_updates
+        FROM merged WHERE rn = 1
+        GROUP BY 1
+        """,
+    tags=("join", "merge", "upsert", "dv"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as a declarative plan: latest-wins upsert.
+
+    The reference's whole DV apparatus exists to make row-level mutation
+    cheap (poc/test_dv_resolution_strategies.py:18-34); q_dv_apply covers
+    the delete half, this covers update+insert. An update batch (matched
+    rows get new values; unmatched keys append) merges with the base by
+    union + row_number partitioned on the key, source-priority ordered —
+    exactly Iceberg merge-on-read's read path, expressed in two operators.
+
+    Scale: one shuffle on the merge key, which MERGE INTO cannot avoid
+    either; no join at all (union replaces the matched/unmatched probe). The
+    update batch is usually << base, so AQE coalesces its partitions; the
+    row_number window runs per-key with no global ordering anywhere.
+    """
+    from ..core.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_totalprice", "o_orderpriority", F.lit(0).alias("src"))
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+            F.lit("REVISED").alias("o_orderpriority"),
+            F.lit(1).alias("src"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (F.lit(1000.0) + (F.col("o_orderkey") % 500).cast("double")).alias("o_totalprice"),
+                F.lit("NEW").alias("o_orderpriority"),
+                F.lit(1).alias("src"),
+            )
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("src").desc())
+    merged = base.unionByName(updates).withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
+        F.sum("src").alias("n_from_updates"),
+    )
