@@ -580,3 +580,142 @@ def q_manifest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("m.records").alias("total_records"),
         F.max(F.length("m.path")).alias("max_path_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot lineage: time travel + incremental (CDC-shaped) reads
+# ---------------------------------------------------------------------------
+
+#: snapshot-lineage geometry: each file is added at one of N_SNAPSHOTS
+#: commits and (possibly) removed at a later one; a removed_snap beyond the
+#: log means the file is still live. Modular multipliers follow the fixture
+#: determinism rules (FIXTURES.md).
+N_SNAPSHOTS = 20
+TRAVEL_SNAP = 12  # q_time_travel reconstructs table state as of this commit
+DIFF_LO, DIFF_HI = 8, 15  # q_snapshot_diff reads the (LO, HI] commit window
+
+_LINEAGE_SQL = f"""
+          SELECT file_id, partition_date, record_count, file_size_bytes,
+                 (file_id * 31) % {N_SNAPSHOTS}                            AS added_snap,
+                 (file_id * 31) % {N_SNAPSHOTS} + 1 + (file_id * 17) % 25  AS removed_snap
+          FROM file_meta
+"""
+
+
+def _lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fm = file_meta(spark, sf_dir)
+    fid = F.col("file_id")
+    return fm.select(
+        "file_id",
+        "partition_date",
+        "record_count",
+        "file_size_bytes",
+        ((fid * 31) % N_SNAPSHOTS).alias("added_snap"),
+        ((fid * 31) % N_SNAPSHOTS + 1 + (fid * 17) % 25).alias("removed_snap"),
+    )
+
+
+@register(
+    "q_time_travel",
+    oracle=with_fixtures(
+        f"""
+        WITH lineage AS ({_LINEAGE_SQL}
+        )
+        SELECT CAST(EXTRACT(year FROM partition_date) AS INTEGER) AS part_year,
+               count(*)            AS n_files,
+               sum(record_count)   AS total_records,
+               sum(file_size_bytes) AS total_bytes
+        FROM lineage
+        WHERE added_snap <= {TRAVEL_SNAP} AND removed_snap > {TRAVEL_SNAP}
+        GROUP BY 1
+        """,
+        "file_meta",
+    ),
+    tags=("scan", "snapshot", "timetravel"),
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: reconstruct table state AS OF a past snapshot.
+
+    Iceberg answers ``VERSION AS OF`` by reading the manifest list of one
+    snapshot; with lineage modeled as (added_snap, removed_snap) intervals
+    per file, the same answer is a pure metadata filter — a file is visible
+    iff added <= s < removed — then a rollup of the visible files. No data
+    file is touched: like the reference's stats-based planning
+    (poc/test_wide_table_pruning.py:193-277), the query runs entirely
+    against manifest rows, O(|files|) with one small aggregate shuffle.
+    """
+    lin = _lineage(spark, sf_dir)
+    return (
+        lin.filter((F.col("added_snap") <= TRAVEL_SNAP) & (F.col("removed_snap") > TRAVEL_SNAP))
+        .groupBy(F.year("partition_date").alias("part_year"))
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("record_count").alias("total_records"),
+            F.sum("file_size_bytes").alias("total_bytes"),
+        )
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=with_fixtures(
+        f"""
+        WITH lineage AS ({_LINEAGE_SQL}
+        ),
+        events AS (
+          SELECT added_snap AS snap, 1 AS is_add, record_count, file_size_bytes
+          FROM lineage
+          WHERE added_snap > {DIFF_LO} AND added_snap <= {DIFF_HI}
+          UNION ALL
+          SELECT removed_snap AS snap, 0 AS is_add, record_count, file_size_bytes
+          FROM lineage
+          WHERE removed_snap > {DIFF_LO} AND removed_snap <= {DIFF_HI}
+        )
+        SELECT snap,
+               sum(is_add)                    AS n_added,
+               sum(1 - is_add)                AS n_removed,
+               sum(CASE WHEN is_add = 1 THEN record_count ELSE -record_count END)
+                                              AS net_records,
+               sum(CASE WHEN is_add = 1 THEN file_size_bytes ELSE -file_size_bytes END)
+                                              AS net_bytes
+        FROM events
+        GROUP BY 1
+        """,
+        "file_meta",
+    ),
+    tags=("scan", "snapshot", "cdc"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read: per-commit change feed over a snapshot window.
+
+    The CDC shape of Iceberg's incremental scan (changes between snapshots
+    LO and HI): every file contributes an add event at its commit and a
+    remove event if it was dropped inside the window; the per-snapshot
+    rollup gives the net growth stream a downstream consumer would ingest.
+    The event stream is a union of two filtered projections of the same
+    manifest scan — Spark evaluates both branches from one shuffle-free
+    pass each, and the aggregate is the only exchange.
+    """
+    lin = _lineage(spark, sf_dir)
+    adds = lin.filter((F.col("added_snap") > DIFF_LO) & (F.col("added_snap") <= DIFF_HI)).select(
+        F.col("added_snap").alias("snap"),
+        F.lit(1).alias("is_add"),
+        "record_count",
+        "file_size_bytes",
+    )
+    removes = lin.filter(
+        (F.col("removed_snap") > DIFF_LO) & (F.col("removed_snap") <= DIFF_HI)
+    ).select(
+        F.col("removed_snap").alias("snap"),
+        F.lit(0).alias("is_add"),
+        "record_count",
+        "file_size_bytes",
+    )
+    events = adds.unionByName(removes)
+    sign = F.when(F.col("is_add") == 1, F.lit(1)).otherwise(F.lit(-1))
+    return events.groupBy("snap").agg(
+        F.sum("is_add").alias("n_added"),
+        F.sum(1 - F.col("is_add")).alias("n_removed"),
+        F.sum(sign * F.col("record_count")).alias("net_records"),
+        F.sum(sign * F.col("file_size_bytes")).alias("net_bytes"),
+    )
