@@ -1,0 +1,219 @@
+"""Z-order (multi-dimensional) writer layout vs linear sort (SURVEY.md §2.6).
+
+The reference's writer-organization experiment (tab0_content.txt:120-224)
+proves a 1-D lesson: sort by (partition_date, partition_hour) before write
+and date-predicate row-group skipping goes from ~0% to ~99%. Its own data
+exposes the limitation the reference never tests: a linear sort makes the
+*secondary* key useless — every row group still spans nearly all 24 hours,
+so an hour-selective query scans everything.
+
+The scale answer (Iceberg `rewrite_data_files(strategy=>'sort',
+sort_order=>'zorder(date,hour)')`) is bit-interleaved ordering: left-align
+both dimensions to the same bit width, interleave most-significant bits
+first, and sort by the resulting key. Row groups then cover compact 2-D
+rectangles, so min/max stats prune on EITHER dimension.
+
+q_zorder runs the experiment: assign 100-entry row groups under both
+layouts, keep per-group min/max of both dimensions, probe with three
+predicate families (date-window, hour-window, combined), and report the
+skip rate per (layout, family). Everything is integer arithmetic — exact
+DuckDB parity — and the whole query is two scans of a *metadata* table
+(one per layout) plus one aggregation: at 100 TB (< 1M manifest rows) the
+global ordering windows model the single writer laying out row groups,
+same as q_skip_rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..core.fixtures import DATE_DOMAIN_DAYS, EPOCH_DATE, ROW_GROUP_ENTRIES, file_meta, with_fixtures
+from ..core.registry import register
+
+D_BITS = 11  # day index 0..1825
+H_BITS = 5  # hour 0..23
+H_ALIGN = D_BITS - H_BITS  # left-align hour to the day width
+
+N_PROBES_PER_FAMILY = 50
+DATE_WINDOW = 32
+HOUR_WINDOW = 4
+COMBO_DATE_WINDOW = 180
+
+
+def _zkey_col(d: Column, h: Column) -> Column:
+    """Bit-interleaved z-key of (day_index, hour), MSB-first, hour left-aligned.
+
+    day bit i lands at position 2i; hour bit b (worth 2^b) is first aligned to
+    day scale (position b + H_ALIGN) and lands one above its day twin. All
+    shifts are literal, so the whole key stays inside whole-stage codegen.
+    """
+    key = F.lit(0).cast("bigint")
+    for i in range(D_BITS):
+        key = key + F.shiftright(d, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+    for b in range(H_BITS):
+        key = key + F.shiftright(h, b).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * (b + H_ALIGN) + 1))
+    return key
+
+
+def _zkey_sql(d: str, h: str) -> str:
+    terms = [f"(({d} >> {i}) & 1) * {1 << (2 * i)}" for i in range(D_BITS)]
+    terms += [f"(({h} >> {b}) & 1) * {1 << (2 * (b + H_ALIGN) + 1)}" for b in range(H_BITS)]
+    return " + ".join(terms)
+
+
+# probe families: (family, date window days or full domain, hour window or full day)
+_PROBES_SQL = f"""
+  SELECT 'date{DATE_WINDOW}' AS family,
+         CAST((p.range * 53) % {DATE_DOMAIN_DAYS - DATE_WINDOW} AS BIGINT) AS lo_d,
+         CAST((p.range * 53) % {DATE_DOMAIN_DAYS - DATE_WINDOW} + {DATE_WINDOW - 1} AS BIGINT) AS hi_d,
+         CAST(0 AS BIGINT) AS lo_h, CAST(23 AS BIGINT) AS hi_h
+  FROM range({N_PROBES_PER_FAMILY}) p
+  UNION ALL
+  SELECT 'hour{HOUR_WINDOW}' AS family,
+         CAST(0 AS BIGINT), CAST({DATE_DOMAIN_DAYS - 1} AS BIGINT),
+         CAST((p.range * 5) % {24 - HOUR_WINDOW} AS BIGINT),
+         CAST((p.range * 5) % {24 - HOUR_WINDOW} + {HOUR_WINDOW - 1} AS BIGINT)
+  FROM range({N_PROBES_PER_FAMILY}) p
+  UNION ALL
+  SELECT 'date{COMBO_DATE_WINDOW}_hour{HOUR_WINDOW}' AS family,
+         CAST((p.range * 97) % {DATE_DOMAIN_DAYS - COMBO_DATE_WINDOW} AS BIGINT),
+         CAST((p.range * 97) % {DATE_DOMAIN_DAYS - COMBO_DATE_WINDOW} + {COMBO_DATE_WINDOW - 1} AS BIGINT),
+         CAST((p.range * 5) % {24 - HOUR_WINDOW} AS BIGINT),
+         CAST((p.range * 5) % {24 - HOUR_WINDOW} + {HOUR_WINDOW - 1} AS BIGINT)
+  FROM range({N_PROBES_PER_FAMILY}) p
+"""
+
+
+def _probes(spark: SparkSession) -> DataFrame:
+    r = spark.range(N_PROBES_PER_FAMILY)
+    big = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+    date_f = r.select(
+        F.lit(f"date{DATE_WINDOW}").alias("family"),
+        ((F.col("id") * 53) % (DATE_DOMAIN_DAYS - DATE_WINDOW)).alias("lo_d"),
+        ((F.col("id") * 53) % (DATE_DOMAIN_DAYS - DATE_WINDOW) + (DATE_WINDOW - 1)).alias("hi_d"),
+        big(0).alias("lo_h"),
+        big(23).alias("hi_h"),
+    )
+    hour_f = r.select(
+        F.lit(f"hour{HOUR_WINDOW}").alias("family"),
+        big(0).alias("lo_d"),
+        big(DATE_DOMAIN_DAYS - 1).alias("hi_d"),
+        ((F.col("id") * 5) % (24 - HOUR_WINDOW)).alias("lo_h"),
+        ((F.col("id") * 5) % (24 - HOUR_WINDOW) + (HOUR_WINDOW - 1)).alias("hi_h"),
+    )
+    combo_f = r.select(
+        F.lit(f"date{COMBO_DATE_WINDOW}_hour{HOUR_WINDOW}").alias("family"),
+        ((F.col("id") * 97) % (DATE_DOMAIN_DAYS - COMBO_DATE_WINDOW)).alias("lo_d"),
+        ((F.col("id") * 97) % (DATE_DOMAIN_DAYS - COMBO_DATE_WINDOW) + (COMBO_DATE_WINDOW - 1)).alias("hi_d"),
+        ((F.col("id") * 5) % (24 - HOUR_WINDOW)).alias("lo_h"),
+        ((F.col("id") * 5) % (24 - HOUR_WINDOW) + (HOUR_WINDOW - 1)).alias("hi_h"),
+    )
+    return date_f.unionByName(hour_f).unionByName(combo_f)
+
+
+_DIMS_SQL = f"""
+    SELECT file_id, partition_hour AS h,
+           (partition_date - DATE '{EPOCH_DATE}') AS d
+    FROM file_meta
+"""
+
+_ZORDER_RG_SQL = f"""
+  SELECT layout, rg_id,
+         min(d) AS min_d, max(d) AS max_d,
+         min(h) AS min_h, max(h) AS max_h
+  FROM (
+    SELECT 'linear' AS layout, d, h,
+           CAST(floor((row_number() OVER (ORDER BY d, h, file_id) - 1) / {ROW_GROUP_ENTRIES}) AS BIGINT) AS rg_id
+    FROM ({_DIMS_SQL})
+    UNION ALL
+    SELECT 'zorder' AS layout, d, h,
+           CAST(floor((row_number() OVER (ORDER BY {_zkey_sql("d", "h")}, file_id) - 1) / {ROW_GROUP_ENTRIES}) AS BIGINT) AS rg_id
+    FROM ({_DIMS_SQL})
+  )
+  GROUP BY layout, rg_id
+"""
+
+
+def _layout_row_groups_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fm = file_meta(spark, sf_dir)
+    dims = fm.select(
+        "file_id",
+        F.col("partition_hour").cast("bigint").alias("h"),
+        F.datediff("partition_date", F.to_date(F.lit(EPOCH_DATE))).cast("bigint").alias("d"),
+    )
+    w_lin = Window.orderBy("d", "h", "file_id")
+    w_z = Window.orderBy(_zkey_col(F.col("d"), F.col("h")), F.col("file_id"))
+    lin = dims.select(
+        F.lit("linear").alias("layout"),
+        "d",
+        "h",
+        F.floor((F.row_number().over(w_lin) - 1) / ROW_GROUP_ENTRIES).alias("rg_id"),
+    )
+    zrd = dims.select(
+        F.lit("zorder").alias("layout"),
+        "d",
+        "h",
+        F.floor((F.row_number().over(w_z) - 1) / ROW_GROUP_ENTRIES).alias("rg_id"),
+    )
+    return (
+        lin.unionByName(zrd)
+        .groupBy("layout", "rg_id")
+        .agg(
+            F.min("d").alias("min_d"),
+            F.max("d").alias("max_d"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+    )
+
+
+@register(
+    "q_zorder",
+    oracle=with_fixtures(
+        f"""
+        SELECT layout, family,
+               count(DISTINCT rg_id)        AS n_row_groups,
+               count(*)                     AS checks,
+               CAST(sum(skipped) AS BIGINT) AS skipped,
+               sum(skipped) / count(*)      AS skip_rate
+        FROM (
+          SELECT rg.layout, pr.family, rg.rg_id,
+                 CASE WHEN pr.hi_d < rg.min_d OR pr.lo_d > rg.max_d
+                        OR pr.hi_h < rg.min_h OR pr.lo_h > rg.max_h
+                      THEN 1 ELSE 0 END AS skipped
+          FROM ({_ZORDER_RG_SQL}) rg
+          CROSS JOIN ({_PROBES_SQL}) pr
+        )
+        GROUP BY layout, family
+        """,
+        "file_meta",
+    ),
+    tags=("pruning", "sort", "zorder"),
+)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear-sort layout: 2-D row-group skip rates by predicate family.
+
+    Extends the reference's 1-D writer-organization finding
+    (tab0_content.txt:120-224) to multi-dimensional clustering: linear sort
+    wins narrow date-only probes, is useless for hour probes (~0% skip);
+    z-order prunes on both dimensions. The probe cross-join is broadcast
+    (150 probes) so the only shuffle is the final 6-row aggregate.
+    """
+    rg = _layout_row_groups_2d(spark, sf_dir)
+    probes = _probes(spark)
+    checks = rg.crossJoin(F.broadcast(probes)).withColumn(
+        "skipped",
+        F.when(
+            (F.col("hi_d") < F.col("min_d"))
+            | (F.col("lo_d") > F.col("max_d"))
+            | (F.col("hi_h") < F.col("min_h"))
+            | (F.col("lo_h") > F.col("max_h")),
+            1,
+        ).otherwise(0),
+    )
+    return checks.groupBy("layout", "family").agg(
+        F.countDistinct("rg_id").alias("n_row_groups"),
+        F.count("*").alias("checks"),
+        F.sum("skipped").cast("bigint").alias("skipped"),
+        (F.sum("skipped") / F.count("*")).alias("skip_rate"),
+    )

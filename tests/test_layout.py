@@ -67,3 +67,24 @@ def test_sorted_write_narrows_rowgroup_ranges(spark, tmp_path):
 
     # per-file shipdate ranges must be (weakly) narrower under the sorted layout
     assert total_span(sorted_path) <= total_span(unsorted_path)
+
+
+def test_zorder_prunes_both_dimensions(spark):
+    """Linear sort cannot skip hour-only probes; z-order skips on both dims
+    and wins the combined (date AND hour) family.
+
+    Runs at sf0.01: the combined-family crossover needs enough row groups
+    (~150) for each z-curve segment to cover a compact 2-D rectangle; at
+    sf0.001 there are only 15 segments and linear still wins combined.
+    """
+    from iceberg_benchmark_poc_spark.queries.zorder import q_zorder
+
+    rows = {
+        (r["layout"], r["family"]): r["skip_rate"]
+        for r in q_zorder(spark, "/root/testdata/sf0.01").collect()
+    }
+    hour_family = "hour4"
+    combo_family = "date180_hour4"
+    assert rows[("linear", hour_family)] == 0.0
+    assert rows[("zorder", hour_family)] > 0.5
+    assert rows[("zorder", combo_family)] > rows[("linear", combo_family)]
