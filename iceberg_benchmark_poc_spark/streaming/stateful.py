@@ -54,3 +54,109 @@ def value_threshold_monitor(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# adaptive root-manifest flush — per-writer state machine
+# ---------------------------------------------------------------------------
+
+#: flush thresholds mirroring the reference's RootManifest state machine
+#: (poc/utils/adaptive_tree.py:96-150: flush when inline bytes reach 16 MiB or
+#: 2000 entries). Tests shrink them so sf0.001 produces many flushes.
+FLUSH_BYTES_DEFAULT = 16 * 1024 * 1024
+FLUSH_ENTRIES_DEFAULT = 2000
+
+FLUSH_OUTPUT_SCHEMA = (
+    "writer_id bigint, flush_seq bigint, n_entries bigint, flushed_bytes bigint, last_event_id bigint"
+)
+FLUSH_STATE_SCHEMA = "n_entries bigint, n_bytes bigint, n_flushes bigint"
+
+
+def _flush_fn(flush_bytes: int, flush_entries: int):
+    """Per-writer manifest-flush machine as an applyInPandasWithState function.
+
+    Per key (writer), a GroupState triple (pending entries, pending bytes,
+    flushes so far) survives micro-batches; each incoming commit entry is
+    appended to the pending root manifest and a leaf flush is emitted the
+    moment either threshold is crossed — exactly the reference's
+    RootManifest.add_entry/flush_to_leaf cycle. The inner scan is vectorized:
+    cumulative sums + searchsorted find each flush boundary, so Python work is
+    O(flushes x log(batch)) rather than per-row. One writer's stream is
+    inherently sequential; scale comes from sharding writers across
+    executors, constant state per key.
+
+    (Spark 4's transformWithStateInPandas expresses the same machine with a
+    named ValueState, but its driver-side transport needs protobuf, absent in
+    this environment — the GroupState API is the portable equivalent.)
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        (writer_id,) = key
+        if state.exists:
+            pend_e, pend_b, n_flushes = state.get
+        else:
+            pend_e, pend_b, n_flushes = 0, 0, 0
+        out: list[tuple[int, int, int, int, int]] = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("event_id")
+            ids = pdf["event_id"].to_numpy()
+            cum_b = pdf["entry_bytes"].to_numpy().cumsum()
+            start = 0  # first unflushed row of this batch
+            while start < len(ids):
+                base_b = cum_b[start - 1] if start else 0
+                # first index where pending bytes or entries cross a threshold
+                i_bytes = int(np.searchsorted(cum_b, base_b - pend_b + flush_bytes))
+                i_entries = start + (flush_entries - pend_e) - 1
+                i = min(i_bytes, i_entries)
+                if i >= len(ids):
+                    break
+                out.append(
+                    (
+                        writer_id,
+                        n_flushes,
+                        pend_e + i - start + 1,
+                        pend_b + int(cum_b[i] - base_b),
+                        int(ids[i]),
+                    )
+                )
+                n_flushes += 1
+                pend_e, pend_b = 0, 0
+                start = i + 1
+            if start < len(ids):
+                pend_e += len(ids) - start
+                pend_b += int(cum_b[-1] - (cum_b[start - 1] if start else 0))
+        state.update((pend_e, pend_b, n_flushes))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["writer_id", "flush_seq", "n_entries", "flushed_bytes", "last_event_id"],
+            )
+
+    return fn
+
+
+def manifest_flush_stream(
+    entries: DataFrame,
+    flush_bytes: int = FLUSH_BYTES_DEFAULT,
+    flush_entries: int = FLUSH_ENTRIES_DEFAULT,
+) -> DataFrame:
+    """Leaf-flush event stream from a per-writer commit-entry stream.
+
+    ``entries`` needs columns (writer_id, event_id, entry_bytes). Output is
+    one row per flushed leaf manifest, in flush order per writer.
+    """
+    return (
+        entries.select("writer_id", "event_id", "entry_bytes")
+        .groupBy("writer_id")
+        .applyInPandasWithState(
+            _flush_fn(flush_bytes, flush_entries),
+            outputStructType=FLUSH_OUTPUT_SCHEMA,
+            stateStructType=FLUSH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

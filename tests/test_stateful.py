@@ -58,3 +58,63 @@ def test_stateful_monitor_converges_to_batch_truth(spark, tmp_path):
 
     per_user_updates = Counter(r["user_id"] for r in updates)
     assert max(per_user_updates.values()) > 1
+
+
+def test_manifest_flush_state_machine(spark, tmp_path):
+    """transformWithStateInPandas flush machine: thresholds respected, flush
+    sequence contiguous across micro-batches, pending remainder below both
+    thresholds."""
+    from iceberg_benchmark_poc_spark.streaming.stateful import manifest_flush_stream
+
+    flush_bytes, flush_entries = 1 << 20, 64
+    max_entry = 200 + 65535
+
+    src = split_events_for_streaming(spark, SF_DIR, str(tmp_path), n_files=5)
+    entries = stream_events(spark, src, files_per_trigger=1).select(
+        (F.col("user_id") % 4).alias("writer_id"),
+        "event_id",
+        (F.lit(200) + (F.col("event_id") * 7919) % 65536).alias("entry_bytes"),
+    )
+    name = f"flush_{uuid.uuid4().hex[:8]}"
+    q = (
+        manifest_flush_stream(entries, flush_bytes=flush_bytes, flush_entries=flush_entries)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    flushes = spark.table(name).collect()
+    assert len(flushes) > 0
+
+    totals = {
+        r["writer_id"]: (r["n"], r["b"])
+        for r in load_table(spark, SF_DIR, "events")
+        .select(
+            (F.col("user_id") % 4).alias("writer_id"),
+            (F.lit(200) + (F.col("event_id") * 7919) % 65536).alias("entry_bytes"),
+        )
+        .groupBy("writer_id")
+        .agg(F.count("*").alias("n"), F.sum("entry_bytes").alias("b"))
+        .collect()
+    }
+    per_writer: dict[int, list] = {}
+    for r in flushes:
+        per_writer.setdefault(r["writer_id"], []).append(r)
+    assert set(per_writer) == set(totals)  # every writer flushed at least once
+    for wid, fl in per_writer.items():
+        fl.sort(key=lambda r: r["flush_seq"])
+        # contiguous flush sequence from 0 proves state survived micro-batches
+        assert [r["flush_seq"] for r in fl] == list(range(len(fl)))
+        for r in fl:
+            # a flush fires exactly when a threshold is crossed, never later
+            assert r["flushed_bytes"] >= flush_bytes or r["n_entries"] >= flush_entries
+            assert r["flushed_bytes"] < flush_bytes + max_entry
+            assert r["n_entries"] <= flush_entries
+        # the unflushed remainder must sit below both thresholds
+        total_n, total_b = totals[wid]
+        rem_n = total_n - sum(r["n_entries"] for r in fl)
+        rem_b = total_b - sum(r["flushed_bytes"] for r in fl)
+        assert 0 <= rem_n < flush_entries
+        assert 0 <= rem_b < flush_bytes
