@@ -190,3 +190,51 @@ def test_manifest_json_parse_stays_in_codegen(spark):
     # exchange: no python UDF, no join, and a map-side partial aggregate
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+# ---------------------------------------------------------------------------
+# repo-wide plan audit
+# ---------------------------------------------------------------------------
+
+#: Arrow-batched Python stages by design (multimodal decode pipeline, binary
+#: DV codec). Everything else must stay JVM-side.
+ARROW_PYTHON_ALLOWED = {
+    "q_dv_payload_roundtrip",
+    "q_frame_sample",
+    "q_media_embed",
+    "q_media_features",
+    "q_media_resize",
+}
+
+#: BroadcastNestedLoopJoin is acceptable only when the broadcast side is
+#: tiny by construction — a scalar aggregate, the %100 query set, the
+#: centroid table, a generated sequence. Each name here was checked by hand;
+#: a new appearance means a join lost its equi-condition and must be fixed.
+BNLJ_ALLOWED = {
+    "q_asof_join",       # per-key scalar "latest before" bound
+    "q_dv_coalesce",     # scalar manifest-count bound
+    "q_embed_topk",      # broadcast query set vs corpus (the exact baseline)
+    "q_ivf_topk",        # broadcast centroids (|cells| rows)
+    "q_ngram_jaccard",   # broadcast sampled probe set
+    "q_range_join",      # interval predicate vs broadcast bounds
+    "q_scan_tree",       # scalar per-level manifest counts
+    "q_skip_rate",       # scalar predicate-date bound
+    "q_spill_policy",    # scalar cap remaining after must-inline
+    "q_stream_sliding",  # slide-offset sequence cross of window starts
+    "q_zorder",          # scalar file-count normalizer
+}
+
+
+def test_plan_audit_every_query(spark):
+    """Global scale guardrail over every registered query's physical plan:
+    no row-at-a-time Python eval, no cartesian product, Arrow-Python and
+    nested-loop broadcasts only on the explicit allowlists."""
+    for name in sorted(all_queries()):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in ARROW_PYTHON_ALLOWED:
+            for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+                assert marker not in plan, f"{name}: unexpected Python stage {marker}"
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
