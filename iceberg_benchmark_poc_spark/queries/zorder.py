@@ -217,3 +217,106 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("skipped").cast("bigint").alias("skipped"),
         (F.sum("skipped") / F.count("*")).alias("skip_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# partition-spec evolution planning
+# ---------------------------------------------------------------------------
+
+BUCKETS = 16
+TRUNC_WIDTH = 1000
+
+
+@register(
+    "q_partition_evolution",
+    oracle=f"""
+        WITH pairs AS (
+          SELECT 'day(l_shipdate)' AS spec, CAST(l_shipdate AS VARCHAR) AS pkey
+          FROM lineitem
+          UNION ALL
+          SELECT 'month(l_shipdate)', substr(CAST(l_shipdate AS VARCHAR), 1, 7)
+          FROM lineitem
+          UNION ALL
+          SELECT 'bucket({BUCKETS}, l_partkey)',
+                 CAST((('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % {BUCKETS}) AS VARCHAR)
+          FROM lineitem
+          UNION ALL
+          SELECT 'truncate({TRUNC_WIDTH}, l_partkey)',
+                 CAST(l_partkey - (l_partkey % {TRUNC_WIDTH}) AS VARCHAR)
+          FROM lineitem
+        ),
+        hist AS (
+          SELECT spec, pkey, count(*) AS n_rows FROM pairs GROUP BY spec, pkey
+        )
+        SELECT spec,
+               count(*) AS n_partitions,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+               MIN(n_rows) AS min_rows,
+               MAX(n_rows) AS max_rows,
+               CAST(MAX(n_rows) * count(*) AS DOUBLE) / CAST(SUM(n_rows) AS DOUBLE) AS skew
+        FROM hist GROUP BY spec ORDER BY spec
+        """,
+    tags=("layout", "partitioning", "planning"),
+)
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution planning: score candidate Iceberg transforms.
+
+    The reference hard-codes one partition spec — (partition_date,
+    partition_hour), poc/utils/manifest_generator.py:107-110 — and its writer
+    experiment (tab0_content.txt:120-224) shows how much layout choice
+    matters. Iceberg v2 makes the spec *evolvable* (`ALTER TABLE ... SET
+    PARTITION SPEC`), and this query is the analysis that decision runs on:
+    for each candidate transform — identity day, month rollup,
+    bucket(16) hash, truncate(1000) range — compute the partition histogram
+    a writer would produce (partition count, rows per partition, skew =
+    max/avg). Too many partitions ⇒ small-file storm; high skew ⇒ one hot
+    writer/reader; the spec you pick is the one with bounded partitions AND
+    skew ≈ 1.
+
+    Scale: ONE scan of the two needed columns (pruned projection), exploded
+    into (spec, pkey) pairs — 4 narrow rows per input row — then a two-stage
+    aggregation: the (spec, pkey) histogram partial-aggregates map-side
+    before its single shuffle, and the per-spec rollup moves only
+    |partitions| rows. No joins, no window over the fact table; at 100 TB
+    the wide shuffle carries ~4 string-pairs per lineitem row, and AQE
+    coalesces the tiny final stage. bucket() uses the portable 60-bit md5
+    hash (core/fixtures.py:hash60) rather than Iceberg's murmur3 — the
+    histogram *shape*, not the hash identity, is what the decision needs.
+    """
+    from ..core.fixtures import hash60
+    from ..core.io import load_table
+
+    date_s = F.col("l_shipdate").cast("string")
+    specs = F.array(
+        F.struct(F.lit("day(l_shipdate)").alias("spec"), date_s.alias("pkey")),
+        F.struct(F.lit("month(l_shipdate)").alias("spec"), F.substring(date_s, 1, 7).alias("pkey")),
+        F.struct(
+            F.lit(f"bucket({BUCKETS}, l_partkey)").alias("spec"),
+            (hash60(F.col("l_partkey").cast("string")) % BUCKETS).cast("string").alias("pkey"),
+        ),
+        F.struct(
+            F.lit(f"truncate({TRUNC_WIDTH}, l_partkey)").alias("spec"),
+            (F.col("l_partkey") - F.col("l_partkey") % TRUNC_WIDTH).cast("string").alias("pkey"),
+        ),
+    )
+    hist = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.explode(specs).alias("p"))
+        .select("p.spec", "p.pkey")
+        .groupBy("spec", "pkey")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    return (
+        hist.groupBy("spec")
+        .agg(
+            F.count("*").alias("n_partitions"),
+            F.sum("n_rows").alias("total_rows"),
+            F.min("n_rows").alias("min_rows"),
+            F.max("n_rows").alias("max_rows"),
+            (
+                (F.max("n_rows") * F.count("*")).cast("double")
+                / F.sum("n_rows").cast("double")
+            ).alias("skew"),
+        )
+        .orderBy("spec")
+    )
