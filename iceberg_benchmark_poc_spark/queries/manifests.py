@@ -719,3 +719,76 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(sign * F.col("record_count")).alias("net_records"),
         F.sum(sign * F.col("file_size_bytes")).alias("net_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# binpack compaction planning
+# ---------------------------------------------------------------------------
+
+#: rewrite-group target, Iceberg's write.target-file-size-bytes default
+BINPACK_TARGET_BYTES = 512 * 1024 * 1024
+
+
+@register(
+    "q_binpack_plan",
+    oracle=with_fixtures(
+        f"""
+        WITH cand AS (
+          SELECT partition_date, file_id, file_size_bytes,
+                 SUM(file_size_bytes) OVER (
+                   PARTITION BY partition_date ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - file_size_bytes AS start_off
+          FROM file_meta
+        )
+        SELECT partition_date,
+               CAST(start_off // {BINPACK_TARGET_BYTES} AS INTEGER) AS group_id,
+               count(*) AS n_files,
+               CAST(SUM(file_size_bytes) AS BIGINT) AS group_bytes,
+               MIN(file_id) AS first_file_id,
+               MAX(file_id) AS last_file_id
+        FROM cand
+        GROUP BY partition_date, group_id
+        ORDER BY partition_date, group_id
+        """,
+        "file_meta",
+    ),
+    tags=("compaction", "planning", "window"),
+)
+def q_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binpack compaction plan: group small files into target-size rewrites.
+
+    The reference measures compaction only as manifest-entry union
+    (poc/test_single_file_commits.py:153-194 — q_compaction's accounting);
+    the *data-file* half of the story is Iceberg's
+    `rewrite_data_files(strategy => 'binpack')`, which first plans: within
+    each partition, pack undersized files (every 64-192 MiB fixture file
+    sits under the default 384 MiB candidate threshold) into groups of
+    ~512 MiB — one rewrite task per group. This query emits that plan:
+    next-fit by commit order, a file joins group k when its starting byte
+    offset in the partition's running total falls in [k*target, (k+1)*target).
+
+    Scale: one scan of three metadata columns, one shuffle to co-locate each
+    partition's files (the window partitions by partition_date — thousands
+    of independent keys, no global sort), then the group-id assignment and
+    the per-group rollup partial-aggregate in place. Planning cost is
+    O(|files|) rows of metadata regardless of table bytes — the same reason
+    Iceberg plans 100 TB rewrites on the driver in seconds.
+    """
+    start_off = F.sum("file_size_bytes").over(
+        Window.partitionBy("partition_date").orderBy("file_id").rowsBetween(Window.unboundedPreceding, 0)
+    ) - F.col("file_size_bytes")
+    return (
+        file_meta(spark, sf_dir)
+        .select("partition_date", "file_id", "file_size_bytes")
+        .withColumn("start_off", start_off)
+        .withColumn("group_id", F.expr(f"int(start_off div {BINPACK_TARGET_BYTES})"))
+        .groupBy("partition_date", "group_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("file_size_bytes").alias("group_bytes"),
+            F.min("file_id").alias("first_file_id"),
+            F.max("file_id").alias("last_file_id"),
+        )
+        .orderBy("partition_date", "group_id")
+    )

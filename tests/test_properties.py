@@ -353,3 +353,31 @@ def test_attribution_join_matches_bruteforce(spark, events):
         and c[1] <= p[1] <= c[1] + datetime.timedelta(minutes=ATTRIBUTION_HORIZON_MIN)
     }
     assert got == want
+
+
+def test_binpack_plan_partitions_all_files(spark):
+    """q_binpack_plan is a true partition of the candidate set: every file in
+    exactly one group, group ids contiguous from 0 per partition, and no
+    group overshoots target by more than one file (next-fit invariant)."""
+    from iceberg_benchmark_poc_spark.core.fixtures import file_meta
+    from iceberg_benchmark_poc_spark.queries.manifests import BINPACK_TARGET_BYTES, q_binpack_plan
+
+    from .conftest import SF_DIR
+
+    fm = file_meta(spark, SF_DIR)
+    n_files, max_size = fm.agg(F.count("*"), F.max("file_size_bytes")).first()
+    plan = q_binpack_plan(spark, SF_DIR).collect()
+
+    assert sum(r["n_files"] for r in plan) == n_files
+    by_part: dict = {}
+    for r in plan:
+        by_part.setdefault(r["partition_date"], []).append(r)
+    for rows in by_part.values():
+        rows.sort(key=lambda r: r["group_id"])
+        assert [r["group_id"] for r in rows] == list(range(len(rows)))
+        for r in rows:
+            assert r["group_bytes"] < BINPACK_TARGET_BYTES + max_size
+            assert r["first_file_id"] <= r["last_file_id"]
+        # groups cover disjoint, increasing file-id ranges
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_file_id"] < b["first_file_id"]
