@@ -187,3 +187,81 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.dedup_join import attribution_join
 
     return attribution_join(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator, batch twin — oracle-gated
+# ---------------------------------------------------------------------------
+
+#: q_manifest_flush thresholds, sized so BOTH rules fire at sf0.01 (mean
+#: entry ~33 KB -> 32 entries ~ 1 MiB: byte-cap and entry-cap flushes mix)
+FLUSH_Q_BYTES = 1 << 20
+FLUSH_Q_ENTRIES = 32
+FLUSH_Q_WRITERS = 4
+
+_FLUSH_ENTRY_BYTES = "200 + (event_id * 7919) % 65536"
+
+
+@register(
+    "q_manifest_flush",
+    oracle=f"""
+        WITH RECURSIVE seq AS (
+          SELECT user_id % {FLUSH_Q_WRITERS} AS writer_id, event_id,
+                 row_number() OVER (PARTITION BY user_id % {FLUSH_Q_WRITERS} ORDER BY event_id) AS rn,
+                 CAST(SUM({_FLUSH_ENTRY_BYTES}) OVER (
+                   PARTITION BY user_id % {FLUSH_Q_WRITERS} ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+          FROM events
+        ),
+        rec AS (
+          SELECT writer_id, CAST(-1 AS BIGINT) AS flush_seq, CAST(0 AS BIGINT) AS rn,
+                 CAST(0 AS BIGINT) AS cum, CAST(0 AS BIGINT) AS prev_rn, CAST(0 AS BIGINT) AS prev_cum
+          FROM (SELECT DISTINCT user_id % {FLUSH_Q_WRITERS} AS writer_id FROM events)
+          UNION ALL
+          SELECT b.writer_id, b.flush_seq, b.rn, s2.cum_b, b.prev_rn, b.prev_cum
+          FROM (
+            SELECT r.writer_id AS writer_id, r.flush_seq + 1 AS flush_seq, MIN(s.rn) AS rn,
+                   r.rn AS prev_rn, r.cum AS prev_cum
+            FROM rec r JOIN seq s ON s.writer_id = r.writer_id
+             AND (s.rn - r.rn >= {FLUSH_Q_ENTRIES} OR s.cum_b - r.cum >= {FLUSH_Q_BYTES})
+            GROUP BY r.writer_id, r.flush_seq, r.rn, r.cum
+          ) b JOIN seq s2 ON s2.writer_id = b.writer_id AND s2.rn = b.rn
+        )
+        SELECT r.writer_id AS writer_id, r.flush_seq AS flush_seq,
+               r.rn - r.prev_rn AS n_entries, r.cum - r.prev_cum AS flushed_bytes,
+               s.event_id AS last_event_id
+        FROM rec r JOIN seq s ON s.writer_id = r.writer_id AND s.rn = r.rn
+        WHERE r.flush_seq >= 0
+        ORDER BY r.writer_id, r.flush_seq
+        """,
+    tags=("streaming", "stateful", "custom-operator"),
+)
+def q_manifest_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive root-manifest flush machine (batch replay), oracle-gated.
+
+    The reference's RootManifest accumulates commit entries and flushes them
+    to a leaf manifest when inline bytes or entry count cross a threshold
+    (poc/utils/adaptive_tree.py:96-150). That reset-on-threshold recurrence
+    has no window-function form, so it runs as a custom Arrow operator:
+    streaming via applyInPandasWithState (streaming/stateful.py), and here
+    the batch twin replays each writer's entry log through the same
+    vectorized ``_flush_scan`` core. The DuckDB oracle expresses the same
+    machine as a recursive CTE stepping flush-boundary to flush-boundary —
+    one recursion level per flush, not per row — which is what makes this
+    custom operator SQL-checkable at all.
+
+    Scale: one shuffle on writer_id, then each writer replays independently
+    in a single Arrow batch; the per-writer scan is O(flushes x log n).
+    Writers shard across executors — the same layout the streaming operator
+    uses for its state.
+    """
+    from ..streaming.stateful import manifest_flush_batch
+
+    entries = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % FLUSH_Q_WRITERS).alias("writer_id"),
+        "event_id",
+        (F.lit(200) + (F.col("event_id") * 7919) % 65536).alias("entry_bytes"),
+    )
+    return manifest_flush_batch(entries, FLUSH_Q_BYTES, FLUSH_Q_ENTRIES).orderBy(
+        "writer_id", "flush_seq"
+    )

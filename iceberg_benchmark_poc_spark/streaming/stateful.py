@@ -72,6 +72,50 @@ FLUSH_OUTPUT_SCHEMA = (
 FLUSH_STATE_SCHEMA = "n_entries bigint, n_bytes bigint, n_flushes bigint"
 
 
+FLUSH_COLUMNS = ["writer_id", "flush_seq", "n_entries", "flushed_bytes", "last_event_id"]
+
+
+def _flush_scan(writer_id, ids, cum_b, pend_e, pend_b, n_flushes, flush_bytes, flush_entries):
+    """Vectorized flush scan over one writer's sorted entry chunk.
+
+    ``ids``/``cum_b`` are the chunk's event ids and cumulative entry bytes;
+    (pend_e, pend_b, n_flushes) is the carried state. Returns the emitted
+    flush rows and the updated state. Cumulative sums + searchsorted find
+    each flush boundary, so Python work is O(flushes x log(chunk)) rather
+    than per-row. Invariant pend_b < flush_bytes and pend_e < flush_entries
+    holds on entry and exit (a flush fires the moment a threshold is met).
+    """
+    import numpy as np
+
+    out: list[tuple[int, int, int, int, int]] = []
+    n = len(ids)
+    start = 0  # first unflushed row of this chunk
+    while start < n:
+        base_b = cum_b[start - 1] if start else 0
+        # first index where pending bytes or entries cross a threshold
+        i_bytes = int(np.searchsorted(cum_b, base_b - pend_b + flush_bytes))
+        i_entries = start + (flush_entries - pend_e) - 1
+        i = min(i_bytes, i_entries)
+        if i >= n:
+            break
+        out.append(
+            (
+                writer_id,
+                n_flushes,
+                pend_e + i - start + 1,
+                pend_b + int(cum_b[i] - base_b),
+                int(ids[i]),
+            )
+        )
+        n_flushes += 1
+        pend_e, pend_b = 0, 0
+        start = i + 1
+    if start < n:
+        pend_e += n - start
+        pend_b += int(cum_b[-1] - (cum_b[start - 1] if start else 0))
+    return out, pend_e, pend_b, n_flushes
+
+
 def _flush_fn(flush_bytes: int, flush_entries: int):
     """Per-writer manifest-flush machine as an applyInPandasWithState function.
 
@@ -79,9 +123,7 @@ def _flush_fn(flush_bytes: int, flush_entries: int):
     flushes so far) survives micro-batches; each incoming commit entry is
     appended to the pending root manifest and a leaf flush is emitted the
     moment either threshold is crossed — exactly the reference's
-    RootManifest.add_entry/flush_to_leaf cycle. The inner scan is vectorized:
-    cumulative sums + searchsorted find each flush boundary, so Python work is
-    O(flushes x log(batch)) rather than per-row. One writer's stream is
+    RootManifest.add_entry/flush_to_leaf cycle. One writer's stream is
     inherently sequential; scale comes from sharding writers across
     executors, constant state per key.
 
@@ -91,8 +133,6 @@ def _flush_fn(flush_bytes: int, flush_entries: int):
     """
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         (writer_id,) = key
         if state.exists:
             pend_e, pend_b, n_flushes = state.get
@@ -103,38 +143,20 @@ def _flush_fn(flush_bytes: int, flush_entries: int):
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values("event_id")
-            ids = pdf["event_id"].to_numpy()
-            cum_b = pdf["entry_bytes"].to_numpy().cumsum()
-            start = 0  # first unflushed row of this batch
-            while start < len(ids):
-                base_b = cum_b[start - 1] if start else 0
-                # first index where pending bytes or entries cross a threshold
-                i_bytes = int(np.searchsorted(cum_b, base_b - pend_b + flush_bytes))
-                i_entries = start + (flush_entries - pend_e) - 1
-                i = min(i_bytes, i_entries)
-                if i >= len(ids):
-                    break
-                out.append(
-                    (
-                        writer_id,
-                        n_flushes,
-                        pend_e + i - start + 1,
-                        pend_b + int(cum_b[i] - base_b),
-                        int(ids[i]),
-                    )
-                )
-                n_flushes += 1
-                pend_e, pend_b = 0, 0
-                start = i + 1
-            if start < len(ids):
-                pend_e += len(ids) - start
-                pend_b += int(cum_b[-1] - (cum_b[start - 1] if start else 0))
+            rows, pend_e, pend_b, n_flushes = _flush_scan(
+                writer_id,
+                pdf["event_id"].to_numpy(),
+                pdf["entry_bytes"].to_numpy().cumsum(),
+                pend_e,
+                pend_b,
+                n_flushes,
+                flush_bytes,
+                flush_entries,
+            )
+            out.extend(rows)
         state.update((pend_e, pend_b, n_flushes))
         if out:
-            yield pd.DataFrame(
-                out,
-                columns=["writer_id", "flush_seq", "n_entries", "flushed_bytes", "last_event_id"],
-            )
+            yield pd.DataFrame(out, columns=FLUSH_COLUMNS)
 
     return fn
 
@@ -159,4 +181,39 @@ def manifest_flush_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def manifest_flush_batch(
+    entries: DataFrame,
+    flush_bytes: int = FLUSH_BYTES_DEFAULT,
+    flush_entries: int = FLUSH_ENTRIES_DEFAULT,
+) -> DataFrame:
+    """Batch twin of :func:`manifest_flush_stream`: same machine, bounded input.
+
+    One applyInPandas pass per writer replays the full entry log in event-id
+    order through the identical ``_flush_scan`` core with empty initial
+    state. Spark shuffles once on writer_id; each writer's replay is a
+    single Arrow batch. Equivalence with the streaming operator holds
+    whenever micro-batches deliver each writer's entries in event-id order.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("event_id")
+        rows, *_ = _flush_scan(
+            int(pdf["writer_id"].iloc[0]),
+            pdf["event_id"].to_numpy(),
+            pdf["entry_bytes"].to_numpy().cumsum(),
+            0,
+            0,
+            0,
+            flush_bytes,
+            flush_entries,
+        )
+        return pd.DataFrame(rows, columns=FLUSH_COLUMNS)
+
+    return (
+        entries.select("writer_id", "event_id", "entry_bytes")
+        .groupBy("writer_id")
+        .applyInPandas(fn, schema=FLUSH_OUTPUT_SCHEMA)
     )

@@ -201,6 +201,7 @@ def test_manifest_json_parse_stays_in_codegen(spark):
 ARROW_PYTHON_ALLOWED = {
     "q_dv_payload_roundtrip",
     "q_frame_sample",
+    "q_manifest_flush",
     "q_media_embed",
     "q_media_features",
     "q_media_resize",

@@ -61,7 +61,7 @@ def test_stateful_monitor_converges_to_batch_truth(spark, tmp_path):
 
 
 def test_manifest_flush_state_machine(spark, tmp_path):
-    """transformWithStateInPandas flush machine: thresholds respected, flush
+    """applyInPandasWithState flush machine: thresholds respected, flush
     sequence contiguous across micro-batches, pending remainder below both
     thresholds."""
     from iceberg_benchmark_poc_spark.streaming.stateful import manifest_flush_stream
@@ -118,3 +118,34 @@ def test_manifest_flush_state_machine(spark, tmp_path):
         rem_b = total_b - sum(r["flushed_bytes"] for r in fl)
         assert 0 <= rem_n < flush_entries
         assert 0 <= rem_b < flush_bytes
+
+
+def test_flush_batch_matches_reference_machine(spark):
+    """The vectorized batch replay equals a row-at-a-time port of the
+    reference's RootManifest.add_entry/flush_to_leaf loop
+    (poc/utils/adaptive_tree.py:96-150)."""
+    from iceberg_benchmark_poc_spark.queries.streamlike import (
+        FLUSH_Q_BYTES,
+        FLUSH_Q_ENTRIES,
+        FLUSH_Q_WRITERS,
+        q_manifest_flush,
+    )
+
+    got = [tuple(r) for r in q_manifest_flush(spark, SF_DIR).collect()]
+
+    entries = sorted(
+        (r["user_id"] % FLUSH_Q_WRITERS, r["event_id"], 200 + (r["event_id"] * 7919) % 65536)
+        for r in load_table(spark, SF_DIR, "events").select("user_id", "event_id").collect()
+    )
+    want = []
+    state: dict[int, list[int]] = {}
+    for wid, eid, nbytes in entries:
+        pend_e, pend_b, seq = state.get(wid, [0, 0, 0])
+        pend_e, pend_b = pend_e + 1, pend_b + nbytes
+        if pend_b >= FLUSH_Q_BYTES or pend_e >= FLUSH_Q_ENTRIES:
+            want.append((wid, seq, pend_e, pend_b, eid))
+            pend_e, pend_b, seq = 0, 0, seq + 1
+        state[wid] = [pend_e, pend_b, seq]
+    want.sort(key=lambda t: (t[0], t[1]))
+
+    assert got == want
