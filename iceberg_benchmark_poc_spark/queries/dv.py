@@ -392,3 +392,76 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
         F.sum("src").alias("n_from_updates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# equality deletes (Iceberg v2's second delete kind)
+# ---------------------------------------------------------------------------
+
+EQ_DELETE_KEY_MOD = 13  # custkeys with an equality delete
+EQ_DATA_SEQ_MOD = 1000  # data sequence number domain
+EQ_DELETE_SEQ_BASE, EQ_DELETE_SEQ_MOD = 500, 400  # delete seq 500-899
+
+
+@register(
+    "q_equality_delete",
+    oracle=f"""
+        WITH eq_deletes AS (
+          SELECT c_custkey AS custkey,
+                 {EQ_DELETE_SEQ_BASE} + (c_custkey % {EQ_DELETE_SEQ_MOD}) AS delete_seq
+          FROM customer WHERE c_custkey % {EQ_DELETE_KEY_MOD} = 0
+        )
+        SELECT o_orderstatus,
+               count(*) AS n_live,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM eq_deletes e
+          WHERE e.custkey = d.o_custkey
+            AND d.o_orderkey % {EQ_DATA_SEQ_MOD} < e.delete_seq
+        )
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+    tags=("dv", "join", "anti", "iceberg"),
+)
+def q_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete application with sequence-number semantics.
+
+    The reference models only positional delete vectors (its MDVs,
+    poc/utils/mdv_generator.py:37-72); Iceberg v2's *other* delete kind is
+    the equality delete — "delete every row whose key equals K" — which a
+    scan must apply only to rows whose data sequence number is OLDER than
+    the delete's (newer re-inserts of the same key survive). That order
+    predicate is what distinguishes this from q_dv_anti_join's plain
+    complement: the anti join carries the equality key AND the
+    data_seq < delete_seq condition.
+
+    Scale: the delete manifest is small by nature (one row per deleted key),
+    so it broadcasts and the fact side never shuffles — a merge-on-read scan
+    at 100 TB pays one broadcast hash anti-join inside the scan stage, which
+    is exactly how Spark's Iceberg reader applies equality deletes.
+    """
+    from ..core.io import load_table
+
+    eq = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % EQ_DELETE_KEY_MOD == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            (F.lit(EQ_DELETE_SEQ_BASE) + F.col("c_custkey") % EQ_DELETE_SEQ_MOD).alias("delete_seq"),
+        )
+    )
+    d = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", (F.col("o_orderkey") % EQ_DATA_SEQ_MOD).alias("data_seq")
+    )
+    live = d.join(
+        F.broadcast(eq),
+        (d["o_custkey"] == eq["custkey"]) & (d["data_seq"] < eq["delete_seq"]),
+        "left_anti",
+    )
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_live"), F.sum("o_orderkey").alias("key_sum"))
+        .orderBy("o_orderstatus")
+    )
