@@ -209,3 +209,80 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count_of(dv_files.exceptAll(recent).distinct(), "except"))
         .unionByName(count_of(dv_files.union(recent).distinct(), "union"))
     )
+
+
+# ---------------------------------------------------------------------------
+# schema evolution read path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+        WITH merged AS (
+          SELECT 1 AS schema_version, o_orderkey, o_custkey,
+                 CAST(NULL AS VARCHAR) AS o_priority_class
+          FROM orders WHERE o_orderkey % 3 <> 0
+          UNION ALL
+          SELECT 2, o_orderkey, CAST(NULL AS BIGINT),
+                 substr(o_orderpriority, 1, 1)
+          FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT schema_version,
+               count(*) AS n_rows,
+               count(*) - count(o_custkey) AS n_missing_custkey,
+               count(*) - count(o_priority_class) AS n_missing_priority,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM merged
+        GROUP BY schema_version
+        ORDER BY schema_version
+        """,
+    tags=("iceberg", "schema-evolution", "union"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: one scan spanning two schema versions.
+
+    The reference's schemas are fixed (SURVEY §1.2: code-declared dataclasses,
+    no evolution); Iceberg's headline table-format feature is that they are
+    not — columns are added and dropped by id, and a single scan reads files
+    written under EVERY historical spec, backfilling NULL for columns a file
+    predates and ignoring columns since dropped. This models that read path:
+    snapshot v1 files carry (o_orderkey, o_custkey); v2 files dropped
+    o_custkey and added o_priority_class. unionByName(allowMissingColumns)
+    is Spark's exact mechanism — per-file schema reconciliation against the
+    table's current schema, the same thing the Iceberg reader does per
+    manifest entry.
+
+    Scale: both branches scan the same parquet with disjoint pushed filters
+    and 2-3 pruned columns; the union is a plan-level concat (no shuffle)
+    and the rollup moves 2 rows. Null backfill is free — no data rewrite,
+    which is the entire point of metadata-level schema evolution.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    v1 = (
+        o.filter(F.col("o_orderkey") % 3 != 0)
+        .select(
+            F.lit(1).alias("schema_version"),
+            "o_orderkey",
+            "o_custkey",
+        )
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.lit(2).alias("schema_version"),
+            "o_orderkey",
+            F.substring("o_orderpriority", 1, 1).alias("o_priority_class"),
+        )
+    )
+    merged = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        merged.groupBy("schema_version")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count("o_custkey")).alias("n_missing_custkey"),
+            (F.count("*") - F.count("o_priority_class")).alias("n_missing_priority"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("schema_version")
+    )
