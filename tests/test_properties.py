@@ -381,3 +381,24 @@ def test_binpack_plan_partitions_all_files(spark):
         # groups cover disjoint, increasing file-id ranges
         for a, b in zip(rows, rows[1:]):
             assert a["last_file_id"] < b["first_file_id"]
+
+
+def test_partition_evolution_invariants(spark):
+    """Every candidate spec partitions the same row set: totals agree, skew
+    is >= 1 by construction, bucket() respects its bucket count, and the
+    month rollup can only merge day partitions."""
+    from iceberg_benchmark_poc_spark.core.io import load_table
+    from iceberg_benchmark_poc_spark.queries.zorder import BUCKETS, q_partition_evolution
+
+    from .conftest import SF_DIR
+
+    n_lineitem = load_table(spark, SF_DIR, "lineitem").count()
+    rows = {r["spec"]: r for r in q_partition_evolution(spark, SF_DIR).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["total_rows"] == n_lineitem
+        assert r["min_rows"] >= 1
+        assert r["skew"] >= 1.0
+        assert r["min_rows"] <= r["max_rows"]
+    assert rows[f"bucket({BUCKETS}, l_partkey)"]["n_partitions"] <= BUCKETS
+    assert rows["month(l_shipdate)"]["n_partitions"] <= rows["day(l_shipdate)"]["n_partitions"]
