@@ -792,3 +792,78 @@ def q_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_date", "group_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiry planning
+# ---------------------------------------------------------------------------
+
+#: expire the oldest 30% of the snapshot-id range (integer arithmetic so the
+#: cutoff is identical in both engines at every scale factor)
+EXPIRE_PCT = 30
+
+
+@register(
+    "q_expire_snapshots",
+    oracle=with_fixtures(
+        f"""
+        WITH scoped AS (
+          SELECT partition_date, file_size_bytes, snapshot_id,
+                 MIN(snapshot_id) OVER () AS min_snap,
+                 MAX(snapshot_id) OVER () AS max_snap
+          FROM file_meta
+        )
+        SELECT substr(CAST(partition_date AS VARCHAR), 1, 7) AS month,
+               count(*) FILTER (WHERE snapshot_id <= min_snap + ((max_snap - min_snap) * {EXPIRE_PCT}) // 100)
+                 AS n_expired_files,
+               CAST(COALESCE(SUM(file_size_bytes) FILTER (
+                 WHERE snapshot_id <= min_snap + ((max_snap - min_snap) * {EXPIRE_PCT}) // 100), 0) AS BIGINT)
+                 AS bytes_reclaimed,
+               count(*) FILTER (WHERE snapshot_id > min_snap + ((max_snap - min_snap) * {EXPIRE_PCT}) // 100)
+                 AS n_live_files
+        FROM scoped
+        GROUP BY month
+        ORDER BY month
+        """,
+        "file_meta",
+    ),
+    tags=("maintenance", "snapshots", "planning"),
+)
+def q_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiry planning: files and bytes reclaimed per month.
+
+    Completes the table-maintenance trio next to q_compaction (manifest
+    rewrite accounting) and q_binpack_plan (data-file rewrite grouping):
+    Iceberg's `expire_snapshots` drops snapshots beyond the retention
+    horizon and deletes files no longer reachable. With the fixture's
+    one-snapshot-per-file lineage (poc/utils/manifest_generator.py:111 —
+    snapshot_id tracks file_id), expiring the oldest {EXPIRE_PCT}% of the
+    snapshot-id range marks exactly those files; the query reports, per
+    partition month, how many files and bytes a GC pass would reclaim and
+    how many stay live.
+
+    Scale: the retention cutoff comes from an empty-frame min/max window —
+    on metadata-scale input (one row per file) the single-partition window
+    is the documented exception to the no-global-window rule, and the rest
+    is one map-side-combined aggregation. No joins, so no broadcast of a
+    scalar subquery (keeps the plan nested-loop free).
+    """
+    snap_cut = F.min("snapshot_id").over(Window.partitionBy()) + (
+        (F.max("snapshot_id").over(Window.partitionBy()) - F.min("snapshot_id").over(Window.partitionBy()))
+        * EXPIRE_PCT
+    ).cast("bigint") / 100
+    expired = F.col("snapshot_id") <= F.floor(snap_cut)
+    return (
+        file_meta(spark, sf_dir)
+        .select("partition_date", "file_size_bytes", "snapshot_id")
+        .withColumn("expired", expired)
+        .groupBy(F.substring(F.col("partition_date").cast("string"), 1, 7).alias("month"))
+        .agg(
+            F.count(F.when(F.col("expired"), 1)).alias("n_expired_files"),
+            F.coalesce(F.sum(F.when(F.col("expired"), F.col("file_size_bytes"))), F.lit(0)).alias(
+                "bytes_reclaimed"
+            ),
+            F.count(F.when(~F.col("expired"), 1)).alias("n_live_files"),
+        )
+        .orderBy("month")
+    )
