@@ -402,3 +402,50 @@ def test_partition_evolution_invariants(spark):
         assert r["min_rows"] <= r["max_rows"]
     assert rows[f"bucket({BUCKETS}, l_partkey)"]["n_partitions"] <= BUCKETS
     assert rows["month(l_shipdate)"]["n_partitions"] <= rows["day(l_shipdate)"]["n_partitions"]
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=120),
+    cuts=st.sets(st.integers(min_value=1, max_value=119), max_size=6),
+    flush_bytes=st.integers(min_value=500, max_value=20_000),
+    flush_entries=st.integers(min_value=2, max_value=40),
+)
+@settings(max_examples=200, deadline=None)
+def test_flush_scan_chunking_invariant(sizes, cuts, flush_bytes, flush_entries):
+    """_flush_scan is chunking-invariant: replaying one writer's entry log in
+    arbitrary micro-batch splits (state carried between chunks) emits exactly
+    the flushes of a row-at-a-time replay of the whole log."""
+    import numpy as np
+
+    from iceberg_benchmark_poc_spark.streaming.stateful import _flush_scan
+
+    ids = list(range(1, len(sizes) + 1))
+
+    # reference: the RootManifest add_entry/flush loop
+    want, pend_e, pend_b, seq = [], 0, 0, 0
+    for eid, nbytes in zip(ids, sizes):
+        pend_e, pend_b = pend_e + 1, pend_b + nbytes
+        if pend_b >= flush_bytes or pend_e >= flush_entries:
+            want.append((7, seq, pend_e, pend_b, eid))
+            pend_e, pend_b, seq = 0, 0, seq + 1
+
+    # chunked vectorized replay
+    bounds = [0, *sorted(c for c in cuts if c < len(sizes)), len(sizes)]
+    got, pe, pb, nf = [], 0, 0, 0
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue
+        rows, pe, pb, nf = _flush_scan(
+            7,
+            np.array(ids[lo:hi]),
+            np.array(sizes[lo:hi]).cumsum(),
+            pe,
+            pb,
+            nf,
+            flush_bytes,
+            flush_entries,
+        )
+        got.extend(rows)
+
+    assert got == want
+    assert pe == pend_e and pb == pend_b and nf == seq
