@@ -252,3 +252,54 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# correlated EXISTS through the SQL front door
+# ---------------------------------------------------------------------------
+
+_LATE_ORDERS_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS order_count
+    FROM {orders} o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM {lineitem} l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q_late_orders",
+    oracle=_LATE_ORDERS_SQL.format(orders="orders", lineitem="lineitem"),
+    tags=("sql", "subquery", "semi-join"),
+)
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS, submitted as SQL text.
+
+    Every other registered query declares its plan through the DataFrame
+    API; this one goes through the engine's SQL front door (spark.sql over
+    temp views) to exercise the parser + analyzer path and Catalyst's
+    subquery decorrelation: the correlated EXISTS — whose inner predicate
+    references BOTH sides (l_shipdate > o_orderdate + 90 days), more than a
+    key match — must be rewritten into a left-semi join with the correlated
+    predicate pulled into the join condition. The identical SQL text is the
+    DuckDB oracle, modulo view names.
+
+    Scale: after decorrelation the plan is a semi join on l_orderkey with
+    the date filter pushed to the orders scan; the lineitem side prunes to
+    two columns. Semi-join output is bounded by the orders side, and the
+    priority rollup is a 5-row aggregate.
+    """
+    from ..core.io import load_table
+
+    ov = "q_late_orders_orders"
+    lv = "q_late_orders_lineitem"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(lv)
+    return spark.sql(_LATE_ORDERS_SQL.format(orders=ov, lineitem=lv))

@@ -239,3 +239,11 @@ def test_plan_audit_every_query(spark):
                 assert marker not in plan, f"{name}: unexpected Python stage {marker}"
         if name not in BNLJ_ALLOWED:
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
+
+
+def test_late_orders_decorrelates_exists(spark):
+    plan = plan_of(spark, "q_late_orders")
+    # correlated EXISTS must become a semi join with the date filter pushed
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
