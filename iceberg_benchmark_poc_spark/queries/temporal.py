@@ -286,3 +286,96 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("schema_version")
     )
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish gates
+# ---------------------------------------------------------------------------
+
+WAP_STAGE_MOD = 10  # o_orderkey % 10 == 7 rows form the staged branch
+
+
+@register(
+    "q_wap_audit",
+    oracle=f"""
+        WITH staged AS (
+          SELECT o_totalprice > 0 AS price_ok,
+                 o_orderstatus IN ('O','F','P') AS status_ok,
+                 o_custkey IN (SELECT c_custkey FROM customer) AS fk_ok,
+                 o_orderdate >= TIMESTAMP '1996-01-01' AS fresh_ok
+          FROM orders WHERE o_orderkey % {WAP_STAGE_MOD} = 7
+        ),
+        checks AS (
+          SELECT 'price_positive' AS gate, price_ok AS ok FROM staged
+          UNION ALL SELECT 'status_domain', status_ok FROM staged
+          UNION ALL SELECT 'custkey_fk', fk_ok FROM staged
+          UNION ALL SELECT 'fresh_since_1996', fresh_ok FROM staged
+          UNION ALL SELECT 'all_gates', price_ok AND status_ok AND fk_ok AND fresh_ok
+          FROM staged
+        )
+        SELECT gate,
+               count(*) AS n_checked,
+               count(*) FILTER (WHERE ok) AS n_passed,
+               count(*) FILTER (WHERE NOT ok) AS n_failed
+        FROM checks
+        GROUP BY gate
+        ORDER BY gate
+        """,
+    tags=("iceberg", "wap", "audit"),
+)
+def q_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish: quality gates over a staged snapshot branch.
+
+    Iceberg's WAP flow (spark.wap.branch) stages a write on an audit branch;
+    only after validation does fast_forward publish it to main. The
+    reference has no notion of this — its commits publish unconditionally
+    (poc/test_concurrent_writers.py:57-94) — but any production ingest into
+    the tables it models runs these audits. The staged batch here is the
+    o_orderkey%{WAP_STAGE_MOD}==7 slice; gates: totalprice positivity,
+    status domain membership, customer FK integrity (broadcast semi
+    join), and a freshness floor. Output is the audit report — per-gate
+    checked/passed/failed plus the all_gates publish verdict row.
+
+    Scale: one scan of the staged slice computes all gate booleans in a
+    single codegen stage (the FK check joins a broadcast dim key set); the
+    5-gate explosion multiplies only booleans, and the rollup returns 5
+    rows. The audit cost is one pass over the staged batch regardless of
+    main-branch size — which is why WAP is viable on 100 TB tables.
+    """
+    from ..core.io import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    staged = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % WAP_STAGE_MOD == 7)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            (F.col("o_totalprice") > 0).alias("price_ok"),
+            F.col("o_orderstatus").isin("O", "F", "P").alias("status_ok"),
+            F.col("c_custkey").isNotNull().alias("fk_ok"),
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")).alias("fresh_ok"),
+        )
+    )
+    checks = staged.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("price_positive").alias("gate"), F.col("price_ok").alias("ok")),
+                F.struct(F.lit("status_domain").alias("gate"), F.col("status_ok").alias("ok")),
+                F.struct(F.lit("custkey_fk").alias("gate"), F.col("fk_ok").alias("ok")),
+                F.struct(F.lit("fresh_since_1996").alias("gate"), F.col("fresh_ok").alias("ok")),
+                F.struct(
+                    F.lit("all_gates").alias("gate"),
+                    (F.col("price_ok") & F.col("status_ok") & F.col("fk_ok") & F.col("fresh_ok")).alias("ok"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.gate", "c.ok")
+    return (
+        checks.groupBy("gate")
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.count(F.when(F.col("ok"), 1)).alias("n_passed"),
+            F.count(F.when(~F.col("ok"), 1)).alias("n_failed"),
+        )
+        .orderBy("gate")
+    )
