@@ -63,7 +63,7 @@ def main() -> None:
         suites = run_all_suites(spark, SF_DIR, tempfile.mkdtemp(prefix="bench_suites_"))
 
     total = round(sum(timings.values()), 4)
-    out = {
+    full = {
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
@@ -72,9 +72,67 @@ def main() -> None:
         "n_queries": len(timings),
     }
     if suites is not None:
-        out["suites"] = suites
-    print(json.dumps(out))
+        full["suites"] = suites
+
+    # The driver keeps only the last ~2KB of stdout, so the full per-query map
+    # goes to BENCH_FULL.json in the repo (round-over-round comparable) and the
+    # FINAL stdout line is a compact headline guaranteed to fit the tail.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    out = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+        "full": "BENCH_FULL.json",
+        "queries": _slowest(timings, 10),
+    }
+    if suites is not None:
+        out["suites"] = _suite_headline(suites)
+    line = json.dumps(out, separators=(",", ":"))
+    while len(line) > 1900 and out["queries"]:  # hard cap for the driver tail
+        out["queries"] = _slowest(out["queries"], len(out["queries"]) - 2)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
+
+
+def _slowest(timings: dict[str, float], k: int) -> dict[str, float]:
+    return {n: round(t, 2) for n, t in sorted(timings.items(), key=lambda kv: -kv[1])[:k]}
+
+
+def _suite_headline(suites: dict) -> dict:
+    """One BASELINE.md-comparable scalar per suite (full detail in BENCH_FULL.json)."""
+
+    def g(*path):
+        d = suites
+        for p in path:
+            if not isinstance(d, dict) or p not in d:
+                return None
+            d = d[p]
+        return d
+
+    h = {
+        "writer_org_bytes_reduction_x": g("writer_org", "bytes_reduction_x"),
+        "delete_storm_speedup_x": g("delete_storm", "modeled_speedup_x"),
+        "parallel_fetch_x": g("parallel_fetch", "parallel_vs_inline_x"),
+        "manifest_parse_ms_32mb": g("manifest_parse", "parse_ms_32mb"),
+        "density_decision_ms": g("density_policy", "decision_wall_ms"),
+        "dv_hash_join_ms_100k": g("dv_resolution", "100000", "hash_join_ms"),
+        "dv_positional_ms_100k": g("dv_resolution", "100000", "positional_join_ms"),
+        "commit_ms_batch1": g("single_file_commits", "manifest_commit", "batch_1", "avg_commit_ms"),
+        "commit_ms_batch1000": g("single_file_commits", "manifest_commit", "batch_1000", "avg_commit_ms"),
+        "tree_plan_ms_50k": g("adaptive_tree", "50000", "flat_scan_ms"),
+        "wide_v3_scan_ms": g("wide_table", "v3_footer_scan_ms"),
+        "wide_v4_lookup_ms": g("wide_table", "v4_stats_lookup_ms"),
+        "writers_commits_per_sec": g("concurrent_writers", "commits_per_sec"),
+        "writers_conflict_rate": g("concurrent_writers", "conflict_rate"),
+        "column_update_speedup_x": g("column_update", "column_update_speedup_x"),
+    }
+    return {k: v for k, v in h.items() if v is not None}
 
 
 if __name__ == "__main__":

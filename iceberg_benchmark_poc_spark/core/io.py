@@ -41,13 +41,44 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is physically TIMESTAMP(NANOS); without this conf a plain
+        # SparkSession (e.g. the correctness driver's) fails schema conversion
+        # with PARQUET_TYPE_ILLEGAL before projection even applies. The conf is
+        # runtime-settable, so set it here instead of relying on our session
+        # factory having built the session. Pin the session timezone too so
+        # every NTZ<->LTZ cast below (and in ``epoch_micros``) is exact.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos -> micros truncation; identical to DuckDB TIMESTAMP_NS->TIMESTAMP.
-        # MUST be integer division: float `/ 1000` rounds epoch-nanos (≈1.7e18,
-        # beyond double's 2^53 exact-integer range) and lands ±1 µs off.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Depending on session confs, ts arrives as bigint (legacy nanosAsLong),
+        # timestamp_ntz (native nanos read, Spark 4.1+), or timestamp (NTZ
+        # inference off). Normalize all three to naive-UTC TimestampNTZ — the
+        # exact type DuckDB's TIMESTAMP_NS -> TIMESTAMP cast produces — so
+        # query results are identical in any host session.
+        t = dict(df.dtypes).get("ts")
+        if t == "bigint":
+            # nanos -> micros truncation; identical to DuckDB TIMESTAMP_NS ->
+            # TIMESTAMP. MUST be integer division: float `/ 1000` rounds
+            # epoch-nanos (≈1.7e18, beyond double's 2^53 exact-integer range)
+            # and lands ±1 µs off.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif t == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
+
+
+def epoch_micros(col) -> "F.Column":
+    """Microseconds since epoch for a naive-UTC timestamp column.
+
+    ``F.unix_micros`` only accepts TimestampType (LTZ); events.ts is
+    normalized to TimestampNTZ by ``load_table``. The NTZ->LTZ cast is exact
+    because load_table pins the session timezone to UTC.
+    """
+    return F.unix_micros(F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

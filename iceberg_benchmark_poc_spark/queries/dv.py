@@ -343,7 +343,7 @@ def q_ordered_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                count(*) AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
-               sum(src) AS n_from_updates
+               CAST(sum(src) AS BIGINT) AS n_from_updates
         FROM merged WHERE rn = 1
         GROUP BY 1
         """,

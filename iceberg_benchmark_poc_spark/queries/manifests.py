@@ -536,7 +536,8 @@ def q_wide_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT substr(json_extract_string(doc, '$.committed'), 1, 7) AS month,
                count(*)                                              AS n_files,
-               sum(CAST(json_extract(doc, '$.records') AS BIGINT))   AS total_records,
+               CAST(sum(CAST(json_extract(doc, '$.records') AS BIGINT)) AS BIGINT)
+                                                                     AS total_records,
                max(length(json_extract_string(doc, '$.path')))       AS max_path_len
         FROM (
           SELECT printf(
@@ -622,9 +623,9 @@ def _lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH lineage AS ({_LINEAGE_SQL}
         )
         SELECT CAST(EXTRACT(year FROM partition_date) AS INTEGER) AS part_year,
-               count(*)            AS n_files,
-               sum(record_count)   AS total_records,
-               sum(file_size_bytes) AS total_bytes
+               count(*)                                AS n_files,
+               CAST(sum(record_count) AS BIGINT)       AS total_records,
+               CAST(sum(file_size_bytes) AS BIGINT)    AS total_bytes
         FROM lineage
         WHERE added_snap <= {TRAVEL_SNAP} AND removed_snap > {TRAVEL_SNAP}
         GROUP BY 1
@@ -672,12 +673,12 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE removed_snap > {DIFF_LO} AND removed_snap <= {DIFF_HI}
         )
         SELECT snap,
-               sum(is_add)                    AS n_added,
-               sum(1 - is_add)                AS n_removed,
-               sum(CASE WHEN is_add = 1 THEN record_count ELSE -record_count END)
-                                              AS net_records,
-               sum(CASE WHEN is_add = 1 THEN file_size_bytes ELSE -file_size_bytes END)
-                                              AS net_bytes
+               CAST(sum(is_add) AS BIGINT)     AS n_added,
+               CAST(sum(1 - is_add) AS BIGINT) AS n_removed,
+               CAST(sum(CASE WHEN is_add = 1 THEN record_count ELSE -record_count END)
+                    AS BIGINT)                 AS net_records,
+               CAST(sum(CASE WHEN is_add = 1 THEN file_size_bytes ELSE -file_size_bytes END)
+                    AS BIGINT)                 AS net_bytes
         FROM events
         GROUP BY 1
         """,

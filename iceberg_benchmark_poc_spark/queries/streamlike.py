@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..core.io import load_table
+from ..core.io import epoch_micros, load_table
 from ..core.registry import register
 
 SESSION_GAP_MINUTES = 30
@@ -132,7 +132,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w_order)
+    gap = epoch_micros("ts") - F.lag(epoch_micros("ts")).over(w_order)
     marked = e.select(
         "user_id",
         "ts",

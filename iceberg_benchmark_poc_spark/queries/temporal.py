@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..core.io import load_table
+from ..core.io import epoch_micros, load_table
 from ..core.registry import register
 
 RATE_EVERY_MIN = 90  # snapshot cadence of the derived rate table

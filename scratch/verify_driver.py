@@ -1,20 +1,35 @@
 """Mimic the driver gate: run every queries() entry at sf0.01 against its
 DuckDB oracle and compare row count + sorted columns + order-insensitive
-value hash. Exit non-zero on any mismatch."""
+value hash + arrow-level result types. Exit non-zero on any mismatch.
+
+Deliberately uses a BARE SparkSession (no engine confs) — the real driver
+builds its own session, and round 1 proved session-dependent behavior
+(events.parquet nanos handling) only surfaces under that condition.
+"""
 
 import importlib.util
 import math
+import os
 import sys
 
 import duckdb
+
+sys.path.insert(0, "/root/repo")
 
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(mod)
 
-from iceberg_benchmark_poc_spark.core.session import get_spark  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
-spark = get_spark()
+from tests.conftest import _arrow_type_class, _spark_type_class  # noqa: E402
+
+spark = (
+    SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
+    .appName("verify-driver-mimic")
+    .config("spark.driver.memory", "6g")
+    .getOrCreate()
+)
 spark.sparkContext.setLogLevel("ERROR")
 
 n = len(mod.entry(spark).collect())
@@ -44,22 +59,39 @@ def key(rows, cols):
 oracles = mod.oracle_sql()
 failures = []
 for name, fn in sorted(mod.queries().items()):
-    s_df = fn(spark, SF)
-    s_rows = s_df.collect()
+    try:
+        s_df = fn(spark, SF)
+        s_rows = s_df.collect()
+    except Exception as e:
+        print(f"{name:28s} ERR  {str(e)[:140]}")
+        failures.append(name)
+        continue
     if name not in oracles:
         print(f"{name:28s} rows-only: {len(s_rows)} rows")
         continue
     d_rel = con.sql(oracles[name])
-    d_rows = d_rel.fetchall()
+    d_arrow = d_rel.arrow()
+    d_rows = [tuple(r) for r in d_rel.fetchall()]
     d_cols = list(d_rel.columns)
     ok_cols = sorted(s_df.columns) == sorted(d_cols)
     ok_count = len(s_rows) == len(d_rows)
+    # the driver hashes *typed* values: HUGEINT/DECIMAL vs BIGINT is a FAIL
+    # even when every value compares equal in python
+    d_types = {f.name: _arrow_type_class(f.type) for f in d_arrow.schema}
+    s_types = {c: _spark_type_class(t) for c, t in s_df.dtypes}
+    type_mismatch = {
+        c: (s_types[c], d_types[c])
+        for c in s_types
+        if c in d_types and s_types[c] != d_types[c]
+    }
     ok_vals = ok_cols and ok_count and key(
         [tuple(r) for r in s_rows], s_df.columns
     ) == key(d_rows, d_cols)
-    status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
-    print(f"{name:28s} {status}  rows={len(s_rows)}/{len(d_rows)} cols_ok={ok_cols} vals_ok={ok_vals}")
-    if status == "FAIL":
+    ok = ok_cols and ok_count and ok_vals and not type_mismatch
+    status = "OK" if ok else "FAIL"
+    extra = f" types={type_mismatch}" if type_mismatch else ""
+    print(f"{name:28s} {status}  rows={len(s_rows)}/{len(d_rows)} cols_ok={ok_cols} vals_ok={ok_vals}{extra}")
+    if not ok:
         failures.append(name)
 
 if failures:

@@ -81,6 +81,69 @@ def rows_to_key(rows, columns):
     return sorted(normed, key=lambda row: tuple((v is None, str(v)) for v in row))
 
 
+def _spark_type_class(dtype: str) -> str:
+    d = dtype.lower()
+    if d.startswith(("array", "map", "struct")):
+        return d.split("<")[0]
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("tinyint", "smallint", "int", "bigint", "long", "integer", "short", "byte"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("timestamp"):
+        return "timestamp"
+    return d
+
+
+def _arrow_type_class(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return "array"
+    if pa.types.is_map(t):
+        return "map"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def assert_oracle_types_match(name, sdf, rel):
+    """The driver compares *typed* values (arrow), so an oracle emitting
+    HUGEINT/DECIMAL where Spark emits BIGINT/DOUBLE hash-mismatches even when
+    every value is numerically equal. Fail locally with a pointer to the CAST.
+    """
+    arrow_schema = rel.arrow().schema
+    d_types = {f.name: _arrow_type_class(f.type) for f in arrow_schema}
+    s_types = {c: _spark_type_class(t) for c, t in sdf.dtypes}
+    bad = {
+        c: (s_types[c], d_types[c])
+        for c in s_types
+        if c in d_types and s_types[c] != d_types[c]
+    }
+    assert not bad, (
+        f"{name}: oracle result type mismatch (spark, duckdb) = {bad} — "
+        f"add a CAST in the oracle SQL (e.g. CAST(sum(x) AS BIGINT)) so the "
+        f"driver's typed hash comparison sees identical types"
+    )
+
+
 def compare_query_to_oracle(spark, duck, name, fn, oracle):
     sdf = fn(spark, SF_DIR)
     s_cols = sdf.columns
@@ -91,6 +154,7 @@ def compare_query_to_oracle(spark, duck, name, fn, oracle):
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
     )
+    assert_oracle_types_match(name, sdf, rel)
     assert len(s_rows) == len(d_rows), f"{name}: row count spark={len(s_rows)} duckdb={len(d_rows)}"
     sk = rows_to_key(s_rows, s_cols)
     dk = rows_to_key(d_rows, d_cols)
