@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from iceberg_benchmark_poc_spark.core.registry import all_queries
+from iceberg_benchmark_poc_spark.core.registry import driver_ordered_queries
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -26,10 +26,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
-    return {name: q.fn for name, q in all_queries().items()}
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions).
+
+    Ordered round-robin across operator families so a time-truncated sweep
+    still samples every family (round 1 stopped at 50/85 and left whole
+    families unverdicted).
+    """
+    return {name: q.fn for name, q in driver_ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle twins; ops without one get the weaker rows-only check."""
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in driver_ordered_queries().items() if q.oracle is not None
+    }

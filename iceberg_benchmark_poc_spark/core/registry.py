@@ -55,3 +55,28 @@ def all_queries() -> dict[str, Query]:
 
 def get_query(name: str) -> Query:
     return all_queries()[name]
+
+
+def driver_ordered_queries() -> dict[str, Query]:
+    """Registry round-robined across source modules.
+
+    The correctness driver sweeps ``queries()`` in dict order under a wall
+    budget; round 1 stopped at 50 of 85, leaving whole families (embeddings,
+    multimodal, streaming) unverdicted because registration order grouped by
+    module. Interleaving one-per-module means any truncated prefix still
+    samples every operator family.
+    """
+    qs = all_queries()
+    by_module: dict[str, list[Query]] = {}
+    for q in qs.values():
+        by_module.setdefault(q.fn.__module__, []).append(q)
+    out: dict[str, Query] = {}
+    rows = list(by_module.values())
+    i = 0
+    while len(out) < len(qs):
+        for mod_queries in rows:
+            if i < len(mod_queries):
+                q = mod_queries[i]
+                out[q.name] = q
+        i += 1
+    return out

@@ -21,6 +21,9 @@ from ..core.registry import register
 from ..operators.vectors import QUANT_SCALE, cosine_topk, dot_quant, quantize
 
 QUERY_MOD = 100  # vec_id % 100 == 0 rows are the query set
+QUERY_K = 32  # q_embed_topk's exact baseline caps its query set at 32 vectors
+#: (vec_id < MOD*K) so brute-force work is O(K * corpus), not O(corpus^2/MOD)
+QUERY_CAP = QUERY_MOD * QUERY_K
 TOP_K = 3
 N_HYPERPLANES = 4  # sign-LSH bits -> 16 buckets
 
@@ -79,7 +82,7 @@ def _bucket_col(band: int = 0) -> F.Column:
             SELECT q.vec_id AS q_id, c.vec_id AS c_id,
                    unnest(list_zip(c.embedding, q.embedding)) AS z
             FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-            WHERE q.vec_id % {QUERY_MOD} = 0
+            WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id < {QUERY_CAP}
           )
           GROUP BY 1, 2
         ),
@@ -102,13 +105,16 @@ def _bucket_col(band: int = 0) -> F.Column:
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: exact nearest neighbors for the query set.
 
-    The query set (vec_id % 100 == 0) is broadcast, so the corpus is scanned
-    exactly once with no shuffle of the big side; per-query top-k is a
-    windowed rank over |queries| x corpus candidates. This is the exactness
-    baseline that q_embed_ann's bucketed search is measured against.
+    The query set (vec_id % 100 == 0, capped at 32 vectors so the work is
+    O(32 x corpus) at ANY scale, never O(corpus^2)) is broadcast, so the
+    corpus is scanned exactly once with no shuffle of the big side; per-query
+    top-k is a windowed rank over |queries| x corpus candidates. This is the
+    exactness baseline that q_embed_ann's bucketed search is measured against.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, F.col("vec_id") % QUERY_MOD == 0, k=TOP_K)
+    return cosine_topk(
+        emb, (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP), k=TOP_K
+    )
 
 
 @register(

@@ -38,7 +38,10 @@ from ..operators.text import (
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by")
 LANG_MARKER_THRESHOLD = 0.05  # stopword-ratio cut for the lang-id heuristic
-NGRAM_SAMPLE_MOD = 25  # q_ngram_jaccard pairs come from doc_id % 25 == 0
+NGRAM_SAMPLE_MOD = 25  # q_ngram_jaccard samples doc_id % 25 == 0 ...
+NGRAM_SAMPLE_K = 32  # ... capped at 32 docs (doc_id < MOD*K) so the exact
+#: all-pairs audit stays O(K^2) = 496 pairs no matter how large the corpus is
+NGRAM_SAMPLE_CAP = NGRAM_SAMPLE_MOD * NGRAM_SAMPLE_K
 BPE_TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # letters / digits / single punct
 
 _STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
@@ -358,7 +361,8 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_jaccard",
     oracle=f"""
         WITH {_WORDS_CTE.strip()},
-        sample AS (SELECT doc_id, txt, ws FROM words WHERE doc_id % {NGRAM_SAMPLE_MOD} = 0),
+        sample AS (SELECT doc_id, txt, ws FROM words
+                   WHERE doc_id % {NGRAM_SAMPLE_MOD} = 0 AND doc_id < {NGRAM_SAMPLE_CAP}),
         sidx AS (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM sample),
         grams AS (
           SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
@@ -389,14 +393,18 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard over a deterministic document sample.
 
-    The ground-truth similarity measure LSH approximates, computed on the
-    doc_id % 25 sample so all pairs stay tractable (it is the oracle for LSH
-    recall measurements in tests). At full scale this query only ever runs on
-    candidates or audit samples — never the whole corpus.
+    The ground-truth similarity measure LSH approximates, computed on a
+    fixed-size deterministic sample (doc_id % 25 == 0, capped at 32 docs) so
+    the all-pairs cost is a constant 496 pairs at ANY corpus size — the pair
+    count does not grow with scale factor. It is the oracle for LSH recall
+    measurements in tests; at full scale this query only ever runs on
+    candidates or audit samples, never the whole corpus.
     """
     d = _docs(spark, sf_dir)
     # bind the word array as a column before the lambda (see word_shingles)
-    sample = d.filter(F.col("doc_id") % NGRAM_SAMPLE_MOD == 0).select(
+    sample = d.filter(
+        (F.col("doc_id") % NGRAM_SAMPLE_MOD == 0) & (F.col("doc_id") < NGRAM_SAMPLE_CAP)
+    ).select(
         "doc_id",
         F.trim(F.col("text")).alias("txt"),
         F.split(F.trim(F.col("text")), r"\s+").alias("ws"),

@@ -449,3 +449,42 @@ def test_flush_scan_chunking_invariant(sizes, cuts, flush_bytes, flush_entries):
 
     assert got == want
     assert pe == pend_e and pb == pend_b and nf == seq
+
+
+# ---------------------------------------------------------------------------
+# benchmark properties: exactness-baseline sample sets are bounded constants,
+# independent of corpus size — the all-pairs audit cost may NOT grow with SF
+# ---------------------------------------------------------------------------
+
+
+def test_quadratic_baseline_samples_are_scale_bounded(spark):
+    import os
+
+    from iceberg_benchmark_poc_spark.core.io import load_table
+    from iceberg_benchmark_poc_spark.queries.embeddings import QUERY_CAP, QUERY_K, QUERY_MOD
+    from iceberg_benchmark_poc_spark.queries.textpipe import (
+        NGRAM_SAMPLE_CAP,
+        NGRAM_SAMPLE_K,
+        NGRAM_SAMPLE_MOD,
+    )
+
+    sf_dirs = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.1") if os.path.isdir(d)]
+    for sf_dir in sf_dirs:
+        n_docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(
+                (F.col("doc_id") % NGRAM_SAMPLE_MOD == 0) & (F.col("doc_id") < NGRAM_SAMPLE_CAP)
+            )
+            .count()
+        )
+        assert n_docs <= NGRAM_SAMPLE_K, f"{sf_dir}: ngram sample {n_docs} > {NGRAM_SAMPLE_K}"
+        n_queries = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP))
+            .count()
+        )
+        assert n_queries <= QUERY_K, f"{sf_dir}: topk query set {n_queries} > {QUERY_K}"
+    # the cap binds at the largest local SF: the all-pairs audit is exactly
+    # C(K,2) pairs there and at every larger corpus
+    if "/root/testdata/sf0.1" in sf_dirs:
+        assert n_docs == NGRAM_SAMPLE_K
