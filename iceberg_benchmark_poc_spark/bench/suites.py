@@ -164,21 +164,57 @@ def suite_parallel_fetch(spark: SparkSession, n_files: int = 1000, threads: int 
 # ---------------------------------------------------------------------------
 
 
+def _jvm_heap_used_mb(spark: SparkSession) -> float:
+    """Driver JVM heap in use (MB) — the memory proxy the reference records
+    per suite (poc/utils/metrics_collector.py:91-103: RSS + gc stats)."""
+    rt = spark._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+    return (rt.totalMemory() - rt.freeMemory()) / 1048576
+
+
+def _python_rss_mb() -> float:
+    import resource
+
+    # ru_maxrss is KB on linux
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+
 def suite_manifest_parse(spark: SparkSession, tmp_dir: str, sizes_mb: tuple = (1, 8, 16, 32)) -> dict:
-    """JSON manifest parse wall-clock vs manifest size (real I/O, real parse)."""
+    """JSON manifest parse wall-clock AND memory vs manifest size.
+
+    Mirrors the reference's per-suite memory collection
+    (poc/utils/metrics_collector.py:91-103) and its GC-cliff probe
+    (poc/test_gc_performance_cliff.py:65-136, which found no cliff —
+    poc/results/gc_cliff_results.json): we record the driver-JVM heap delta
+    across each parse plus process peak RSS, and flag a cliff if parse time
+    grows superlinearly (>3x the per-MB rate of the smallest manifest).
+    """
     results = {}
     warm = os.path.join(tmp_dir, "manifest_warm")
     synth_file_meta(spark, 100).coalesce(1).write.mode("overwrite").json(warm)
     spark.read.json(warm).count()  # absorb first-json-read codepath warmup
+    per_mb_ms = {}
     for mb in sizes_mb:
         n = mb * 1048576 // ENTRY_BYTES
         path = os.path.join(tmp_dir, f"manifest_{mb}mb")
         synth_file_meta(spark, n).coalesce(1).write.mode("overwrite").json(path)
+        heap0 = _jvm_heap_used_mb(spark)
         t0 = time.perf_counter()
         cnt = spark.read.json(path).count()
-        results[f"parse_ms_{mb}mb"] = round((time.perf_counter() - t0) * 1000, 1)
+        wall_ms = (time.perf_counter() - t0) * 1000
+        results[f"parse_ms_{mb}mb"] = round(wall_ms, 1)
+        # heap delta can be negative if a GC ran mid-parse; clamp at 0 — the
+        # signal sought is "does parse memory scale with manifest size"
+        results[f"heap_delta_mb_{mb}mb"] = round(max(_jvm_heap_used_mb(spark) - heap0, 0.0), 1)
+        per_mb_ms[mb] = wall_ms / mb
         assert cnt == n
-    return {"sizes_mb": list(sizes_mb), **results, "cliff_detected": False}
+    smallest = min(sizes_mb)
+    cliff = any(per_mb_ms[mb] > 3 * per_mb_ms[smallest] for mb in sizes_mb)
+    return {
+        "sizes_mb": list(sizes_mb),
+        **results,
+        "python_peak_rss_mb": round(_python_rss_mb(), 1),
+        "cliff_detected": cliff,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -508,16 +544,29 @@ def suite_concurrent_writers(spark: SparkSession, tmp_dir: str, n_writers: int =
     """
     meta_dir = os.path.join(tmp_dir, "concurrent/meta")
     os.makedirs(meta_dir, exist_ok=True)
-    # manifest sized so one real JSON write takes ~3 ms — the reference's
-    # in-window "work" is time.sleep(uniform(1ms, 5ms)), mean 3 ms
-    # (poc/test_concurrent_writers.py:128); matching the window size is what
-    # makes the conflict-rate shape comparable (a sub-ms write halves it)
-    entries = [{"path": f"data/f{i}.parquet", "records": 1000 + i} for i in range(700)]
+    # The reference's in-window "work" is time.sleep(uniform(1ms, 5ms)), mean
+    # 3 ms (poc/test_concurrent_writers.py:128) — a sleep RELEASES the GIL, so
+    # its five writers overlap fully. Round 1 sized a pure-python json.dump to
+    # the same 3 ms, but that holds the GIL and serializes every writer,
+    # understating commit throughput ~35% at identical conflict shape. Match
+    # the reference: a small real manifest write plus a deterministic 1-5 ms
+    # sleep (hash-draw, mean 3 ms) filling the rest of the conflict window.
+    entries = [{"path": f"data/f{i}.parquet", "records": 1000 + i} for i in range(20)]
 
     def write_manifest(wid: int, i: int, expected: int) -> None:
+        # optimistic locking serializes commits at ~1/window system-wide (one
+        # winner per epoch; every overlapping attempt is doomed to conflict),
+        # so commit throughput is set by the TOTAL window length. The write
+        # cost counts toward the window — sleep only the remainder — otherwise
+        # the cadence runs ~25% slower than the reference's at the same shape.
+        t0 = time.perf_counter()
+        target_ms = 1.0 + ((wid * 1315423911 + i * 2654435761 + expected * 97) % 4001) / 1000.0
         manifest = {"base_version": expected, "writer": wid, "seq": i, "entries": entries}
         with open(os.path.join(meta_dir, f"w{wid}_s{i}.json"), "w") as f:
             json.dump(manifest, f)
+        remainder = target_ms / 1000.0 - (time.perf_counter() - t0)
+        if remainder > 0:
+            time.sleep(remainder)
 
     meta = _optimistic_commit_run(n_writers, writes_each, write_manifest)
 

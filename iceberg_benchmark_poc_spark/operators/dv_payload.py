@@ -2,10 +2,13 @@
 
 The reference serializes delete positions as Roaring bitmaps + zlib "Puffin"
 blobs (reference poc/utils/mdv_generator.py:37-72: BitMap.serialize ->
-16-byte header -> zlib level 6). pyroaring is not available here, so the
-container is a delta+varint encoding with the same zlib framing — functionally
-equivalent for the property the reference measures (contiguous runs compress
-to a few bytes; sparse positions cost ~1-2 bytes each), and deterministic.
+16-byte header -> zlib level 6). Two payload formats coexist here behind one
+frame and a shared decoder:
+
+- MDV1: delta+varint body — compact for sorted runs, dependency-free;
+- MDV2: the reference's actual wire format — portable Roaring serialization
+  (operators/roaring.py implements the public RoaringFormatSpec layout with
+  array + bitmap containers) compressed with the same zlib level 6.
 
 Spark-side the codec runs as Arrow-batched pandas UDFs over ARRAY<BIGINT>
 position columns: encode/decode never leave the executor, and the blobs are
@@ -65,11 +68,47 @@ def decode_positions(blob: bytes) -> list[int]:
     return positions
 
 
+MAGIC_ROARING = b"MDV2"
+
+
+def encode_positions_roaring(positions: list[int]) -> bytes:
+    """Roaring-container payload: the reference's actual wire format.
+
+    Mirrors poc/utils/mdv_generator.py:56-72 (BitMap.serialize -> header ->
+    zlib level 6): the body is portable Roaring serialization (see
+    operators/roaring.py), zlib-compressed, behind the same 16-byte frame as
+    the MDV1 varint codec so both formats coexist in one BinaryType column.
+    """
+    from .roaring import roaring_serialize
+
+    pos = sorted(set(int(p) for p in positions))
+    body = zlib.compress(roaring_serialize(pos), ZLIB_LEVEL)
+    return MAGIC_ROARING + struct.pack("<IQ", len(pos), len(body)) + body
+
+
+def decode_positions_any(blob: bytes) -> list[int]:
+    """Decode either payload format by magic (MDV1 varint / MDV2 roaring)."""
+    if blob[:4] == MAGIC_ROARING:
+        from .roaring import roaring_deserialize
+
+        count, body_len = struct.unpack("<IQ", blob[4:16])
+        positions = roaring_deserialize(zlib.decompress(blob[16 : 16 + body_len]))
+        if len(positions) != count:
+            raise ValueError(f"corrupt roaring payload: {len(positions)} != {count}")
+        return positions
+    return decode_positions(blob)
+
+
 @F.pandas_udf(BinaryType())
 def encode_positions_udf(positions: pd.Series) -> pd.Series:
     return positions.map(lambda arr: encode_positions(list(arr)))
 
 
+@F.pandas_udf(BinaryType())
+def encode_positions_roaring_udf(positions: pd.Series) -> pd.Series:
+    return positions.map(lambda arr: encode_positions_roaring(list(arr)))
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def decode_positions_udf(blobs: pd.Series) -> pd.Series:
-    return blobs.map(lambda b: decode_positions(bytes(b)))
+    return blobs.map(lambda b: decode_positions_any(bytes(b)))

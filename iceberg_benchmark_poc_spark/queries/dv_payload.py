@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.fixtures import dv_entries, with_fixtures
 from ..core.registry import register
-from ..operators.dv_payload import decode_positions_udf, encode_positions_udf
+from ..operators.dv_payload import (
+    decode_positions_udf,
+    encode_positions_roaring_udf,
+    encode_positions_udf,
+)
 
 SAMPLE_MOD = 100  # files with file_id % 100 == 0 get a modeled payload
 ROWS_PER_FILE = 1000
@@ -65,6 +69,65 @@ def q_dv_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("positions"),
     )
     blobs = positions.select("file_id", encode_positions_udf("positions").alias("payload"))
+    decoded = blobs.select("file_id", decode_positions_udf("payload").alias("pos"))
+    return decoded.select(
+        "file_id",
+        F.size("pos").cast("bigint").alias("n_deleted"),
+        F.array_min("pos").cast("bigint").alias("min_pos"),
+        F.array_max("pos").cast("bigint").alias("max_pos"),
+        F.aggregate("pos", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("pos_sum"),
+    )
+
+
+ROARING_SAMPLE_MOD = 150  # files with file_id % 150 == 0 get a roaring payload
+ROARING_SPAN = 60000  # positions land in one 65536 chunk -> exercises both
+#: container kinds: cardinality > 4096 becomes a bitmap container, <= array
+
+
+@register(
+    "q_roaring_roundtrip",
+    oracle=with_fixtures(
+        f"""
+        WITH deleted AS (
+          SELECT DISTINCT d.file_id,
+                 (d.file_id * 31 + j.range * 7) % {ROARING_SPAN} AS pos
+          FROM dv_entries d, range(8000) j
+          WHERE d.file_id % {ROARING_SAMPLE_MOD} = 0
+            AND j.range < d.deleted_row_count * 8
+        )
+        SELECT file_id,
+               count(*)              AS n_deleted,
+               CAST(min(pos) AS BIGINT) AS min_pos,
+               CAST(max(pos) AS BIGINT) AS max_pos,
+               CAST(sum(pos) AS BIGINT) AS pos_sum
+        FROM deleted
+        GROUP BY file_id
+        """,
+        "dv_entries",
+    ),
+    tags=("dv", "binary", "roaring", "pandas-udf"),
+)
+def q_roaring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip delete positions through the portable Roaring wire format.
+
+    Same shape as q_dv_payload_roundtrip but through the reference's actual
+    serialization (poc/utils/mdv_generator.py:56-72 wraps BitMap.serialize in
+    zlib; operators/roaring.py emits that portable layout): positions ->
+    roaring containers -> zlib blob -> decode -> per-file stats, all narrow,
+    zero shuffles. deleted_row_count*8 positions over a 60000 span drive
+    cardinalities across the 4096 array/bitmap container threshold, so both
+    container codecs are exercised and any single-bit corruption in either
+    breaks the oracle's value hash.
+    """
+    dv = dv_entries(spark, sf_dir).filter(F.col("file_id") % ROARING_SAMPLE_MOD == 0)
+    positions = dv.select(
+        "file_id",
+        F.transform(
+            F.sequence(F.lit(0), F.col("deleted_row_count") * 8 - 1),
+            lambda j: (F.col("file_id") * 31 + j * 7) % ROARING_SPAN,
+        ).alias("positions"),
+    )
+    blobs = positions.select("file_id", encode_positions_roaring_udf("positions").alias("payload"))
     decoded = blobs.select("file_id", decode_positions_udf("payload").alias("pos"))
     return decoded.select(
         "file_id",

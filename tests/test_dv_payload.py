@@ -36,3 +36,58 @@ def test_corrupt_blob_rejected():
     blob[0:4] = b"XXXX"
     with pytest.raises(ValueError):
         decode_positions(bytes(blob))
+
+
+# --- Roaring wire format (operators/roaring.py, the MDV2 payload) ----------
+
+
+from iceberg_benchmark_poc_spark.operators.dv_payload import (  # noqa: E402
+    decode_positions_any,
+    encode_positions_roaring,
+)
+from iceberg_benchmark_poc_spark.operators.roaring import (  # noqa: E402
+    ARRAY_MAX,
+    roaring_deserialize,
+    roaring_serialize,
+)
+
+
+@given(st.lists(st.integers(0, 2**32 - 1), max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_roaring_roundtrip_exact(positions):
+    assert roaring_deserialize(roaring_serialize(positions)) == sorted(set(positions))
+
+
+@given(st.lists(st.integers(0, 10_000_000), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_roaring_payload_matches_varint_payload(positions):
+    """Both wire formats decode to the same set through the shared decoder."""
+    want = sorted(set(positions))
+    assert decode_positions_any(encode_positions(positions)) == want
+    assert decode_positions_any(encode_positions_roaring(positions)) == want
+
+
+def test_roaring_container_threshold():
+    """<=4096 per chunk serializes as a 2-byte-per-value array container;
+    >4096 flips to the fixed 8 KiB bitmap container (portable spec)."""
+    arr = roaring_serialize(range(ARRAY_MAX))  # 4096 values, one chunk
+    bmp = roaring_serialize(range(ARRAY_MAX + 1))  # 4097 -> bitmap
+    header = 8 + 4 + 4  # cookie+count, desc, offset
+    assert len(arr) == header + 2 * ARRAY_MAX
+    assert len(bmp) == header + 8192
+
+
+def test_roaring_multichunk():
+    """Values spanning several 65536 chunks get one container per chunk."""
+    vals = [1, 2, 65536 + 5, 3 * 65536 + 7, 2**32 - 1]
+    blob = roaring_serialize(vals)
+    assert roaring_deserialize(blob) == vals
+    # 4 chunks: cookie+count (8) + 4*(desc 4 + offset 4) + array bytes
+    assert len(blob) == 8 + 4 * 8 + 2 * len(vals)
+
+
+def test_roaring_rejects_wide_values():
+    import pytest
+
+    with pytest.raises(ValueError):
+        roaring_serialize([2**32])

@@ -200,6 +200,7 @@ def test_manifest_json_parse_stays_in_codegen(spark):
 #: DV codec). Everything else must stay JVM-side.
 ARROW_PYTHON_ALLOWED = {
     "q_dv_payload_roundtrip",
+    "q_roaring_roundtrip",
     "q_frame_sample",
     "q_manifest_flush",
     "q_media_embed",
