@@ -9,6 +9,7 @@ Each module covers one band of SURVEY.md §2 (see COVERAGE.md for the full map):
   temporal    — as-of / range joins, rollup, set algebra
   approx      — skew-salted and sketch-based aggregation
   textpipe    — training-data text ops: dedup, fingerprints, lang-id, quality
+  textprep    — corpus prep: PII scrub, repetition filter, chunking, tf-idf
   embeddings  — similarity search over embedding vectors
   multimodal  — binary payloads through Arrow-batched Pandas UDFs
   streamlike  — batch twins of the streaming window queries (§2.9)
@@ -19,6 +20,7 @@ from . import dv  # noqa: F401
 from . import aggregates  # noqa: F401
 from . import relational  # noqa: F401
 from . import textpipe  # noqa: F401
+from . import textprep  # noqa: F401
 from . import embeddings  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import temporal  # noqa: F401

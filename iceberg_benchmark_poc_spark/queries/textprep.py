@@ -1,0 +1,305 @@
+"""Training-corpus preparation ops: PII scrubbing, repetition scoring,
+chunking, TF-IDF keyword extraction.
+
+These extend the textpipe family (SURVEY.md "training-data pipeline"
+extensions) with the prep steps that sit between raw crawl and tokenizer:
+redact identifiers, drop degenerate repetition, split long documents into
+model-window chunks, surface per-document keywords. Everything is
+expression-level (zero Python UDFs); each query has a DuckDB oracle twin.
+
+Scale notes per query are in the docstrings; the common theme is map-only
+shapes (scrub, repetition, chunking are shuffle-free narrow plans) and
+vocabulary-sized broadcast joins (tf-idf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..core.io import load_table
+from ..core.registry import register
+
+# --- deterministic PII injection + scrub patterns --------------------------
+# The synthetic corpus carries no identifiers, so the fixture injects
+# deterministic PII-shaped strings first (doc_id-derived, no RNG) and the
+# query proves the scrubber finds and redacts every one of them. Patterns
+# stay inside the common Java-regex / RE2 subset so Spark and DuckDB agree.
+
+EMAIL_PAT = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_PAT = r"\b555-[0-9]{4}\b"
+IP_PAT = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_RAW_SQL = """
+raw AS (
+  SELECT doc_id, source,
+         trim(text)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact u' || doc_id || '@mail.example' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END
+         AS raw_text
+  FROM documents
+)
+"""
+
+
+def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.trim("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@mail.example")),
+            ).otherwise(""),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(""),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (did % 256).cast("string"),
+                    F.lit(".0."),
+                    (did % 100).cast("string"),
+                ),
+            ).otherwise(""),
+        ).alias("raw_text"),
+    )
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+        WITH {_RAW_SQL.strip()}
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw_text, '{EMAIL_PAT}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(raw_text, '{PHONE_PAT}')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(raw_text, '{IP_PAT}')) AS INTEGER)    AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(raw_text,
+                     '{EMAIL_PAT}', '<EMAIL>', 'g'),
+                     '{PHONE_PAT}', '<PHONE>', 'g'),
+                     '{IP_PAT}', '<IP>', 'g'))                                   AS clean_hash
+        FROM raw
+        """,
+    tags=("text", "pii", "scrub"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / phone numbers / IPs and count what was found.
+
+    Map-only: regexp_count + chained regexp_replace per row, no shuffle, so
+    at 100 TB it is a pure scan-transform-write pass that scales linearly
+    with input splits. The oracle hashes the scrubbed text, so a single
+    character of divergence in any redaction fails the gate. Deterministic
+    doc_id-derived PII is injected first (the synthetic corpus has none);
+    docs hit 0-3 of the patterns depending on doc_id mod 3/5/7.
+    """
+    raw = _raw_docs(spark, sf_dir)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw_text"), EMAIL_PAT, "<EMAIL>"),
+            PHONE_PAT,
+            "<PHONE>",
+        ),
+        IP_PAT,
+        "<IP>",
+    )
+    return raw.select(
+        "doc_id",
+        F.regexp_count("raw_text", F.lit(EMAIL_PAT)).cast("int").alias("n_emails"),
+        F.regexp_count("raw_text", F.lit(PHONE_PAT)).cast("int").alias("n_phones"),
+        F.regexp_count("raw_text", F.lit(IP_PAT)).cast("int").alias("n_ips"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+# --- intra-document repetition (Gopher-style quality signal) ---------------
+
+REP_N = 3  # word n-gram order
+REP_DUP_THRESHOLD = 0.2  # flag docs whose duplicate-trigram share exceeds this
+
+
+@register(
+    "q_repetition_ngrams",
+    oracle=f"""
+        WITH words AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= {REP_N}
+                      THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            FOR i IN generate_series(1, len(ws) - {REP_N - 1})]
+                      ELSE [] END AS gs
+          FROM words
+        )
+        SELECT doc_id,
+               CAST(len(gs) AS INTEGER)                AS n_grams,
+               CAST(len(list_distinct(gs)) AS INTEGER) AS n_distinct,
+               CASE WHEN len(gs) = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+               END                                     AS dup_ratio,
+               len(gs) > 0 AND
+               1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) > {REP_DUP_THRESHOLD}
+                                                       AS is_repetitive
+        FROM grams
+        """,
+    tags=("text", "quality", "repetition"),
+)
+def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-trigram share per document — the repetition filter.
+
+    Generated text loops; natural text rarely repeats a trigram. The
+    duplicate share (1 - distinct/total trigrams) is the standard quality
+    gate for that. Entirely array expressions inside one projection — no
+    explode, no shuffle, no UDF — so the 100 TB cost is one codegen'd scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), r"\s+")
+    n = F.size(ws)
+    grams = F.when(
+        n >= REP_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (REP_N - 1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_g = d.select("doc_id", grams.alias("gs"))
+    n_g = F.size("gs")
+    n_d = F.size(F.array_distinct("gs"))
+    dup = F.when(n_g == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - n_d.cast("double") / n_g
+    )
+    return with_g.select(
+        "doc_id",
+        n_g.cast("int").alias("n_grams"),
+        n_d.cast("int").alias("n_distinct"),
+        dup.alias("dup_ratio"),
+        ((n_g > 0) & (dup > REP_DUP_THRESHOLD)).alias("is_repetitive"),
+    )
+
+
+# --- model-window chunking -------------------------------------------------
+
+CHUNK_TOKENS = 64  # window length in whitespace tokens
+CHUNK_STRIDE = 48  # window stride (16-token overlap)
+
+
+@register(
+    "q_chunk_split",
+    oracle=f"""
+        WITH words AS (
+          SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tok
+          FROM documents
+        ),
+        starts AS (
+          SELECT doc_id, n_tok, unnest(generate_series(0, n_tok - 1, {CHUNK_STRIDE})) AS s
+          FROM words WHERE n_tok >= 1
+        )
+        SELECT doc_id,
+               CAST((s / {CHUNK_STRIDE}) AS INTEGER)             AS chunk_idx,
+               CAST(s AS BIGINT)                                 AS start_tok,
+               CAST(least({CHUNK_TOKENS}, n_tok - s) AS INTEGER) AS chunk_len
+        FROM starts
+        WHERE s = 0 OR n_tok - s > {CHUNK_TOKENS - CHUNK_STRIDE}
+        """,
+    tags=("text", "chunking"),
+)
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-token windows (chunk manifest).
+
+    Emits one row per (doc, window start) for 64-token windows at stride 48;
+    a tail window fully contained in its predecessor (remainder <= the
+    16-token overlap) is dropped on both sides. Narrow plan: sequence +
+    explode inside the scan partition, no shuffle — the downstream tokenizer
+    consumes the manifest co-partitioned with the text. Row expansion is
+    n_tokens/stride, bounded and linear in corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim("text"), r"\s+"))
+    toks = d.select("doc_id", n.alias("n_tok")).filter(F.col("n_tok") >= 1)
+    starts = toks.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(CHUNK_STRIDE))).alias("s"),
+    )
+    kept = starts.filter(
+        (F.col("s") == 0) | (F.col("n_tok") - F.col("s") > CHUNK_TOKENS - CHUNK_STRIDE)
+    )
+    return kept.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n_tok") - F.col("s")).cast("int").alias("chunk_len"),
+    )
+
+
+# --- per-document TF-IDF keywords ------------------------------------------
+
+TFIDF_TOP = 3  # keep the top-3 scoring terms per document
+
+
+@register(
+    "q_tfidf_terms",
+    oracle=f"""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+        df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) * n.n_docs / df.df DESC, tf.w
+                 ) AS rank
+          FROM tf JOIN df ON df.w = tf.w CROSS JOIN n
+        )
+        SELECT doc_id, term,
+               CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df,
+               CAST(rank AS INTEGER) AS rank
+        FROM scored WHERE rank <= {TFIDF_TOP}
+        """,
+    tags=("text", "tfidf", "keywords"),
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF-style keywords per document.
+
+    Score = tf * N / df (the rational idf — monotone in the usual log form
+    for fixed tf, and bit-identical across engines since it avoids
+    transcendental functions). Shapes at scale: tf is one shuffle on
+    (doc_id, term); df is vocabulary-sized and BROADCAST back to the term
+    stream (a vocabulary is millions of rows — broadcastable — while the
+    corpus is billions); the final rank windows on doc_id, co-partitioned
+    with tf. Ties break on the term string, so the top-3 is deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one lightweight count job, not a crossJoin
+    score = F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("w").asc())
+    ranked = (
+        tf.join(F.broadcast(df), "w")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("w").alias("term"),
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.col("rank").cast("int").alias("rank"),
+    )
