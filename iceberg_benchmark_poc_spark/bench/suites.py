@@ -38,9 +38,18 @@ def _timed(df: DataFrame, warm: bool = True) -> tuple[float, int]:
 
 
 def synth_file_meta(spark: SparkSession, n: int) -> DataFrame:
-    """V4 manifest entries at arbitrary scale (poc/utils/manifest_generator.py:79-126)."""
+    """V4 manifest entries at arbitrary scale (poc/utils/manifest_generator.py:79-126).
+
+    Partition count is sized to the row count (~25K rows per task, capped at
+    the session parallelism): at the reference's scales (1K-100K) a 32-way
+    range means 32 near-empty tasks whose scheduling overhead IS the
+    measurement, which benchmarks the scheduler instead of the operator. At
+    real scale the same rule (partitions ~ data / target-split) is what
+    maxPartitionBytes does for file scans.
+    """
+    parallelism = int(spark.sparkContext.defaultParallelism)
     fid = F.col("id")
-    return spark.range(n).select(
+    return spark.range(n, numPartitions=max(1, min(n // 25_000, parallelism))).select(
         fid.alias("file_id"),
         F.date_add(F.to_date(F.lit(EPOCH_DATE)), ((fid * 7919) % DATE_DOMAIN_DAYS).cast("int")).alias(
             "partition_date"
@@ -279,7 +288,10 @@ def suite_dv_resolution(spark: SparkSession, scales: tuple = (1_000, 10_000, 25_
     for n in scales:
         fm = synth_file_meta(spark, n)
         dv = fm.filter("has_dv").select("file_id", "dv_size_bytes")
-        hash_ms, _ = _timed(fm.join(dv.withColumnRenamed("dv_size_bytes", "s"), "file_id"))
+        # the DV side is the small side by construction (30% coverage, id+size
+        # only) — broadcast it explicitly so the measured operator is the
+        # map-side hash join itself, never a sort-merge shuffle of the big side
+        hash_ms, _ = _timed(fm.join(F.broadcast(dv.withColumnRenamed("dv_size_bytes", "s")), "file_id"))
         data_side = fm.filter("has_dv").withColumn("pos", F.row_number().over(Window.orderBy("file_id")))
         dv_side = dv.withColumn("pos", F.row_number().over(Window.orderBy("file_id"))).select(
             "pos", F.col("dv_size_bytes").alias("s")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..core.fixtures import commit_log, read_log, with_fixtures
-from ..core.io import load_table
+from ..core.io import epoch_micros, load_table
 from ..core.registry import register
 
 FLAGS = ("A", "N", "R")
@@ -109,4 +109,68 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(ttfb_ms, 0.95)").alias("p95_ttfb"),
         F.expr("percentile(ttfb_ms, 0.99)").alias("p99_ttfb"),
         F.max("ttfb_ms").cast("bigint").alias("max_ttfb"),
+    )
+
+
+MOV_AVG_WINDOW_S = 1800  # 30-minute trailing window
+
+
+@register(
+    "q_moving_avg",
+    oracle=f"""
+        WITH e AS (
+          SELECT event_id, event_type,
+                 CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec,
+                 CAST(value AS DECIMAL(38,6)) AS v
+          FROM events
+          WHERE user_id % 10 = 0
+        )
+        SELECT event_id, event_type,
+               CAST(n AS BIGINT) AS n_window,
+               CAST(sv AS DOUBLE) / n AS mov_avg
+        FROM (
+          SELECT event_id, event_type,
+                 count(*) OVER w AS n,
+                 sum(v)   OVER w AS sv
+          FROM e
+          WINDOW w AS (
+            PARTITION BY event_type ORDER BY sec
+            RANGE BETWEEN {MOV_AVG_WINDOW_S} PRECEDING AND CURRENT ROW
+          )
+        )
+        """,
+    tags=("window", "range-frame", "moving-avg"),
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-minute moving average per event type — a RANGE frame.
+
+    The one window-frame family the rest of the registry doesn't exercise:
+    a value-range (time) frame rather than a row frame, i.e. the frame size
+    varies per row. Partitioned by event_type so it scales horizontally —
+    each partition sorts locally and slides one frame over it; no global
+    order anywhere. The windowed sum folds through DECIMAL because sliding
+    aggregation accumulates in engine-specific order (Spark re-scans the
+    frame; DuckDB uses segment trees) — decimal makes the result
+    order-independent and therefore bit-identical.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    # floor, not cast-truncate: both engines floor the fractional seconds the
+    # same way (DuckDB's double->bigint CAST rounds, so its side floors too)
+    sec = F.floor(epoch_micros("ts") / F.lit(1_000_000))
+    base = e.select(
+        "event_id",
+        "event_type",
+        sec.cast("bigint").alias("sec"),
+        F.col("value").cast("decimal(38,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-MOV_AVG_WINDOW_S, Window.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_window"),
+        (F.sum("v").over(w).cast("double") / F.count("*").over(w)).alias("mov_avg"),
     )

@@ -303,3 +303,58 @@ def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(lv)
     return spark.sql(_LATE_ORDERS_SQL.format(orders=ov, lineitem=lv))
+
+
+LARGE_ORDER_QTY = 180  # total-quantity threshold (TPC-H Q18 uses 300 at SF1)
+
+
+@register(
+    "q_large_orders",
+    oracle=f"""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+          FROM lineitem
+          GROUP BY 1
+          HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > {LARGE_ORDER_QTY}
+        )
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               b.total_qty
+        FROM big b
+        JOIN orders o   ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+    tags=("join", "having", "tpch-q18"),
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding large-volume orders.
+
+    The group-HAVING-join-back pattern: aggregate the fact table to find
+    qualifying orders, then join the (now tiny) qualifier set back to orders
+    and customer. Scale story: the only full-table shuffle is the lineitem
+    groupBy on l_orderkey; the HAVING output is a sliver (≈10% here, far
+    less at TPC-H thresholds) that BROADCASTS to the orders join, and the
+    customer join keys on the already-small result — so the expensive side
+    is touched exactly once. Quantity folds through DECIMAL so the HAVING
+    cut is exact on both engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy(F.col("l_orderkey"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > LARGE_ORDER_QTY)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "total_qty",
+        )
+    )
