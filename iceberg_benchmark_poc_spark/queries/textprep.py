@@ -161,7 +161,12 @@ def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no shuffle, no UDF — so the 100 TB cost is one codegen'd scan.
     """
     d = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim("text"), r"\s+")
+    # bind the word array as a COLUMN before the lambda (the repo-wide
+    # higher-order-function rule, see q_ngram_jaccard): an unbound split
+    # inlines into every element_at inside the lambda and re-tokenizes the
+    # document once per gram element — O(words^2) per doc
+    with_ws = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("ws"))
+    ws = F.col("ws")
     n = F.size(ws)
     grams = F.when(
         n >= REP_N,
@@ -172,7 +177,7 @@ def q_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    with_g = d.select("doc_id", grams.alias("gs"))
+    with_g = with_ws.select("doc_id", grams.alias("gs"))
     n_g = F.size("gs")
     n_d = F.size(F.array_distinct("gs"))
     dup = F.when(n_g == 0, F.lit(0.0)).otherwise(

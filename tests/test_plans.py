@@ -248,3 +248,23 @@ def test_late_orders_decorrelates_exists(spark):
     assert "LeftSemi" in plan
     assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_expensive_expr_duplicated_inside_lambdas(spark):
+    """Higher-order-function guard: an unbound expensive expression (split,
+    regexp, hash) referenced inside a lambda is inlined into EVERY element
+    access — e.g. re-tokenizing a document once per array element, turning a
+    linear scan quadratic (cost q_repetition_ngrams 6.6x before it was bound
+    as a column). Expensive inputs to transform/filter/aggregate lambdas must
+    be projected as columns first."""
+    import re
+
+    expensive = ("split(", "regexp_replace(", "regexp_extract", "md5(", "array_distinct(")
+    for name in sorted(all_queries()):
+        plan = plan_of(spark, name)
+        for lam in re.findall(r"lambdafunction\(.*?lambda", plan):
+            for e in expensive:
+                assert lam.count(e) < 2, (
+                    f"{name}: {e!r} appears {lam.count(e)}x inside one lambda — "
+                    f"bind it as a column before the higher-order function"
+                )

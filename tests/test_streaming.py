@@ -197,3 +197,35 @@ def test_streaming_dedup_drops_redelivered(spark, tmp_path):
 
     batch = dedup_events(spark.createDataFrame(rows_a + rows_b, schema))
     _assert_same(batch, out)
+
+
+def test_exactly_once_sink_survives_replay(spark, stream_src, tmp_path):
+    """The idempotent sink commits every row exactly once, detects replayed
+    batch_ids, and a rerun of the whole stream (fresh checkpoint, same sink)
+    writes nothing new — the sink-side contract that makes at-least-once
+    delivery exactly-once end to end."""
+    from iceberg_benchmark_poc_spark.streaming.ingest import ExactlyOnceSink, exactly_once_ingest
+
+    src, _ = stream_src
+    sink = exactly_once_ingest(spark, src, str(tmp_path))
+    expected = load_table(spark, SF_DIR, "events").count()
+    written = spark.read.parquet(sink.out_dir + "/batch_id=*")
+    assert written.count() == expected
+    n_batches = len(sink.committed())
+    assert n_batches >= 1 and sink.replays_skipped == 0
+
+    # simulate a post-crash replay of an already-committed batch
+    replay = ExactlyOnceSink(sink.out_dir)
+    some_batch = spark.read.parquet(sink.out_dir + f"/batch_id={min(sink.committed())}")
+    replay(some_batch, min(sink.committed()))
+    assert replay.replays_skipped == 1
+    assert spark.read.parquet(sink.out_dir + "/batch_id=*").count() == expected
+
+    # full-pipeline rerun with a fresh checkpoint: every batch is a replay
+    import os as _os
+    import shutil
+
+    shutil.rmtree(_os.path.join(str(tmp_path), "eo_ckpt"))
+    rerun = exactly_once_ingest(spark, src, str(tmp_path))
+    assert rerun.replays_skipped == n_batches
+    assert spark.read.parquet(rerun.out_dir + "/batch_id=*").count() == expected
