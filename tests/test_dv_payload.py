@@ -91,3 +91,31 @@ def test_roaring_rejects_wide_values():
 
     with pytest.raises(ValueError):
         roaring_serialize([2**32])
+
+
+def test_roaring_golden_bytes():
+    """Pin the exact wire layout (hand-derived from the portable spec):
+    cookie 12346 LE | n_containers | (key, card-1) pairs | absolute offsets |
+    sorted uint16 little-endian values. Catches any accidental format drift
+    that the roundtrip tests alone would miss."""
+    assert roaring_serialize([1, 2, 3]).hex() == (
+        "3a300000"  # SERIAL_COOKIE_NO_RUNCONTAINER = 12346
+        "01000000"  # one container
+        "0000" "0200"  # key 0, cardinality-1 = 2
+        "10000000"  # container starts at byte 16
+        "010002000300"  # values 1,2,3 as uint16 LE
+    )
+    assert roaring_serialize([0, 65536]).hex() == (
+        "3a300000" "02000000"
+        "0000" "0000"  # chunk 0, card 1
+        "0100" "0000"  # chunk 1, card 1
+        "18000000" "1a000000"  # offsets 24, 26
+        "0000" "0000"  # low bits 0 in each chunk
+    )
+
+
+def test_roaring_rejects_unknown_cookie():
+    import pytest
+
+    with pytest.raises(ValueError, match="cookie"):
+        roaring_deserialize(b"\x39\x30\x00\x00\x00\x00\x00\x00")  # 12345 = run cookie
