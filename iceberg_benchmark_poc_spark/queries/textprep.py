@@ -308,3 +308,136 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("bigint").alias("df"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# --- Bloom-filter membership ------------------------------------------------
+
+BLOOM_BITS = 1 << 15  # m = 32768 bits (4 KiB) packed into <=512 BIGINT lanes
+BLOOM_K = 4  # four 15-bit probe positions sliced from the 60-bit hash
+BATCH_MOD = 5  # doc_id % 5 == 1 rows form the incoming batch
+
+#: probe positions of a 60-bit hash h: ((h >> 15i) & 32767) for i in 0..3
+_POS_SQL = ", ".join(f"(({{h}} >> {15 * i}) & {BLOOM_BITS - 1})" for i in range(BLOOM_K))
+
+
+def _probe_positions(h):
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[F.expr(f"shiftright(h, {15 * i})").bitwiseAND(F.lit(BLOOM_BITS - 1)) for i in range(BLOOM_K)]
+    )
+
+
+@register(
+    "q_bloom_filter",
+    oracle=f"""
+        WITH corpus_h AS (
+          SELECT ('0x' || substr(md5(trim(text)), 1, 15))::BIGINT AS h
+          FROM documents
+        ),
+        batch AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN trim(text)
+                      ELSE trim(text) || ' zz' || doc_id END AS btext
+          FROM documents WHERE doc_id % {BATCH_MOD} = 1
+        ),
+        batch_h AS (
+          SELECT doc_id, ('0x' || substr(md5(btext), 1, 15))::BIGINT AS h FROM batch
+        ),
+        corpus_pos AS (
+          SELECT unnest([{_POS_SQL.format(h='h')}]) AS p FROM corpus_h
+        ),
+        bloom AS (
+          -- UBIGINT: DuckDB's signed 1<<63 overflows; spark's shiftleft wraps
+          -- to the sign bit instead. Both sides agree bit-for-bit, and these
+          -- lanes never reach the output schema.
+          SELECT CAST(p // 64 AS BIGINT) AS lane,
+                 bit_or(CAST(1 AS UBIGINT) << CAST(p % 64 AS INTEGER)) AS bits
+          FROM corpus_pos GROUP BY 1
+        ),
+        probes AS (
+          SELECT b.doc_id, b.h, u.p,
+                 CAST(u.p // 64 AS BIGINT) AS lane,
+                 CAST(1 AS UBIGINT) << CAST(u.p % 64 AS INTEGER) AS bit
+          FROM (SELECT doc_id, h, unnest([{_POS_SQL.format(h='h')}]) AS p FROM batch_h) u
+          JOIN batch_h b ON b.doc_id = u.doc_id AND b.h = u.h
+        ),
+        verdict AS (
+          SELECT p.doc_id,
+                 (count(*) FILTER (WHERE bl.bits IS NOT NULL AND (bl.bits & p.bit) <> 0))
+                   = {BLOOM_K} AS bloom_maybe
+          FROM probes p LEFT JOIN bloom bl ON bl.lane = p.lane
+          GROUP BY 1
+        )
+        SELECT v.doc_id, v.bloom_maybe,
+               (bh.h IN (SELECT h FROM corpus_h)) AS is_present,
+               v.bloom_maybe AND bh.h NOT IN (SELECT h FROM corpus_h) AS is_false_positive
+        FROM verdict v JOIN batch_h bh ON bh.doc_id = v.doc_id
+        """,
+    tags=("text", "dedup", "bloom", "membership"),
+)
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership: the scale-correct incremental-dedup pre-gate.
+
+    At 100 TB you cannot broadcast the corpus hash SET to test an incoming
+    batch, but you CAN broadcast a Bloom filter of it. Built here as a
+    sparse (lane -> 64-bit lanes) table via one groupBy bit_or over the
+    corpus's probe positions — at most 512 rows regardless of corpus size —
+    then broadcast to the batch: a probe row checks its bit in its lane, a
+    doc is 'maybe present' only if all 4 probes hit. No-hit docs are
+    DEFINITELY new and skip the expensive exact/LSH dedup path entirely;
+    the oracle also computes ground truth so the false-positive behavior of
+    the filter itself is value-hashed (everything is integer arithmetic on
+    the shared portable 60-bit hash, so both engines build bit-identical
+    filters).
+    """
+    from ..core.fixtures import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_h = d.select(hash60(F.trim("text")).alias("h"))
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.trim("text")
+        ).otherwise(
+            F.concat(F.trim("text"), F.lit(" zz"), F.col("doc_id").cast("string"))
+        ).alias("btext"),
+    )
+    batch_h = batch.select("doc_id", hash60("btext").alias("h"))
+
+    def lanes(df):
+        pos = df.select("*", F.explode(_probe_positions(F.col("h"))).alias("p"))
+        return pos.select(
+            "*",
+            F.floor(F.col("p") / 64).cast("bigint").alias("lane"),
+            # shiftleft needs a literal count; column shifts go through expr
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+
+    bloom = (
+        lanes(corpus_h)
+        .groupBy("lane")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    probes = lanes(batch_h)
+    verdict = (
+        probes.join(F.broadcast(bloom), "lane", "left")
+        .withColumn(
+            "hit",
+            F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("bit")) != 0),
+        )
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("hit").cast("int")) == BLOOM_K).alias("bloom_maybe"))
+    )
+    present = batch_h.join(
+        corpus_h.distinct().withColumn("present", F.lit(True)), "h", "left"
+    ).select("doc_id", F.coalesce("present", F.lit(False)).alias("is_present"))
+    return (
+        verdict.join(present, "doc_id")
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            "is_present",
+            (F.col("bloom_maybe") & ~F.col("is_present")).alias("is_false_positive"),
+        )
+    )

@@ -177,3 +177,17 @@ def test_simhash_pairs_exact_all_pairs(spark):
     }
     assert got == expected
     assert expected, "fixture yields no simhash pairs; banding untested"
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """The Bloom contract: a present document is ALWAYS flagged maybe (no
+    false negative, ever); only absent documents may false-positive."""
+    from iceberg_benchmark_poc_spark.core.registry import get_query
+
+    rows = get_query("q_bloom_filter").fn(spark, SF_DIR).collect()
+    assert rows, "batch must be non-empty"
+    for r in rows:
+        if r["is_present"]:
+            assert r["bloom_maybe"], f"false negative for doc {r['doc_id']}"
+        if r["is_false_positive"]:
+            assert r["bloom_maybe"] and not r["is_present"]
