@@ -21,6 +21,7 @@ from ..core.fixtures import (
     read_log,
     with_fixtures,
 )
+from ..core.io import load_table
 from ..core.registry import register
 
 # ---------------------------------------------------------------------------
@@ -370,3 +371,81 @@ def q_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.ceil(F.lit(1000.0) / F.col("threads")) * 55.0 + F.col("threads") * 2.0).alias("time_ms"),
     )
     return timed.orderBy("time_ms", "threads").limit(1)
+
+
+# ---------------------------------------------------------------------------
+# incremental view maintenance: delta-merge an aggregate state
+# ---------------------------------------------------------------------------
+
+IVM_INSERT_MOD = 10  # o_orderkey % 10 == 7 rows arrive as the insert delta
+IVM_DELETE_MOD = 20  # o_orderkey % 20 == 2 rows are retracted by the delta
+
+
+@register(
+    "q_incremental_agg",
+    oracle=f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_orderkey % {IVM_DELETE_MOD} <> 2
+        GROUP BY 1
+        """,
+    tags=("agg", "incremental", "ivm", "cdc"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: merge a CDC delta into aggregate state.
+
+    The materialized view is a per-priority (count, sum) over orders. A CDC
+    batch arrives carrying inserts (op=+1: the keys the base view hasn't seen)
+    and retractions (op=-1: keys being deleted). Instead of recomputing over
+    the base table, the delta is aggregated ALONE with signed measures
+    (sum(op), sum(op*price)) and merged into the existing state by group key
+    — cost proportional to |delta|, not |base|, which is the whole point at
+    100 TB: the base state is terabytes, the delta is megabytes, and count/
+    sum states merge associatively (the same property Spark exploits for
+    partial aggregation and streaming state). Groups whose merged count hits
+    zero drop out. The oracle recomputes the view from scratch; equality
+    proves merge == recompute.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("decimal(38,6)").alias("price")
+    )
+    key = F.col("o_orderkey")
+    # the base view CONTAINS the rows the delta will retract (that's what
+    # makes them deletions); %10==7 and %20==2 key sets are disjoint (odd vs
+    # even), so base + inserts - deletes == everything except %20==2
+    base = o.filter(key % IVM_INSERT_MOD != 7)
+    inserts = o.filter(key % IVM_INSERT_MOD == 7).select("*", F.lit(1).alias("op"))
+    deletes = o.filter((key % IVM_DELETE_MOD == 2) & (key % IVM_INSERT_MOD != 7)).select(
+        "*", F.lit(-1).alias("op")
+    )
+
+    state = base.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"), F.sum("price").alias("sum_price")
+    )
+    delta_state = (
+        inserts.unionByName(deletes)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("op").cast("bigint").alias("d_n"),
+            F.sum(F.col("op") * F.col("price")).alias("d_sum"),
+        )
+    )
+    merged = (
+        state.join(delta_state, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_orders"),
+            (
+                F.coalesce(F.col("sum_price"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(38,6)"))
+            ).alias("sum_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_price").cast("double").alias("total_price"),
+    )

@@ -812,9 +812,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 15  # label-propagation safety cap (graph diameter bound)
 
 
-@register(
-    "q_dup_clusters",
-    oracle=f"""
+#: shared by q_dup_clusters (label propagation) and q_dup_clusters_star
+#: (large-star/small-star) — identical output, two convergence strategies
+_DUP_CLUSTERS_ORACLE = f"""
         WITH RECURSIVE {_SHINGLES_CTE.strip()},
         sigs AS (
           SELECT doc_id, CAST(k.range AS INTEGER) AS k,
@@ -862,7 +862,12 @@ MAX_CC_ITERS = 15  # label-propagation safety cap (graph diameter bound)
                count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
                doc_id = cluster_id AS is_keeper
         FROM comp
-        """,
+        """
+
+
+@register(
+    "q_dup_clusters",
+    oracle=_DUP_CLUSTERS_ORACLE,
     tags=("text", "dedup", "lsh", "graph"),
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
