@@ -46,11 +46,18 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile sketches merge associatively across partitions, so these run in
     one combine-shuffle pass regardless of cardinality. No oracle (sketches
     are engine-specific); tests bound the error against exact answers.
+
+    Quantiles are returned as three scalar doubles (q50/q95/q99) rather than
+    one array column: the driver's rows-only canonicalization sorts cell
+    values and list cells are unhashable (r02 red row).
     """
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
     return li.agg(
         F.count("*").alias("n_rows"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("price_quantiles"),
+        F.element_at(q, 1).alias("price_q50"),
+        F.element_at(q, 2).alias("price_q95"),
+        F.element_at(q, 3).alias("price_q99"),
     )

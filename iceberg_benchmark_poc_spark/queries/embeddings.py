@@ -158,7 +158,7 @@ def q_embed_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    unnest(list_zip(c.embedding, q.embedding)) AS z
             FROM bucketed q JOIN bucketed c
               ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-            WHERE q.vec_id % {QUERY_MOD} = 0
+            WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id < {QUERY_CAP}
           )
           GROUP BY 1, 2, 3
         ),
@@ -185,6 +185,12 @@ def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores vectors in its own sign-LSH bucket (~1/16 of the corpus here; with
     b bits, 2^-b). The join is an equi-join on bucket — co-partitionable,
     skew handled by AQE — and recall vs q_embed_topk is measured in tests.
+
+    The query set is capped at QUERY_K=32 vectors (same bound as
+    q_embed_topk): an uncapped modulus fraction grows with the corpus, so
+    the broadcast side and the O(|corpus|*|queries|/2^b) pair count would
+    both scale quadratically at 100x data. With the cap, work stays
+    O(32 * corpus / 2^b) at any scale.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     bucketed = emb.select(
@@ -196,7 +202,9 @@ def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.sqrt(dot_quant(F.col("qe"), F.col("qe")).cast("double")).alias("norm"),
     )
-    queries = with_norm.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    queries = with_norm.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("qe").alias("q_qe"),
         F.col("norm").alias("q_norm"),
@@ -400,7 +408,7 @@ NPROBE = 2
         assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
         probes AS (
           SELECT vec_id, cell FROM ranked
-          WHERE rn <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
+          WHERE rn <= {NPROBE} AND vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}
         ),
         pairs AS (
           SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id, qa.cell,
@@ -510,8 +518,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-t["cell"]).alias("negcell"),
         ),
     )
+    # capped query set (same QUERY_CAP bound as q_embed_topk/q_embed_ann):
+    # keeps the broadcast side and probe fan-out constant at any corpus size
     queries = (
-        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        vecs.filter((F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP))
         .join(F.broadcast(cents_one))
         .select(
             F.col("vec_id").alias("query_id"),

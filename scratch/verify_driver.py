@@ -58,7 +58,10 @@ def key(rows, cols):
 
 oracles = mod.oracle_sql()
 failures = []
+only = set(sys.argv[1:])  # optional: verify just these query names
 for name, fn in sorted(mod.queries().items()):
+    if only and name not in only:
+        continue
     try:
         s_df = fn(spark, SF)
         s_rows = s_df.collect()
@@ -67,7 +70,17 @@ for name, fn in sorted(mod.queries().items()):
         failures.append(name)
         continue
     if name not in oracles:
-        print(f"{name:28s} rows-only: {len(s_rows)} rows")
+        # mimic the driver's rows-only canonicalization: pandas sort over all
+        # columns — unhashable cells (lists/arrays) crash it (r02 q_approx_stats)
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame([tuple(r) for r in s_rows], columns=s_df.columns)
+            pdf.sort_values(by=list(pdf.columns))
+            print(f"{name:28s} rows-only: {len(s_rows)} rows (canon OK)")
+        except Exception as e:
+            print(f"{name:28s} FAIL rows-only canon: {str(e)[:120]}")
+            failures.append(name)
         continue
     d_rel = con.sql(oracles[name])
     d_arrow = d_rel.arrow()

@@ -31,3 +31,29 @@ def test_registry_contract(spark):
     assert missing_oracle <= {"q_approx_stats"}, f"queries lacking oracles: {missing_oracle}"
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_sweep_order_front_loads_verification_debt():
+    """The wall-budget sweep (~50/94 per round) must check unverified queries
+    first, else a static order re-verifies the same prefix forever."""
+    from iceberg_benchmark_poc_spark.core.registry import (
+        _verification_history,
+        all_queries,
+        driver_ordered_queries,
+    )
+
+    history = _verification_history()
+    order = list(driver_ordered_queries())
+    assert set(order) == set(all_queries())
+    debt = [n for n in order if n not in history]
+    if history and debt:
+        # every never-green query precedes every green one
+        last_debt_pos = max(order.index(n) for n in debt)
+        first_green_pos = min(order.index(n) for n in order if n in history)
+        assert last_debt_pos < first_green_pos, (
+            f"verification-debt queries not front-loaded: debt ends at "
+            f"{last_debt_pos}, greens start at {first_green_pos}"
+        )
+        # stalest greens re-verify before fresh ones
+        green_rounds = [history[n] for n in order if n in history]
+        assert green_rounds == sorted(green_rounds)

