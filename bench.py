@@ -81,11 +81,21 @@ def main() -> None:
     with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
+    print(build_headline_line(total, timings, suites, sf_from_dir(SF_DIR)))
+    spark.stop()
+
+
+#: the driver records only the last ~2KB of stdout; r01's per-query map was
+#: lost to exactly this. Everything below the cap survives with margin.
+HEADLINE_MAX_BYTES = 1800
+
+
+def build_headline_line(total: float, timings: dict[str, float], suites: dict | None, sf: float) -> str:
     out = {
         "metric": "total_query_wall_time",
         "value": total,
         "unit": "sec",
-        "sf": sf_from_dir(SF_DIR),
+        "sf": sf,
         "n_queries": len(timings),
         "full": "BENCH_FULL.json",
         "queries": _slowest(timings, 10),
@@ -93,11 +103,10 @@ def main() -> None:
     if suites is not None:
         out["suites"] = _suite_headline(suites)
     line = json.dumps(out, separators=(",", ":"))
-    while len(line) > 1900 and out["queries"]:  # hard cap for the driver tail
+    while len(line) > HEADLINE_MAX_BYTES and out["queries"]:
         out["queries"] = _slowest(out["queries"], len(out["queries"]) - 2)
         line = json.dumps(out, separators=(",", ":"))
-    print(line)
-    spark.stop()
+    return line
 
 
 def _slowest(timings: dict[str, float], k: int) -> dict[str, float]:
@@ -128,6 +137,8 @@ def _suite_headline(suites: dict) -> dict:
         "tree_plan_ms_50k": g("adaptive_tree", "50000", "flat_scan_ms"),
         "wide_v3_scan_ms": g("wide_table", "v3_footer_scan_ms"),
         "wide_v4_lookup_ms": g("wide_table", "v4_stats_lookup_ms"),
+        "wide1000_v3_scan_ms": g("wide_table_1000", "v3_footer_scan_ms"),
+        "wide1000_v4_lookup_ms": g("wide_table_1000", "v4_stats_lookup_ms"),
         "writers_commits_per_sec": g("concurrent_writers", "commits_per_sec"),
         "writers_conflict_rate": g("concurrent_writers", "conflict_rate"),
         "column_update_speedup_x": g("column_update", "column_update_speedup_x"),

@@ -201,6 +201,13 @@ def suite_manifest_parse(spark: SparkSession, tmp_dir: str, sizes_mb: tuple = (1
     warm = os.path.join(tmp_dir, "manifest_warm")
     synth_file_meta(spark, 100).coalesce(1).write.mode("overwrite").json(warm)
     spark.read.json(warm).count()  # absorb first-json-read codepath warmup
+    # fixed per-job overhead (scheduler + task launch, ~100ms on local[32]):
+    # measured on a near-empty read and subtracted from every parse wall
+    # before computing per-MB rates. Without this the 1 MB point's rate is
+    # floor-dominated — an inflated baseline that masks real parse cliffs.
+    t0 = time.perf_counter()
+    spark.read.json(warm).count()
+    job_floor_ms = (time.perf_counter() - t0) * 1000
     per_mb_ms = {}
     for mb in sizes_mb:
         n = mb * 1048576 // ENTRY_BYTES
@@ -214,13 +221,14 @@ def suite_manifest_parse(spark: SparkSession, tmp_dir: str, sizes_mb: tuple = (1
         # heap delta can be negative if a GC ran mid-parse; clamp at 0 — the
         # signal sought is "does parse memory scale with manifest size"
         results[f"heap_delta_mb_{mb}mb"] = round(max(_jvm_heap_used_mb(spark) - heap0, 0.0), 1)
-        per_mb_ms[mb] = wall_ms / mb
+        per_mb_ms[mb] = max(wall_ms - job_floor_ms, 0.1) / mb
         assert cnt == n
     smallest = min(sizes_mb)
     cliff = any(per_mb_ms[mb] > 3 * per_mb_ms[smallest] for mb in sizes_mb)
     return {
         "sizes_mb": list(sizes_mb),
         **results,
+        "job_floor_ms": round(job_floor_ms, 1),
         "python_peak_rss_mb": round(_python_rss_mb(), 1),
         "cliff_detected": cliff,
     }
@@ -332,6 +340,12 @@ def _manifest_commit_bench(tmp_dir: str, batch_sizes: tuple = (1, 100, 1000), co
     os.makedirs(mdir, exist_ok=True)
     for bs in batch_sizes:
         lat, bytes_written = [], 0
+        # one untimed warmup commit: the first tiny write pays allocator +
+        # page-cache cold-start that no steady-state commit pays — at
+        # batch=1 that single outlier dominated a 10-commit mean (r02
+        # showed 0.33 ms vs r01's 0.156 ms from exactly this)
+        with open(os.path.join(mdir, f"warmup_{bs}.json"), "w") as f:
+            json.dump({"format-version": 2, "entries": []}, f)
         for c in range(commits):
             entries = [
                 {
@@ -647,6 +661,17 @@ def run_all_suites(spark: SparkSession, sf_dir: str, tmp_dir: str, quick: bool =
         "single_file_commits": suite_single_file_commits(spark, sf_dir, tmp_dir),
         "adaptive_tree": suite_adaptive_tree(spark, tree_scales),
         "wide_table": suite_wide_table(spark, tmp_dir, n_cols=100 if quick else 500, n_files=10 if quick else 50),
+        # the survey's full range is "up to 1000 columns"
+        # (poc/test_wide_table_pruning.py:76-95 supports 998 metrics; the
+        # published config is 500). Row count is kept small: footer-scan
+        # cost is files x cols metadata, not data rows.
+        "wide_table_1000": suite_wide_table(
+            spark,
+            os.path.join(tmp_dir, "wide1000"),
+            n_cols=200 if quick else 1000,
+            n_files=10 if quick else 50,
+            rows_per_file=200,
+        ),
         "concurrent_writers": suite_concurrent_writers(spark, tmp_dir, n_writers=2 if quick else 5, writes_each=5 if quick else 50),
         "column_update": suite_column_update(spark, tmp_dir),
     }

@@ -38,18 +38,27 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the session confs the engine's semantics depend on.
+
+    - ``nanosAsLong``: events.ts is physically TIMESTAMP(NANOS); without
+      this a plain SparkSession (e.g. the correctness driver's) fails schema
+      conversion with PARQUET_TYPE_ILLEGAL before projection even applies.
+    - ``timeZone=UTC``: makes every NTZ<->LTZ cast (``epoch_micros``) exact.
+
+    ``get_spark`` sets both at session-build time; this runtime hook covers
+    host sessions the package didn't build. It is called from EVERY
+    ``load_table`` and from ``epoch_micros`` — not just the events read — so
+    no query's behavior depends on which table happened to load first.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        # events.ts is physically TIMESTAMP(NANOS); without this conf a plain
-        # SparkSession (e.g. the correctness driver's) fails schema conversion
-        # with PARQUET_TYPE_ILLEGAL before projection even applies. The conf is
-        # runtime-settable, so set it here instead of relying on our session
-        # factory having built the session. Pin the session timezone too so
-        # every NTZ<->LTZ cast below (and in ``epoch_micros``) is exact.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # Depending on session confs, ts arrives as bigint (legacy nanosAsLong),
@@ -76,8 +85,13 @@ def epoch_micros(col) -> "F.Column":
 
     ``F.unix_micros`` only accepts TimestampType (LTZ); events.ts is
     normalized to TimestampNTZ by ``load_table``. The NTZ->LTZ cast is exact
-    because load_table pins the session timezone to UTC.
+    because the session timezone is pinned to UTC — enforced here directly
+    (not merely as a load_table side effect) so correctness doesn't depend
+    on table-load order in the host session.
     """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_session_confs(active)
     return F.unix_micros(F.col(col).cast("timestamp") if isinstance(col, str) else col.cast("timestamp"))
 
 

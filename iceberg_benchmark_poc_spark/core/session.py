@@ -26,6 +26,31 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
 
 
+def iceberg_runtime_jar() -> str | None:
+    """Path to an iceberg-spark-runtime jar, if one is available.
+
+    ``SPARK_GRAFT_ICEBERG_JAR`` points at the jar explicitly; otherwise the
+    pyspark jars directory is scanned. Returns None when no runtime is
+    present (this container: no jar, no network), in which case table
+    lifecycle ops (time travel, MERGE, snapshot expiry, compaction) run
+    against DataFrame-modeled manifests — same plans, no catalog. See the
+    README "Iceberg note" and tests/test_iceberg_runtime.py.
+    """
+    explicit = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
+    if explicit:
+        return explicit if os.path.exists(explicit) else None
+    try:
+        import pyspark
+
+        jars_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+        for name in sorted(os.listdir(jars_dir)):
+            if name.startswith("iceberg-spark-runtime") and name.endswith(".jar"):
+                return os.path.join(jars_dir, name)
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = ENGINE_NAME,
     master: str | None = None,
@@ -68,6 +93,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
+    # --- optional real-Iceberg path (feature-flagged; absent offline) ---
+    jar = iceberg_runtime_jar()
+    if jar is not None:
+        warehouse = os.environ.get(
+            "SPARK_GRAFT_ICEBERG_WAREHOUSE", os.path.join(os.getcwd(), "iceberg-warehouse")
+        )
+        builder = (
+            builder.config("spark.jars", jar)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config("spark.sql.catalog.local.warehouse", warehouse)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

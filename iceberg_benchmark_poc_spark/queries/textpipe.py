@@ -812,8 +812,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAX_CC_ITERS = 15  # label-propagation safety cap (graph diameter bound)
 
 
-#: shared by q_dup_clusters (label propagation) and q_dup_clusters_star
-#: (large-star/small-star) — identical output, two convergence strategies
+#: q_dup_clusters' oracle. The engine side has two convergence strategies
+#: behind one query: label propagation (O(diameter), the near-clique fast
+#: path) with an automatic large-star/small-star fallback (O(log n), any
+#: graph shape) when the iteration cap is hit — output is identical either
+#: way, which is exactly what this recursive-CTE twin checks.
 _DUP_CLUSTERS_ORACLE = f"""
         WITH RECURSIVE {_SHINGLES_CTE.strip()},
         sigs AS (
@@ -890,6 +893,17 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint()ed to truncate the iterative lineage, the standard
     Spark iterative-algorithm pattern.
 
+    If the cap (MAX_CC_ITERS) is hit without the label sum stabilizing —
+    chained near-duplicates can make the dup graph a long path whose
+    diameter exceeds any fixed round budget — the query does NOT fall out
+    of the loop with under-merged clusters: it recomputes components with
+    the alternating large-star/small-star algorithm
+    (operators.graph.connected_components_star, Kiveris et al. SoCC'14),
+    which converges in O(log n) rounds on any graph shape. The fast path
+    stays cheap for the overwhelmingly common near-clique case; the
+    fallback makes worst-case topology a latency cost, not a correctness
+    bug.
+
     The DuckDB twin computes the same components with a recursive CTE —
     transitive closure is only tractable on verified-duplicate edges, which
     is exactly why the engine side uses label propagation instead.
@@ -918,6 +932,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     prev_sum = None  # first round always runs; diameter >= 1 whenever edges exist
+    converged = False
     for it in range(MAX_CC_ITERS):
         nbr_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -941,8 +956,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if it % 2 == 1 or it == MAX_CC_ITERS - 1:
             cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
+    if not converged:
+        # high-diameter topology (chained near-dups): label propagation
+        # would under-merge if we fell out of the loop here. Switch to the
+        # O(log n) large-star/small-star algorithm, correct on any shape.
+        from ..operators.graph import connected_components_star
+
+        comp = connected_components_star(
+            edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        )
+        labels = comp.select(
+            F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
     sym.unpersist()
     docs_arr.unpersist()
 

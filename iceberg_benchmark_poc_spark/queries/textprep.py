@@ -321,10 +321,18 @@ _POS_SQL = ", ".join(f"(({{h}} >> {15 * i}) & {BLOOM_BITS - 1})" for i in range(
 
 
 def _probe_positions(h):
+    """K probe positions sliced from the hash column ``h`` (any name).
+
+    Shift counts are literals, so F.shiftright applies to the passed Column
+    directly — no F.expr with a hardcoded column name (which would resolve
+    against whatever happens to be called 'h' in the caller's plan).
+    """
     from pyspark.sql import functions as F
 
+    if isinstance(h, str):
+        h = F.col(h)
     return F.array(
-        *[F.expr(f"shiftright(h, {15 * i})").bitwiseAND(F.lit(BLOOM_BITS - 1)) for i in range(BLOOM_K)]
+        *[F.shiftright(h, 15 * i).bitwiseAND(F.lit(BLOOM_BITS - 1)) for i in range(BLOOM_K)]
     )
 
 

@@ -80,6 +80,21 @@ def test_dup_clusters_match_union_find(spark):
         assert r["is_keeper"] == (r["doc_id"] == r["cluster_id"])
 
 
+def test_dup_clusters_star_fallback_matches_fast_path(spark, monkeypatch):
+    """When label propagation exhausts its round cap without converging —
+    the high-diameter chain-graph case at scale — q_dup_clusters must switch
+    to the O(log n) star algorithm instead of returning under-merged
+    clusters. Force the switch through the REGISTERED query path by capping
+    propagation at one round, and require bit-identical output to the
+    converged fast path (which the union-find test above certifies)."""
+    from iceberg_benchmark_poc_spark.queries import textpipe
+
+    baseline = sorted(map(tuple, q_dup_clusters(spark, SF_DIR).collect()))
+    monkeypatch.setattr(textpipe, "MAX_CC_ITERS", 1)
+    forced = sorted(map(tuple, q_dup_clusters(spark, SF_DIR).collect()))
+    assert forced == baseline
+
+
 def test_stratified_sample_deterministic_and_rated(spark):
     """The sample is a deterministic subset honoring per-stratum rates:
     re-running flips no decision, unlisted strata keep everything, and

@@ -81,3 +81,58 @@ def test_manifest_commit_bench_shape(tmp_path):
     assert r["batch_100"]["files_per_sec"] > r["batch_1"]["files_per_sec"]
     # manifest size grows with entries
     assert r["batch_100"]["avg_manifest_kb"] > r["batch_1"]["avg_manifest_kb"]
+
+
+def test_bench_headline_fits_driver_tail():
+    """The driver keeps only ~2KB of stdout; r01's per-query map was lost to
+    the truncation. The final headline line must stay under the cap for the
+    REAL current result set (BENCH_FULL.json) and for a worst-case synthetic
+    one (every registered query slow, all suites present)."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from iceberg_benchmark_poc_spark.core.registry import all_queries
+
+    cap = bench.HEADLINE_MAX_BYTES
+    assert cap <= 1800
+
+    # worst case: every query name at a slow-looking timing, suites maximal
+    timings = {name: 123.4567 for name in all_queries()}
+    suites = {
+        "writer_org": {"bytes_reduction_x": 12345.6},
+        "delete_storm": {"modeled_speedup_x": 123456.7},
+        "parallel_fetch": {"parallel_vs_inline_x": 123.45},
+        "manifest_parse": {"parse_ms_32mb": 12345.67},
+        "density_policy": {"decision_wall_ms": 123456.78},
+        "dv_resolution": {"100000": {"hash_join_ms": 12345.6, "positional_join_ms": 12345.6}},
+        "single_file_commits": {
+            "manifest_commit": {
+                "batch_1": {"avg_commit_ms": 123.456},
+                "batch_1000": {"avg_commit_ms": 12345.678},
+            }
+        },
+        "adaptive_tree": {"50000": {"flat_scan_ms": 12345.6}},
+        "wide_table": {"v3_footer_scan_ms": 12345.67, "v4_stats_lookup_ms": 123.456},
+        "wide_table_1000": {"v3_footer_scan_ms": 12345.67, "v4_stats_lookup_ms": 123.456},
+        "concurrent_writers": {"commits_per_sec": 12345.6, "conflict_rate": 0.123},
+        "column_update": {"column_update_speedup_x": 1234.5},
+    }
+    line = bench.build_headline_line(9999.9999, timings, suites, 0.1)
+    assert len(line.encode()) < cap, f"worst-case headline {len(line)}B >= {cap}B"
+    json.loads(line)  # still valid JSON after truncation
+
+    # the committed real result, when present
+    full_path = os.path.join(root, "BENCH_FULL.json")
+    if os.path.exists(full_path):
+        full = json.load(open(full_path))
+        line = bench.build_headline_line(
+            full["value"], full["queries"], full.get("suites"), full.get("sf", 0.1)
+        )
+        assert len(line.encode()) < cap
+        json.loads(line)
