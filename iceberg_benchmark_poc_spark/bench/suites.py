@@ -327,7 +327,7 @@ def suite_dv_resolution(spark: SparkSession, scales: tuple = (1_000, 10_000, 25_
 # ---------------------------------------------------------------------------
 
 
-def _manifest_commit_bench(tmp_dir: str, batch_sizes: tuple = (1, 100, 1000), commits: int = 10) -> dict:
+def _manifest_commit_bench(tmp_dir: str, batch_sizes: tuple = (1, 100, 1000), commits: int = 40) -> dict:
     """The reference's actual measurement: JSON-manifest append latency per
     commit at batch sizes 1..1000 (poc/test_single_file_commits.py:68-109;
     baseline 4.27 ms / 234 files/s at batch=1, 49.10 ms / 20,367 files/s at

@@ -68,6 +68,48 @@ def test_no_cartesian_in_similarity_path(spark):
     assert "CartesianProduct" not in plan
 
 
+#: queries whose plan intentionally contains a BroadcastNestedLoopJoin. Every
+#: entry broadcasts a side whose size is CONSTANT or metadata-scale at any
+#: corpus size — a one-row scalar fold, a capped sample, or a time-span
+#: dimension — so the nested loop is |stream| x O(1), not |n| x |n|.
+BNLJ_ALLOWLIST = {
+    "q_ivf_topk": "one-row coarse-quantizer fold (array<struct> cell)",
+    "q_embed_topk": "QUERY_CAP=32-row broadcast query set (exactness baseline)",
+    "q_ngram_jaccard": "NGRAM_SAMPLE_K-capped all-pairs audit sample",
+    "q_asof_join": "rate-snapshot dimension (one row per 90min of span)",
+    "q_range_join": "maintenance-window dimension (subset of rate snapshots)",
+    "q_stream_sliding": "one-row min/max bounds fold for window generation",
+    "q_dv_coalesce": "one-row manifest-count fold over metadata-scale DVs",
+    "q_scan_tree": "one-row tree-summary fold over metadata-scale manifests",
+    "q_skip_rate": "one-row query-set/domain fold over row-group stats",
+    "q_spill_policy": "one-row cap-constant fold over the policy set",
+    "q_zorder": "one-row domain-bounds fold over file stats",
+}
+
+
+def test_no_cartesian_anywhere(spark):
+    """Registry-wide scale audit: NO registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin only with a documented
+    constant/metadata-scale broadcast side. A quadratic plan that still
+    returns correct rows at sf0.001 is exactly the bug that kills a 100 TB
+    run — this pins the plan shape for all 94 queries, not just the
+    similarity family."""
+    offenders = {}
+    for name in sorted(all_queries()):
+        try:
+            plan = plan_of(spark, name)
+        except Exception as e:  # noqa: BLE001 — audit failure, not plan failure
+            offenders[name] = f"explain failed: {e}"
+            continue
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWLIST:
+            offenders[name] = "BroadcastNestedLoopJoin (undocumented; add to allowlist only with a bounded-broadcast justification)"
+    assert not offenders, f"quadratic plans: {offenders}"
+    # stale-allowlist guard: every allowlisted query still exists
+    assert set(BNLJ_ALLOWLIST) <= set(all_queries())
+
+
 def test_neardup_bucket_join_stays_equi(spark):
     # candidate generation must be the bucket equi-join, never a cross
     # product over the corpus
