@@ -33,9 +33,17 @@ BITMAP_BYTES = 8192
 
 
 def roaring_serialize(positions) -> bytes:
-    """Serialize an iterable of uint32 ints to portable Roaring bytes."""
-    arr = np.asarray(sorted(set(int(p) for p in positions)), dtype=np.uint64)
-    if arr.size and int(arr[-1]) >> 32:
+    """Serialize an iterable of uint32 ints to portable Roaring bytes.
+
+    ndarray input is vectorized end-to-end (np.unique sorts + dedups);
+    arbitrary iterables are converted first. No per-value Python loop —
+    at 8K positions/row the loop was the encode hot path, not the packing.
+    """
+    if isinstance(positions, np.ndarray):
+        arr = np.unique(positions.astype(np.int64, copy=False))
+    else:
+        arr = np.unique(np.fromiter((int(p) for p in positions), dtype=np.int64))
+    if arr.size and (int(arr[0]) < 0 or int(arr[-1]) >> 32):
         raise ValueError("roaring positions must fit in uint32")
     arr = arr.astype(np.uint32)
     keys = (arr >> np.uint32(16)).astype(np.uint16)
@@ -68,8 +76,8 @@ def roaring_serialize(positions) -> bytes:
     return bytes(header) + bytes(offsets) + b"".join(containers)
 
 
-def roaring_deserialize(blob: bytes) -> list[int]:
-    """Parse portable Roaring bytes back to a sorted list of ints."""
+def roaring_deserialize_np(blob: bytes) -> "np.ndarray":
+    """Parse portable Roaring bytes back to a sorted int64 ndarray."""
     cookie, n = struct.unpack_from("<II", blob, 0)
     if cookie != SERIAL_COOKIE_NO_RUNCONTAINER:
         raise ValueError(f"unsupported roaring cookie {cookie} (run containers not written here)")
@@ -87,5 +95,10 @@ def roaring_deserialize(blob: bytes) -> list[int]:
             lows = np.flatnonzero(np.unpackbits(bits.view(np.uint8), bitorder="little")).astype(np.uint32)
         out.append(key | lows)
     if not out:
-        return []
-    return np.concatenate(out).astype(np.int64).tolist()
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out).astype(np.int64)
+
+
+def roaring_deserialize(blob: bytes) -> list[int]:
+    """Parse portable Roaring bytes back to a sorted list of ints."""
+    return roaring_deserialize_np(blob).tolist()
