@@ -549,14 +549,13 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (poc/test_density_adaptive_policy.py:313-327), applied to corpus
     curation.
 
-    Scale: dedup + scoring shuffle by fixed-width hash only. The global
-    ORDER BY in the budget window is the one single-partition step; at
-    100 TB it becomes a two-phase prefix sum (per-range window over
-    range-partitioned quality, plus a broadcast running total of partition
-    sums — rangeBetween on the same expression), or the budget is allocated
-    per quality stratum. Candidate volume is already quality-filtered
-    metadata (doc_id + two numbers), not text, so the sort input is tiny
-    relative to the corpus.
+    Scale: dedup + scoring shuffle by fixed-width hash only. The running
+    token total is the two-phase distributed prefix sum
+    (operators.prefix.global_prefix_sum): range-partition on (quality desc,
+    doc_id), per-range local cumsum, broadcast base offsets — no task ever
+    sorts more than its own key range, and the only single-partition step
+    is the |ranges|-row totals table. Candidate volume is already
+    quality-filtered metadata (doc_id + two numbers), not text.
     """
     d = _docs(spark, sf_dir)
     txt = F.trim(F.col("text"))
@@ -578,12 +577,16 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_bpe_tokens", "quality_score")
     )
-    w = (
-        Window.orderBy(F.col("quality_score").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from ..operators.prefix import global_prefix_sum
+
+    summed = global_prefix_sum(
+        cand,
+        [F.col("quality_score").desc(), F.col("doc_id")],
+        F.col("n_bpe_tokens"),
+        "cum_tokens",
     )
     return (
-        cand.withColumn("cum_tokens", F.sum("n_bpe_tokens").over(w).cast("bigint"))
+        summed.withColumn("cum_tokens", F.col("cum_tokens").cast("bigint"))
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("doc_id", "n_bpe_tokens", "quality_score", "cum_tokens")
     )
@@ -1177,11 +1180,12 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard) a downstream `partitionBy(shard_id)` write consumes.
 
     Scale: the packing input is (doc_id, token_count) metadata, never text.
-    The global prefix sum is the same single-partition window documented in
-    q_corpus_select — at 100 TB it becomes the two-phase per-range prefix
-    sum, and because the order key here is doc_id (not a computed score),
-    range partitioning is free on an id-sorted corpus: each range computes
-    its local cumsum and adds a broadcast base offset.
+    The running token total uses the two-phase distributed prefix sum
+    (operators.prefix.global_prefix_sum, same as q_corpus_select): each
+    doc_id range computes its local cumsum and adds a broadcast base
+    offset, so shard assignment never funnels the corpus through one task —
+    and because the order key is doc_id (not a computed score), range
+    partitioning is free on an id-sorted corpus.
     """
     d = _docs(spark, sf_dir)
     txt = F.trim(F.col("text"))
@@ -1203,12 +1207,13 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_bpe_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed = cand.withColumn(
+    from ..operators.prefix import global_prefix_sum
+
+    packed = global_prefix_sum(
+        cand, [F.col("doc_id")], F.col("n_bpe_tokens"), "__cum"
+    ).withColumn(
         "shard_id",
-        F.floor((F.sum("n_bpe_tokens").over(w) - F.col("n_bpe_tokens")) / SHARD_TOKENS).cast(
-            "bigint"
-        ),
+        F.floor((F.col("__cum") - F.col("n_bpe_tokens")) / SHARD_TOKENS).cast("bigint"),
     )
     return packed.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),

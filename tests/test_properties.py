@@ -490,6 +490,31 @@ def test_quadratic_baseline_samples_are_scale_bounded(spark):
         assert n_docs == NGRAM_SAMPLE_K
 
 
+def test_global_prefix_sum_matches_global_window(spark):
+    """The two-phase range-partitioned prefix sum must be bit-identical to
+    the single-partition window it replaces — including negative values,
+    duplicates of the VALUE column, forced multi-range splits, and a
+    descending order key."""
+    from pyspark.sql import Window
+
+    from iceberg_benchmark_poc_spark.operators.prefix import global_prefix_sum
+
+    rows = [(i, ((i * 37) % 19) - 9) for i in range(1, 501)]  # values in [-9, 9]
+    df = spark.createDataFrame(rows, "k bigint, v bigint").repartition(8)
+
+    for order in ([F.col("k")], [F.col("v").desc(), F.col("k")]):
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        expected = {
+            r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        for n_ranges in (1, 7, 64):  # fewer, comparable, and more ranges than rows/partitions
+            got = {
+                r["k"]: r["cum"]
+                for r in global_prefix_sum(df, order, F.col("v"), "cum", n_ranges).collect()
+            }
+            assert got == expected, f"order={order} n_ranges={n_ranges}"
+
+
 def test_ann_query_sets_constant_across_sf(spark):
     """q_embed_ann / q_ivf_topk broadcast their query sets — an uncapped
     modulus fraction grows with the corpus (r02 VERDICT scale flaw). Through
