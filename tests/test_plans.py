@@ -87,6 +87,64 @@ BNLJ_ALLOWLIST = {
 }
 
 
+#: queries whose plan intentionally sorts through ONE partition. Every entry
+#: sorts a set that is metadata-scale BY CONSTRUCTION (manifest entries /
+#: row-group stats / commit logs: <1M rows even at 100 TB with 128 MB files
+#: — README scale notes) or tiny by construction (the |ranges|-row totals
+#: table of the two-phase prefix sum). Corpus-scale global sorts are
+#: forbidden — q_corpus_select/q_shard_pack route theirs through
+#: operators/prefix.py and appear here only for that totals table.
+GLOBAL_SORT_ALLOWLIST = {
+    "q_corpus_select": "prefix-sum totals table: one row per range partition",
+    "q_shard_pack": "prefix-sum totals table: one row per range partition",
+    "q_dv_positional_join": "manifest entries (reference positional semantics)",
+    "q_growth": "commit log",
+    "q_lead_lag": "commit log",
+    "q_ordered_manifest": "manifest entries (reference ordered-DV semantics)",
+    "q_range_span": "row-group stats",
+    "q_scan_tree": "manifest tree levels",
+    "q_skip_rate": "row-group stats",
+    "q_sorted_write": "manifest entries (the writer-organization layout itself)",
+    "q_spill_policy": "MDV policy set (reference bin-pack semantics)",
+    "q_zorder": "file/row-group stats",
+}
+
+
+def _detail_blocks(plan: str) -> dict[int, tuple[str, str]]:
+    """{node_id: (node_type, body)} from a formatted explain string."""
+    return {
+        int(m.group(1)): (m.group(2), m.group(3))
+        for m in re.finditer(r"^\((\d+)\) (\S+)\n((?:(?!^\(\d+\)).*\n?)*)", plan, re.M)
+    }
+
+
+def test_no_undocumented_global_sorts(spark):
+    """Registry-wide: a SinglePartition exchange feeding a Sort is a global
+    sort/window — every input row through one task. Allowed only for
+    documented metadata-scale sets; a corpus-scale query acquiring one is a
+    100 TB bottleneck regression (exactly what q_corpus_select/q_shard_pack
+    had before the two-phase prefix sum)."""
+    offenders = {}
+    for name in sorted(all_queries()):
+        try:
+            plan = plan_of(spark, name)
+        except Exception as e:  # noqa: BLE001
+            offenders[name] = f"explain failed: {e}"
+            continue
+        blocks = _detail_blocks(plan)
+        hits = [
+            k
+            for k, (t, body) in blocks.items()
+            if t == "Exchange"
+            and "SinglePartition" in body
+            and blocks.get(k + 1, ("", ""))[0] == "Sort"
+        ]
+        if hits and name not in GLOBAL_SORT_ALLOWLIST:
+            offenders[name] = f"single-partition sort at nodes {hits}"
+    assert not offenders, f"undocumented global sorts: {offenders}"
+    assert set(GLOBAL_SORT_ALLOWLIST) <= set(all_queries())
+
+
 def test_no_cartesian_anywhere(spark):
     """Registry-wide scale audit: NO registered query may plan a
     CartesianProduct, and BroadcastNestedLoopJoin only with a documented
