@@ -133,7 +133,9 @@ def _suite_headline(suites: dict) -> dict:
         "dv_hash_join_ms_100k": g("dv_resolution", "100000", "hash_join_ms"),
         "dv_positional_ms_100k": g("dv_resolution", "100000", "positional_join_ms"),
         "commit_ms_batch1": g("single_file_commits", "manifest_commit", "batch_1", "avg_commit_ms"),
+        "commit_ms_batch1_p50": g("single_file_commits", "manifest_commit", "batch_1", "p50_commit_ms"),
         "commit_ms_batch1000": g("single_file_commits", "manifest_commit", "batch_1000", "avg_commit_ms"),
+        "stream_rows_per_sec": g("stream_throughput", "rows_per_sec"),
         "tree_plan_ms_50k": g("adaptive_tree", "50000", "flat_scan_ms"),
         "wide_v3_scan_ms": g("wide_table", "v3_footer_scan_ms"),
         "wide_v4_lookup_ms": g("wide_table", "v4_stats_lookup_ms"),

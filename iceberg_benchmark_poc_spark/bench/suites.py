@@ -338,6 +338,10 @@ def _manifest_commit_bench(tmp_dir: str, batch_sizes: tuple = (1, 100, 1000), co
     out = {}
     mdir = os.path.join(tmp_dir, "manifests")
     os.makedirs(mdir, exist_ok=True)
+    try:
+        os.sync()  # drain writeback from earlier suites before sub-ms timing
+    except OSError:
+        pass
     for bs in batch_sizes:
         lat, bytes_written = [], 0
         # one untimed warmup commit: the first tiny write pays allocator +
@@ -366,8 +370,13 @@ def _manifest_commit_bench(tmp_dir: str, batch_sizes: tuple = (1, 100, 1000), co
             lat.append((time.perf_counter() - t0) * 1000)
             bytes_written += os.path.getsize(path)
         total_s = sum(lat) / 1000
+        srt = sorted(lat)
         out[f"batch_{bs}"] = {
             "avg_commit_ms": round(sum(lat) / len(lat), 3),
+            # median alongside the mean: sub-ms file writes are jitter-prone
+            # (GC, dirty-page writeback), and p50 vs avg shows whether a
+            # reading is outlier noise or a systematic shift
+            "p50_commit_ms": round(srt[len(srt) // 2], 3),
             "files_per_sec": round(bs * commits / max(total_s, 1e-9), 1),
             "avg_manifest_kb": round(bytes_written / commits / 1024, 2),
         }
@@ -377,6 +386,12 @@ def _manifest_commit_bench(tmp_dir: str, batch_sizes: tuple = (1, 100, 1000), co
 def suite_single_file_commits(spark: SparkSession, sf_dir: str, tmp_dir: str) -> dict:
     from ..streaming.ingest import _dir_bytes, micro_batch_commit_metrics, split_events_for_streaming
 
+    # measure the BASELINE.md-comparable JSON-manifest commits FIRST: the
+    # streaming ingest + compaction below flush megabytes of parquet through
+    # the page cache, and timing 1-entry json writes during that writeback
+    # reads ~0.3 ms instead of the ~0.05 ms the writes actually cost (the
+    # reference measured its JSON commits in isolation too)
+    manifest_commit = _manifest_commit_bench(tmp_dir)
     src = split_events_for_streaming(spark, sf_dir, tmp_dir, n_files=20)
     log = micro_batch_commit_metrics(spark, src, os.path.join(tmp_dir, "commits"))
     lat = [c["commit_ms"] for c in log.commits]
@@ -395,7 +410,7 @@ def suite_single_file_commits(spark: SparkSession, sf_dir: str, tmp_dir: str) ->
     compact_ms = (time.perf_counter() - t0) * 1000
     after_files = [f for f in os.listdir(compacted) if f.endswith(".parquet")]
     return {
-        "manifest_commit": _manifest_commit_bench(tmp_dir),
+        "manifest_commit": manifest_commit,
         "n_commits": len(log.commits),
         "avg_commit_ms": round(sum(lat) / len(lat), 2),
         "min_commit_ms": round(min(lat), 2),
@@ -409,6 +424,48 @@ def suite_single_file_commits(spark: SparkSession, sf_dir: str, tmp_dir: str) ->
             "bytes_after": _dir_bytes(compacted),
             "rewrite_ms": round(compact_ms, 1),
         },
+    }
+
+
+def suite_stream_throughput(spark: SparkSession, sf_dir: str, tmp_dir: str, n_files: int = 8) -> dict:
+    """Sustained throughput of a live watermarked streaming aggregation.
+
+    Beyond the reference's modeled commit pattern: run the actual
+    Structured Streaming pipeline (file source -> watermark -> 1h tumbling
+    window agg -> foreachBatch sink) to completion over the events fixture
+    and measure end-to-end rows/sec and per-micro-batch latency. The same
+    windowed aggregation is oracle-gated in batch form (q_stream_tumbling);
+    here the streaming runtime itself — state store, watermark eviction,
+    micro-batch scheduling — is on the clock.
+    """
+    from ..streaming.ingest import split_events_for_streaming, stream_events
+    from ..streaming.windows import tumbling_counts
+
+    src = split_events_for_streaming(spark, sf_dir, os.path.join(tmp_dir, "tp"), n_files=n_files)
+    totals = {"rows": 0, "batches": 0}
+
+    def sink(batch_df, batch_id):
+        totals["rows"] += batch_df.count()
+        totals["batches"] += 1
+
+    t0 = time.perf_counter()
+    q = (
+        tumbling_counts(stream_events(spark, src, files_per_trigger=2))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(tmp_dir, "tp_ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall_s = time.perf_counter() - t0
+    n_input = spark.read.parquet(src).count()
+    return {
+        "input_rows": n_input,
+        "result_rows": totals["rows"],
+        "micro_batches": totals["batches"],
+        "wall_s": round(wall_s, 2),
+        "rows_per_sec": round(n_input / max(wall_s, 1e-9), 1),
     }
 
 
@@ -659,6 +716,7 @@ def run_all_suites(spark: SparkSession, sf_dir: str, tmp_dir: str, quick: bool =
         "density_policy": suite_density_policy(spark),
         "dv_resolution": suite_dv_resolution(spark, dv_scales),
         "single_file_commits": suite_single_file_commits(spark, sf_dir, tmp_dir),
+        "stream_throughput": suite_stream_throughput(spark, sf_dir, tmp_dir),
         "adaptive_tree": suite_adaptive_tree(spark, tree_scales),
         "wide_table": suite_wide_table(spark, tmp_dir, n_cols=100 if quick else 500, n_files=10 if quick else 50),
         # the survey's full range is "up to 1000 columns"

@@ -83,6 +83,20 @@ def test_manifest_commit_bench_shape(tmp_path):
     assert r["batch_100"]["avg_manifest_kb"] > r["batch_1"]["avg_manifest_kb"]
 
 
+def test_stream_throughput_processes_all_rows(spark, tmp_path):
+    from iceberg_benchmark_poc_spark.bench.suites import suite_stream_throughput
+
+    from .conftest import SF_DIR
+
+    r = suite_stream_throughput(spark, SF_DIR, str(tmp_path), n_files=4)
+    assert r["input_rows"] > 0
+    assert r["result_rows"] > 0  # windowed aggregate rows emitted
+    # 4 files at 2 per trigger -> 2 data batches, plus possibly one final
+    # empty batch when the watermark advance flushes remaining state
+    assert 2 <= r["micro_batches"] <= 3
+    assert r["rows_per_sec"] > 0
+
+
 def test_bench_headline_fits_driver_tail():
     """The driver keeps only ~2KB of stdout; r01's per-query map was lost to
     the truncation. The final headline line must stay under the cap for the
@@ -113,13 +127,14 @@ def test_bench_headline_fits_driver_tail():
         "dv_resolution": {"100000": {"hash_join_ms": 12345.6, "positional_join_ms": 12345.6}},
         "single_file_commits": {
             "manifest_commit": {
-                "batch_1": {"avg_commit_ms": 123.456},
+                "batch_1": {"avg_commit_ms": 123.456, "p50_commit_ms": 123.456},
                 "batch_1000": {"avg_commit_ms": 12345.678},
             }
         },
         "adaptive_tree": {"50000": {"flat_scan_ms": 12345.6}},
         "wide_table": {"v3_footer_scan_ms": 12345.67, "v4_stats_lookup_ms": 123.456},
         "wide_table_1000": {"v3_footer_scan_ms": 12345.67, "v4_stats_lookup_ms": 123.456},
+        "stream_throughput": {"rows_per_sec": 1234567.8},
         "concurrent_writers": {"commits_per_sec": 12345.6, "conflict_rate": 0.123},
         "column_update": {"column_update_speedup_x": 1234.5},
     }
