@@ -357,6 +357,105 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_from_arrays(pairs, docs_arr)
 
 
+#: containment floor for calling one document a near-subset of another
+CONTAINMENT_MIN = 0.8
+
+
+@register(
+    "q_containment",
+    oracle=f"""
+        WITH {_SHINGLES_CTE.strip()},
+        sigs AS (
+          SELECT doc_id, CAST(k.range AS INTEGER) AS k,
+                 MIN(((k.range * 2 + 3) * h + (k.range * 5 + 7)) % {PORTABLE_HASH_PRIME}) AS minhash
+          FROM hashed, range({MINHASH_K}) k
+          GROUP BY 1, 2
+        ),
+        bands AS (
+          SELECT doc_id, CAST(floor(k / {LSH_ROWS_PER_BAND}) AS BIGINT) AS band,
+                 string_agg(CAST(k AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), ':' ORDER BY k) AS band_sig
+          FROM sigs GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(sb.shingle) AS inter
+          FROM pairs p
+          JOIN hashed sa ON sa.doc_id = p.doc_a
+          LEFT JOIN hashed sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        ),
+        dirs AS (
+          SELECT i.doc_a AS doc_id, i.doc_b AS within_id, i.inter, za.n
+          FROM inter i JOIN sizes za ON za.doc_id = i.doc_a
+          UNION ALL
+          SELECT i.doc_b, i.doc_a, i.inter, zb.n
+          FROM inter i JOIN sizes zb ON zb.doc_id = i.doc_b
+        )
+        SELECT doc_id, within_id,
+               inter / n            AS containment,
+               CAST(n AS BIGINT)    AS n_shingles
+        FROM dirs
+        WHERE inter / n >= CAST({CONTAINMENT_MIN} AS DOUBLE)
+        """,
+    tags=("text", "dedup", "lsh", "containment"),
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment: documents that are near-SUBSETS of another doc.
+
+    Symmetric Jaccard misses the quote/excerpt case — a short document fully
+    contained in a long one scores low Jaccard (union is large) but
+    containment C(A,B) = |S(A) n S(B)| / |S(A)| ~= 1. This is the measure a
+    training pipeline needs for boilerplate excerpts and doc-in-doc
+    duplication; the drop action is `doc_id` (the contained side), keeping
+    `within_id` (the container).
+
+    Both directions of every LSH band-collision candidate pair are scored,
+    so a pair contributes up to two rows. Scale shape is identical to
+    q_minhash_dedup (same banded candidate generation, same array_intersect
+    verify on candidates only); recall is bounded by the Jaccard-band
+    collision probability, the standard limitation of reusing a symmetric
+    index for asymmetric search — at production scale the band index is
+    rebuilt over suffix-anchored shingle samples to recover low-Jaccard
+    containment pairs.
+    """
+    from pyspark import StorageLevel
+
+    d = _docs(spark, sf_dir)
+    docs_arr = shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = lsh_pairs_from_wide(minhash_from_arrays(docs_arr))
+    a = docs_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
+    b = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
+    j = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size("sh_a").alias("size_a"),
+            F.size("sh_b").alias("size_b"),
+        )
+    )
+    fwd = j.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("within_id"),
+        (F.col("inter") / F.col("size_a")).alias("containment"),
+        F.col("size_a").cast("bigint").alias("n_shingles"),
+    )
+    rev = j.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("within_id"),
+        (F.col("inter") / F.col("size_b")).alias("containment"),
+        F.col("size_b").cast("bigint").alias("n_shingles"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= CONTAINMENT_MIN)
+
+
 @register(
     "q_ngram_jaccard",
     oracle=f"""
