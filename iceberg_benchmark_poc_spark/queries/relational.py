@@ -358,3 +358,103 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@register(
+    "q_promo_revenue",
+    oracle="""
+        SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
+                 ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE)  AS promo_revenue,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+                                                                 AS total_revenue,
+               count(*)                                          AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1997-10-01'
+        """,
+    tags=("join", "agg", "relational"),
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one ship month.
+
+    Conditional aggregation over a fact-dimension join: the date predicate
+    pushes to the lineitem scan (one month survives), part BROADCASTS, and
+    the conditional sums partial-aggregate map-side into a single row. The
+    promo share is computed by the caller from the two exact decimal-folded
+    sums — emitting both (instead of the ratio) keeps the hash comparison on
+    exactly-reproducible values.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.to_date("l_shipdate") < F.lit("1997-10-01"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", rev.cast("decimal(38,10)")).otherwise(
+                    F.lit(0).cast("decimal(38,10)")
+                )
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev.cast("decimal(38,10)")).cast("double").alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+#: Q19-shaped OR-of-ANDs predicate: three (brand, size-range, qty-range)
+#: branches — the disjunctive-pushdown stress case
+_Q19_BRANCHES = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#13", 10, 30, 10, 35),
+    ("Brand#20", 20, 50, 20, 50),
+)
+
+_Q19_SQL_PRED = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {s0} AND {s1} AND l_quantity BETWEEN {q0} AND {q1})"
+    for b, s0, s1, q0, q1 in _Q19_BRANCHES
+)
+
+
+@register(
+    "q_disjunct_revenue",
+    oracle=f"""
+        SELECT count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE {_Q19_SQL_PRED}
+        """,
+    tags=("join", "filter", "relational"),
+)
+def q_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs cross-table predicate.
+
+    The disjunctive-predicate stress case: three (brand, size, quantity)
+    branches where each conjunct spans both tables, so no single branch can
+    be pushed wholesale. Catalyst extracts the common single-side residues
+    (brand IN set, size/quantity hull ranges) for scan-level pruning and
+    evaluates the full disjunction after the broadcast join — the part side
+    stays dimension-sized, the fact side is scanned once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pred = None
+    for brand, s0, s1, q0, q1 in _Q19_BRANCHES:
+        branch = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s0, s1)
+            & F.col("l_quantity").between(q0, q1)
+        )
+        pred = branch if pred is None else (pred | branch)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(pred).agg(
+        F.count("*").alias("n_items"),
+        F.sum(rev.cast("decimal(38,10)")).cast("double").alias("revenue"),
+    )

@@ -50,6 +50,15 @@ def test_dv_joins_broadcast_the_dv_side(spark):
         assert "BroadcastHashJoin" in plan_of(spark, name), name
 
 
+def test_fact_dim_joins_broadcast_and_push(spark):
+    # Q14/Q19 shapes: part broadcasts; Q14's one-month predicate reaches the
+    # lineitem scan
+    plan = plan_of(spark, "q_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "l_shipdate" in dict(scans(plan)).get("lineitem", "")
+    assert "BroadcastHashJoin" in plan_of(spark, "q_disjunct_revenue")
+
+
 def test_pricing_summary_partial_aggregates(spark):
     plan = plan_of(spark, "q_pricing_summary")
     # partial HashAggregate must appear below (before) the exchange
