@@ -458,3 +458,53 @@ def q_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum(rev.cast("decimal(38,10)")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "q_returned_revenue",
+    oracle="""
+        SELECT c_custkey,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)
+                 AS lost_revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        WHERE l_returnflag = 'R'
+          AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) <  DATE '1998-01-01'
+        GROUP BY c_custkey
+        HAVING count(*) >= 5
+        """,
+    tags=("join", "agg", "relational"),
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, per customer.
+
+    The shape q_ship_priority/q_promo_revenue do NOT cover: the group key
+    (customer) is high-cardinality, so neither the qualifier set nor the
+    grouped result is broadcastable — this is the genuine shuffle-join +
+    shuffle-agg path. Scale: the returnflag + ship-year predicates push to
+    the lineitem scan (a small slice survives), the orders join shuffles on
+    orderkey with AQE sizing the partitions, customer broadcasts (dimension),
+    and the revenue sums partial-aggregate map-side before the custkey
+    shuffle. Decimal folds keep the HAVING cut and sums engine-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev.cast("decimal(38,10)")).cast("double").alias("lost_revenue"),
+        )
+        .filter(F.col("n_items") >= 5)
+    )
