@@ -265,3 +265,58 @@ def q_manifest_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_flush_batch(entries, FLUSH_Q_BYTES, FLUSH_Q_ENTRIES).orderBy(
         "writer_id", "flush_seq"
     )
+
+
+REDELIVERY_MOD = 10  # events with event_id % 10 == 3 arrive twice
+
+
+@register(
+    "q_stream_dedup",
+    oracle=f"""
+        WITH redelivered AS (
+          SELECT event_id, event_type, value FROM events
+          UNION ALL
+          SELECT event_id, event_type, value FROM events WHERE event_id % {REDELIVERY_MOD} = 3
+        ),
+        delivered AS (
+          SELECT event_type, count(*) AS n_delivered FROM redelivered GROUP BY 1
+        ),
+        uniq AS (
+          SELECT event_type,
+                 count(*) AS n_unique,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+          FROM events GROUP BY 1
+        )
+        SELECT u.event_type, d.n_delivered, u.n_unique, u.total_value
+        FROM uniq u JOIN delivered d USING (event_type)
+        """,
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redelivery dedup: at-least-once delivery repaired to effectively-once.
+
+    Batch twin of ``streaming.dedup_join.dedup_events`` (the
+    dropDuplicatesWithinWatermark operator), run through the SAME function:
+    a deterministic redelivery (every event_id % 10 == 3 arrives twice)
+    is injected, deduped on event_id, and the per-type delivered/unique
+    counts plus exact value sums prove the repair dropped exactly the
+    duplicates and nothing else. Streaming equivalence for the same
+    function is asserted in tests/test_streaming.py; here the DuckDB oracle
+    gates the values.
+
+    Scale: dedup state is one key per event_id inside the watermark horizon
+    (state bounded by rate x horizon, not history); the batch twin is a
+    dropDuplicates shuffle on event_id followed by a map-side-combined
+    per-type rollup.
+    """
+    from ..streaming.dedup_join import dedup_events
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    redelivered = e.unionByName(e.filter(F.col("event_id") % REDELIVERY_MOD == 3))
+    delivered = redelivered.groupBy("event_type").agg(F.count("*").alias("n_delivered"))
+    deduped = dedup_events(redelivered)
+    uniq = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )
+    return uniq.join(delivered, "event_type")
