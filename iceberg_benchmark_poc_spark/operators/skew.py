@@ -38,6 +38,34 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("_partial").alias(agg_alias))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_col: Column,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: replicate the small side, salt the big side.
+
+    A hot join key sends all its rows to one reducer in a plain shuffle
+    join. Salting joins on (key, salt) instead: the big side gets a
+    deterministic salt from one of its uniform columns, and the small side
+    is replicated once per salt value (an n_salts-row explode — the
+    replication cost is |small| x n_salts, the classic trade). Every hot
+    key now spreads across n_salts reducers. Row-identical to
+    ``big.join(small, key, how)``; AQE's skew-join split does this
+    adaptively for sort-merge joins, but explicit salting also covers
+    shuffle-hash joins and engines/plans AQE can't rewrite.
+    """
+    # int literals so the exploded salt is already IntegerType (a generator
+    # can't be nested inside a cast expression)
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    salted_big = big.withColumn("_salt", (salt_col % n_salts).cast("int"))
+    rep_small = small.withColumn("_salt", F.explode(salts))
+    return salted_big.join(rep_small, [key, "_salt"], how).drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.io import load_table
 from ..core.registry import register
-from ..operators.skew import salted_count
+from ..operators.skew import salted_count, salted_join
 
 
 @register(
@@ -36,6 +36,39 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     return salted_count(li, ["l_returnflag"], F.col("l_orderkey"), n_salts=16)
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+        SELECT p_brand,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS brand_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
+        """,
+    tags=("join", "skew"),
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof replicated-salt equi-join (logical result: the plain join).
+
+    The join half of the salting family (q_salted_agg is the aggregation
+    half): lineitem joins part on (l_partkey, salt) with part replicated 8x,
+    so a hot part key's rows spread across 8 reducers instead of one. The
+    oracle checks the unsalted join's per-brand rollup — salting is a
+    physical rewrite and must be row-invisible.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, p, "l_partkey", F.col("l_orderkey"), n_salts=8)
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("brand_revenue"),
+    )
 
 
 @register("q_approx_stats", oracle=None, tags=("agg", "approx"))
