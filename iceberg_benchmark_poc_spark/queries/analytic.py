@@ -174,3 +174,128 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_window"),
         (F.sum("v").over(w).cast("double") / F.count("*").over(w)).alias("mov_avg"),
     )
+
+
+N_HIST_BUCKETS = 10  # equi-depth histogram: decile buckets
+_DECILES = [round(i / N_HIST_BUCKETS, 1) for i in range(1, N_HIST_BUCKETS)]
+
+
+@register(
+    "q_equidepth_hist",
+    oracle=f"""
+        WITH cents AS (
+          SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+        ),
+        b AS (
+          SELECT quantile_cont(c, {_DECILES}) AS bs FROM cents
+        )
+        SELECT bucket,
+               count(*)               AS n_rows,
+               CAST(min(c) AS BIGINT) AS lo_cents,
+               CAST(max(c) AS BIGINT) AS hi_cents
+        FROM (
+          SELECT c,
+                 CAST(len(list_filter((SELECT bs FROM b), x -> c >= x)) AS INTEGER) AS bucket
+          FROM cents
+        )
+        GROUP BY bucket
+        """,
+    tags=("agg", "histogram"),
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of price without a global sort.
+
+    The scale-correct bucketize: ntile() would sort every row through one
+    task; instead the 9 exact decile boundaries (a ONE-ROW fold) broadcast
+    back to the scan and each row counts boundaries <= itself — map-only
+    assignment, then a 10-group rollup. Prices quantize to integer cents
+    first so the percentile interpolation is engine-exact at half-steps
+    (same rule as q_percentiles' integral ttfb).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))
+    bounds = cents.agg(
+        F.expr(f"percentile(c, array({', '.join(str(d) for d in _DECILES)}))").alias("bs")
+    )
+    assigned = cents.join(F.broadcast(bounds)).select(
+        "c",
+        F.aggregate(
+            "bs", F.lit(0), lambda acc, b: acc + F.when(F.col("c") >= b, 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("c").cast("bigint").alias("lo_cents"),
+        F.max("c").cast("bigint").alias("hi_cents"),
+    )
+
+
+@register(
+    "q_corr_stats",
+    oracle="""
+        WITH g AS (
+          SELECT l_returnflag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem
+        ),
+        s AS (
+          SELECT l_returnflag,
+                 count(*) AS n,
+                 CAST(sum(x) AS DOUBLE)  AS sx,
+                 CAST(sum(y) AS DOUBLE)  AS sy,
+                 CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sx2,
+                 CAST(sum(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS sy2
+          FROM g
+          GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               (n * sxy - sx * sy) / (n * (n - 1)) / 100.0                           AS covar,
+               (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr
+        FROM s
+        """,
+    tags=("agg", "statistics"),
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-price covariance and correlation per return flag.
+
+    Built-in corr()/covar_samp() accumulate in floats whose summation order
+    differs run to run and engine to engine, and double->DECIMAL casts of
+    fractional products tie-break differently (HALF_UP vs round-half-even).
+    Instead both inputs quantize to an integer grid (quantity is integral;
+    price floors to cents — corr is scale-invariant, so the grid is
+    semantics-free), the five moment sums are exact integer folds, and the
+    closed-form covariance/correlation are computed from them with the
+    IDENTICAL double expression on both engines — deterministic to the
+    last bit, the parity rule applied to second-moment statistics.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = g.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sx2"),
+        F.sum(yd * F.col("y")).cast("double").alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    return s.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy) / (n * (n - 1)) / F.lit(100.0)).alias("covar"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        ).alias("corr"),
+    )

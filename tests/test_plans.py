@@ -83,6 +83,7 @@ def test_no_cartesian_in_similarity_path(spark):
 #: dimension — so the nested loop is |stream| x O(1), not |n| x |n|.
 BNLJ_ALLOWLIST = {
     "q_ivf_topk": "one-row coarse-quantizer fold (array<struct> cell)",
+    "q_equidepth_hist": "one-row decile-boundaries fold (9-element array cell)",
     "q_embed_topk": "QUERY_CAP=32-row broadcast query set (exactness baseline)",
     "q_ngram_jaccard": "NGRAM_SAMPLE_K-capped all-pairs audit sample",
     "q_asof_join": "rate-snapshot dimension (one row per 90min of span)",
