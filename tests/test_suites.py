@@ -83,6 +83,16 @@ def test_manifest_commit_bench_shape(tmp_path):
     assert r["batch_100"]["avg_manifest_kb"] > r["batch_1"]["avg_manifest_kb"]
 
 
+def test_skew_join_plans_agree(spark):
+    from iceberg_benchmark_poc_spark.bench.suites import suite_skew_join
+
+    r = suite_skew_join(spark, n_rows=100_000)
+    # the suite itself asserts all three plans return identical row counts;
+    # here: timings exist and the confs were restored
+    assert r["plain_join_ms"] > 0 and r["salted_join_ms"] > 0 and r["aqe_skew_split_ms"] > 0
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 def test_stream_throughput_processes_all_rows(spark, tmp_path):
     from iceberg_benchmark_poc_spark.bench.suites import suite_stream_throughput
 
@@ -135,6 +145,7 @@ def test_bench_headline_fits_driver_tail():
         "wide_table": {"v3_footer_scan_ms": 12345.67, "v4_stats_lookup_ms": 123.456},
         "wide_table_1000": {"v3_footer_scan_ms": 12345.67, "v4_stats_lookup_ms": 123.456},
         "stream_throughput": {"rows_per_sec": 1234567.8},
+        "skew_join": {"salted_speedup_x": 123.45},
         "concurrent_writers": {"commits_per_sec": 12345.6, "conflict_rate": 0.123},
         "column_update": {"column_update_speedup_x": 1234.5},
     }
