@@ -77,24 +77,8 @@ def test_no_cartesian_in_similarity_path(spark):
     assert "CartesianProduct" not in plan
 
 
-#: queries whose plan intentionally contains a BroadcastNestedLoopJoin. Every
-#: entry broadcasts a side whose size is CONSTANT or metadata-scale at any
-#: corpus size — a one-row scalar fold, a capped sample, or a time-span
-#: dimension — so the nested loop is |stream| x O(1), not |n| x |n|.
-BNLJ_ALLOWLIST = {
-    "q_ivf_topk": "one-row coarse-quantizer fold (array<struct> cell)",
-    "q_equidepth_hist": "one-row decile-boundaries fold (9-element array cell)",
-    "q_embed_topk": "QUERY_CAP=32-row broadcast query set (exactness baseline)",
-    "q_ngram_jaccard": "NGRAM_SAMPLE_K-capped all-pairs audit sample",
-    "q_asof_join": "rate-snapshot dimension (one row per 90min of span)",
-    "q_range_join": "maintenance-window dimension (subset of rate snapshots)",
-    "q_stream_sliding": "one-row min/max bounds fold for window generation",
-    "q_dv_coalesce": "one-row manifest-count fold over metadata-scale DVs",
-    "q_scan_tree": "one-row tree-summary fold over metadata-scale manifests",
-    "q_skip_rate": "one-row query-set/domain fold over row-group stats",
-    "q_spill_policy": "one-row cap-constant fold over the policy set",
-    "q_zorder": "one-row domain-bounds fold over file stats",
-}
+# (the registry-wide cartesian/BNLJ/Python-stage audit is
+# test_plan_audit_every_query below, with ARROW_PYTHON_ALLOWED/BNLJ_ALLOWED)
 
 
 #: queries whose plan intentionally sorts through ONE partition. Every entry
@@ -155,27 +139,13 @@ def test_no_undocumented_global_sorts(spark):
     assert set(GLOBAL_SORT_ALLOWLIST) <= set(all_queries())
 
 
-def test_no_cartesian_anywhere(spark):
-    """Registry-wide scale audit: NO registered query may plan a
-    CartesianProduct, and BroadcastNestedLoopJoin only with a documented
-    constant/metadata-scale broadcast side. A quadratic plan that still
-    returns correct rows at sf0.001 is exactly the bug that kills a 100 TB
-    run — this pins the plan shape for all 94 queries, not just the
-    similarity family."""
-    offenders = {}
-    for name in sorted(all_queries()):
-        try:
-            plan = plan_of(spark, name)
-        except Exception as e:  # noqa: BLE001 — audit failure, not plan failure
-            offenders[name] = f"explain failed: {e}"
-            continue
-        if "CartesianProduct" in plan:
-            offenders[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWLIST:
-            offenders[name] = "BroadcastNestedLoopJoin (undocumented; add to allowlist only with a bounded-broadcast justification)"
-    assert not offenders, f"quadratic plans: {offenders}"
-    # stale-allowlist guard: every allowlisted query still exists
-    assert set(BNLJ_ALLOWLIST) <= set(all_queries())
+def test_plan_allowlists_not_stale():
+    """Every plan-audit-allowlisted query still exists in the registry —
+    a rename must update its justification, not orphan it."""
+    names = set(all_queries())
+    assert set(BNLJ_ALLOWED) <= names  # defined below; resolved at call time
+    assert set(ARROW_PYTHON_ALLOWED) <= names
+    assert set(GLOBAL_SORT_ALLOWLIST) <= names
 
 
 def test_neardup_bucket_join_stays_equi(spark):
@@ -329,6 +299,7 @@ BNLJ_ALLOWED = {
     "q_asof_join",       # per-key scalar "latest before" bound
     "q_dv_coalesce",     # scalar manifest-count bound
     "q_embed_topk",      # broadcast query set vs corpus (the exact baseline)
+    "q_equidepth_hist",  # one-row decile-boundaries fold (9-element array)
     "q_ivf_topk",        # broadcast centroids (|cells| rows)
     "q_ngram_jaccard",   # broadcast sampled probe set
     "q_range_join",      # interval predicate vs broadcast bounds
