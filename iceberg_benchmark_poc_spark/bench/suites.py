@@ -436,10 +436,13 @@ def suite_skew_join(
     The engine's scale claims about salting (operators/skew.py, q_salted_join)
     are measured here instead of asserted: broadcast is disabled so the join
     must shuffle, and the hot key funnels 90% of rows through one reducer
-    unless AQE splits it or the salt spreads it (measured ~1.9x for salting
-    at local[32]; the gap widens with executor count since the hot reducer
-    is a single-task serial floor). All three plans return the same grouped
-    result (asserted) — only the physical distribution differs.
+    unless AQE splits it or the salt spreads it. Measured at local[32]:
+    salting ~2x; AQE's skew split ~1x — it only rewrites sort-merge joins
+    whose skewed partitions cross its size thresholds, which this shape
+    doesn't, making the explicit salt the portable fix. The gap widens with
+    executor count since the hot reducer is a single-task serial floor. All
+    three plans return the same grouped result (asserted) — only the
+    physical distribution differs.
     """
     from ..operators.skew import salted_join
 
@@ -451,9 +454,14 @@ def suite_skew_join(
     )
     small = spark.range(n_keys).select(F.col("id").alias("k"), (F.col("id") % 7).alias("grp"))
 
-    def run_grouped(joined: DataFrame) -> tuple[float, int]:
-        agg = joined.groupBy("grp").agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
-        agg.collect()  # warm: codegen + JIT, so measurement order can't bias the ratio
+    def run_grouped(build_joined) -> tuple[float, int]:
+        # warm on one lineage, TIME a freshly built identical lineage:
+        # re-collecting the same DataFrame lets Spark skip its shuffle
+        # stages (map outputs are kept), which would measure only the final
+        # stage and scramble the ratio; a fresh lineage gets new shuffle ids
+        # while codegen/JIT stay warm from the first run
+        build_joined().groupBy("grp").agg(F.sum("v").alias("sv"), F.count("*").alias("n")).collect()
+        agg = build_joined().groupBy("grp").agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
         t0 = time.perf_counter()
         rows = agg.collect()
         return (time.perf_counter() - t0) * 1000, sum(r["n"] for r in rows)
@@ -463,12 +471,12 @@ def suite_skew_join(
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-        plain_ms, n_plain = run_grouped(big.join(small, "k"))
+        plain_ms, n_plain = run_grouped(lambda: big.join(small, "k"))
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        aqe_ms, n_aqe = run_grouped(big.join(small, "k"))
+        aqe_ms, n_aqe = run_grouped(lambda: big.join(small, "k"))
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         salted_ms, n_salted = run_grouped(
-            salted_join(big, small, "k", F.col("salt_src"), n_salts=n_salts)
+            lambda: salted_join(big, small, "k", F.col("salt_src"), n_salts=n_salts)
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)

@@ -205,12 +205,18 @@ _DECILES = [round(i / N_HIST_BUCKETS, 1) for i in range(1, N_HIST_BUCKETS)]
 def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (decile) histogram of price without a global sort.
 
-    The scale-correct bucketize: ntile() would sort every row through one
-    task; instead the 9 exact decile boundaries (a ONE-ROW fold) broadcast
+    The scale-correct bucketize shape: ntile() would sort every row through
+    one task; instead the 9 decile boundaries (a ONE-ROW fold) broadcast
     back to the scan and each row counts boundaries <= itself — map-only
     assignment, then a 10-group rollup. Prices quantize to integer cents
     first so the percentile interpolation is engine-exact at half-steps
     (same rule as q_percentiles' integral ttfb).
+
+    The boundary fold here uses EXACT percentile so the DuckDB oracle can
+    hash-match it; exact percentile merges per-partition value maps, so its
+    memory is O(distinct values) — at 100 TB swap in approx_percentile
+    (constant-memory sketch, same one-row-fold plan) and keep the identical
+    assignment stage.
     """
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))
