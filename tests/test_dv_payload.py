@@ -119,3 +119,30 @@ def test_roaring_rejects_unknown_cookie():
 
     with pytest.raises(ValueError, match="cookie"):
         roaring_deserialize(b"\x39\x30\x00\x00\x00\x00\x00\x00")  # 12345 = run cookie
+
+
+def test_varint_five_byte_deltas():
+    """Deltas >= 2^28 need the fifth varint byte — the widest lane of the
+    vectorized (n,5) encode matrix, unreachable from the bounded-range
+    hypothesis cases above."""
+    from iceberg_benchmark_poc_spark.operators.dv_payload import (
+        decode_positions,
+        encode_positions,
+    )
+
+    positions = [0, 2**28, 2**31, 2**32 - 1]
+    assert decode_positions(encode_positions(positions)) == positions
+    # singleton at the top of the domain: first delta itself is 5 bytes
+    assert decode_positions(encode_positions([2**32 - 1])) == [2**32 - 1]
+
+
+def test_varint_dense_run_roundtrip():
+    """A dense 0..n run (all deltas 1) exercises the single-byte fast lane
+    at bulk size through the vectorized path."""
+    from iceberg_benchmark_poc_spark.operators.dv_payload import (
+        decode_positions,
+        encode_positions,
+    )
+
+    run = list(range(20_000))
+    assert decode_positions(encode_positions(run)) == run
