@@ -120,9 +120,10 @@ def driver_ordered_queries() -> dict[str, Query]:
     """Registry ordered so a wall-budget-truncated sweep maximizes coverage.
 
     The correctness driver sweeps ``queries()`` in dict order under a wall
-    budget (~50 of 94 per round). Static orders re-check the same prefix
-    every round, so queries outside it are never verified. Instead, order by
-    verification debt using the committed CORRECTNESS_r*.json history:
+    budget that covers roughly half the registry per round. Static orders
+    re-check the same prefix every round, so queries outside it are never
+    verified. Instead, order by verification debt using the committed
+    CORRECTNESS_r*.json history:
 
     1. never-green queries first (never swept, or swept and errored) —
        round-robined across modules so the prefix still samples families;

@@ -110,5 +110,9 @@ def get_spark(
             .config("spark.sql.catalog.local.warehouse", warehouse)
         )
     for k, v in (extra_conf or {}).items():
+        if k == "spark.jars" and jar is not None and jar not in v:
+            # compose, don't replace: dropping the Iceberg runtime jar while
+            # its extensions/catalog confs remain would break the session
+            v = f"{v},{jar}"
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -48,6 +48,11 @@ def encode_positions(positions) -> bytes:
     positions/row because no Python executes per position.
     """
     pos = _unique_sorted(positions)
+    if pos.size and (int(pos[0]) < 0 or int(pos[-1]) >> 32):
+        # same uint32 domain as the roaring codec: the 5-byte varint matrix
+        # cannot carry wider deltas, and out-of-domain input must fail
+        # loudly, never encode corrupted deletion vectors
+        raise ValueError("positions must fit in uint32")
     deltas = np.diff(pos, prepend=np.int64(0)).astype(np.uint64)
     n = deltas.size
     if n == 0:
@@ -85,6 +90,10 @@ def decode_positions_np(blob: bytes) -> np.ndarray:
     # reduceat sums the shifted 7-bit groups per delta (disjoint bit ranges,
     # uint64-exact), cumsum undoes the delta coding
     is_last = (raw & 0x80) == 0
+    if not is_last[-1]:
+        # trailing continuation byte with no terminator: truncated body.
+        # Callers handle corrupt payloads as ValueError (not IndexError).
+        raise ValueError("corrupt payload: unterminated varint")
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))
     group = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
@@ -115,7 +124,7 @@ def encode_positions_roaring(positions: list[int]) -> bytes:
     from .roaring import roaring_serialize
 
     pos = _unique_sorted(positions)
-    body = zlib.compress(roaring_serialize(pos), ZLIB_LEVEL)
+    body = zlib.compress(roaring_serialize(pos, assume_normalized=True), ZLIB_LEVEL)
     return MAGIC_ROARING + struct.pack("<IQ", int(pos.size), len(body)) + body
 
 

@@ -32,14 +32,19 @@ ARRAY_MAX = 4096  # cardinality threshold: array container vs bitmap container
 BITMAP_BYTES = 8192
 
 
-def roaring_serialize(positions) -> bytes:
+def roaring_serialize(positions, assume_normalized: bool = False) -> bytes:
     """Serialize an iterable of uint32 ints to portable Roaring bytes.
 
     ndarray input is vectorized end-to-end (np.unique sorts + dedups);
     arbitrary iterables are converted first. No per-value Python loop —
     at 8K positions/row the loop was the encode hot path, not the packing.
+    ``assume_normalized`` skips the sort+dedup for callers that already
+    hold a unique-sorted int64 ndarray (the MDV2 framing encoder) so each
+    row is normalized exactly once.
     """
-    if isinstance(positions, np.ndarray):
+    if assume_normalized and isinstance(positions, np.ndarray):
+        arr = positions.astype(np.int64, copy=False)
+    elif isinstance(positions, np.ndarray):
         arr = np.unique(positions.astype(np.int64, copy=False))
     else:
         arr = np.unique(np.fromiter((int(p) for p in positions), dtype=np.int64))

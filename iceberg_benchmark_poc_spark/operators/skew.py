@@ -57,11 +57,28 @@ def salted_join(
     ``big.join(small, key, how)``; AQE's skew-join split does this
     adaptively for sort-merge joins, but explicit salting also covers
     shuffle-hash joins and engines/plans AQE can't rewrite.
+
+    Supported ``how``: the big-side-preserving joins (inner/left/semi/anti)
+    — each big row carries exactly one salt, and the small side holds every
+    salt for every key, so these are salt-invariant. Right/full would keep
+    all n_salts copies of an unmatched small row; they raise instead of
+    silently multiplying rows. The salt uses pmod + null-coalesce so
+    negative or NULL salt-source values still land in [0, n_salts) — with
+    plain ``%`` they would fall outside the replicated range and silently
+    drop (inner) or null-pad (left) rows whose keys match.
     """
+    normalized = how.replace("_", "").lower()
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"}:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, not {how!r}: "
+            "right/full would keep every salt copy of unmatched small rows"
+        )
     # int literals so the exploded salt is already IntegerType (a generator
     # can't be nested inside a cast expression)
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
-    salted_big = big.withColumn("_salt", (salt_col % n_salts).cast("int"))
+    salted_big = big.withColumn(
+        "_salt", F.coalesce(F.pmod(salt_col, F.lit(n_salts)), F.lit(0)).cast("int")
+    )
     rep_small = small.withColumn("_salt", F.explode(salts))
     return salted_big.join(rep_small, [key, "_salt"], how).drop("_salt")
 

@@ -135,10 +135,13 @@ class ExactlyOnceSink:
     (loaded once per sink instance — i.e. once per stream (re)start): the
     per-commit critical path is one short O(1) append, not a read-modify-
     rewrite of the whole history (which made commit cost grow with stream
-    age — r02 regression). A torn append leaves a partial last line, which
-    the loader skips; the batch then replays into its own directory and
-    re-appends — overwrite + re-append converge, so exactly-once holds
-    without fsync-per-commit.
+    age — r02 regression). A crash can tear the last append, leaving a
+    final line with no trailing newline; the loader TRUNCATES that torn
+    tail before any new append (a torn digit fragment must not merge with
+    the replay's record into a phantom batch id, and — being a prefix of a
+    full record — it cannot be trusted as one either). The affected batch
+    then replays into its own directory and re-appends — overwrite +
+    re-append converge, so exactly-once holds without fsync-per-commit.
     """
 
     def __init__(self, out_dir: str) -> None:
@@ -151,12 +154,20 @@ class ExactlyOnceSink:
     def _load_ledger(self) -> set[int]:
         if not os.path.exists(self.ledger_path):
             return set()
+        with open(self.ledger_path, "r+b") as f:
+            raw = f.read()
+            if raw and not raw.endswith(b"\n"):
+                # torn final append: drop the fragment ON DISK so a later
+                # append cannot merge with it ('12' + '123\n' -> '12123\n',
+                # a phantom committed id that would silently skip a batch)
+                keep = raw.rfind(b"\n") + 1  # 0 when no complete line exists
+                f.truncate(keep)
+                raw = raw[:keep]
         out: set[int] = set()
-        with open(self.ledger_path) as f:
-            for line in f:
-                line = line.strip()
-                if line.isdigit():  # skip a torn partial line
-                    out.add(int(line))
+        for line in raw.decode().splitlines():
+            line = line.strip()
+            if line.isdigit():
+                out.add(int(line))
         return out
 
     def committed(self) -> set[int]:

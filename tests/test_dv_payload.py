@@ -146,3 +146,34 @@ def test_varint_dense_run_roundtrip():
 
     run = list(range(20_000))
     assert decode_positions(encode_positions(run)) == run
+
+
+def test_varint_rejects_out_of_domain():
+    """Positions outside uint32 must fail loudly, never encode corrupted
+    deletion vectors (the 5-byte varint matrix cannot carry wider deltas)."""
+    import pytest
+
+    from iceberg_benchmark_poc_spark.operators.dv_payload import encode_positions
+
+    with pytest.raises(ValueError):
+        encode_positions([2**35])
+    with pytest.raises(ValueError):
+        encode_positions([1, 2, 2**40])
+    with pytest.raises(ValueError):
+        encode_positions([-1])
+
+
+def test_unterminated_varint_is_valueerror():
+    """A truncated body (trailing continuation byte, no terminator) must
+    raise the documented ValueError, not leak an IndexError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from iceberg_benchmark_poc_spark.operators.dv_payload import MAGIC, ZLIB_LEVEL, decode_positions
+
+    body = zlib.compress(b"\x80\x80", ZLIB_LEVEL)  # two continuation bytes, no terminator
+    blob = MAGIC + struct.pack("<IQ", 1, len(body)) + body
+    with pytest.raises(ValueError):
+        decode_positions(blob)

@@ -229,3 +229,50 @@ def test_exactly_once_sink_survives_replay(spark, stream_src, tmp_path):
     rerun = exactly_once_ingest(spark, src, str(tmp_path))
     assert rerun.replays_skipped == n_batches
     assert spark.read.parquet(rerun.out_dir + "/batch_id=*").count() == expected
+
+
+def test_torn_ledger_tail_is_repaired(tmp_path):
+    """A crash can tear the last ledger append; the fragment must be
+    truncated on load, NOT merged with the replay's record (which would mint
+    a phantom committed batch id and silently skip a future batch)."""
+    from iceberg_benchmark_poc_spark.streaming.ingest import ExactlyOnceSink
+
+    out = str(tmp_path / "eo")
+    first = ExactlyOnceSink(out)
+    with open(first.ledger_path, "w") as f:
+        f.write("7\n12")  # batch 7 committed; '12' is a torn fragment of '123\n'
+
+    sink = ExactlyOnceSink(out)
+    assert sink.committed() == {7}  # fragment dropped, not trusted as batch 12
+    with open(sink.ledger_path, "a") as f:  # the replayed batch re-appends
+        f.write("123\n")
+    assert ExactlyOnceSink(out).committed() == {7, 123}  # no phantom 12123
+
+
+def test_salted_join_contract(spark):
+    """salted_join must be row-identical to the plain join even for negative
+    and NULL salt values, and must refuse small-side-preserving join types."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_poc_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, -3), (1, None), (2, 5), (3, -8)], "k int, salt_src int"
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    from collections import Counter
+
+    expected = Counter(map(tuple, big.join(small, "k").collect()))
+    got = Counter(map(tuple, salted_join(big, small, "k", F.col("salt_src"), 4).collect()))
+    assert got == expected
+    left_expected = Counter(map(tuple, big.join(small, "k", "left").collect()))
+    left_got = Counter(
+        map(tuple, salted_join(big, small, "k", F.col("salt_src"), 4, "left").collect())
+    )
+    assert left_got == left_expected
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", F.col("salt_src"), 4, "right")
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", F.col("salt_src"), 4, "full")
