@@ -137,6 +137,7 @@ def _suite_headline(suites: dict) -> dict:
         "commit_ms_batch1000": g("single_file_commits", "manifest_commit", "batch_1000", "avg_commit_ms"),
         "stream_rows_per_sec": g("stream_throughput", "rows_per_sec"),
         "skew_salted_speedup_x": g("skew_join", "salted_speedup_x"),
+        "bloom_point_lookup_x": g("bloom_prune", "bloom_speedup_x"),
         "tree_plan_ms_50k": g("adaptive_tree", "50000", "flat_scan_ms"),
         "wide_v3_scan_ms": g("wide_table", "v3_footer_scan_ms"),
         "wide_v4_lookup_ms": g("wide_table", "v4_stats_lookup_ms"),

@@ -493,6 +493,65 @@ def suite_skew_join(
     }
 
 
+def suite_bloom_prune(spark: SparkSession, tmp_dir: str, n_rows: int = 5_000_000, n_files: int = 20) -> dict:
+    """Parquet bloom-filter row-group pruning for point lookups.
+
+    The data-skipping layer min/max stats can't provide: a high-cardinality
+    key hashed across the domain makes every row group's [min, max] span
+    everything, so equality predicates prune NOTHING from stats alone (the
+    writer-org suite's sorted-layout fix doesn't apply when lookups are by
+    an unsorted secondary key). Parquet bloom filters (Iceberg:
+    write.parquet.bloom-filter-enabled.column.*) answer "definitely absent"
+    per row group, skipping reads stats must scan. Measured here: identical
+    data written with and without a bloom on the key, point-lookup latency
+    on each, and the storage premium the filter costs.
+    """
+    fid = F.col("id")
+    df = spark.range(n_rows).select(
+        (fid * 2654435761 % 4_000_000_000).alias("key"), (fid % 97).alias("v")
+    )
+    plain, bloom = os.path.join(tmp_dir, "bf_plain"), os.path.join(tmp_dir, "bf_bloom")
+    df.repartition(n_files).write.mode("overwrite").parquet(plain)
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#key", "true")
+        .option("parquet.bloom.filter.expected.ndv#key", str(max(n_rows // 16, 1000)))
+        .parquet(bloom)
+    )
+    probe_key = int(spark.read.parquet(plain).limit(1).collect()[0]["key"])
+
+    def point_lookup_ms(path: str) -> tuple[float, int]:
+        d = spark.read.parquet(path).filter(F.col("key") == probe_key)
+        n = d.count()  # warm
+        t0 = time.perf_counter()
+        for _ in range(5):
+            d.count()
+        return (time.perf_counter() - t0) / 5 * 1000, n
+
+    plain_ms, n_plain = point_lookup_ms(plain)
+    bloom_ms, n_bloom = point_lookup_ms(bloom)
+    assert n_plain == n_bloom >= 1
+    plain_b, bloom_b = _dir_size(plain), _dir_size(bloom)
+    return {
+        "n_rows": n_rows,
+        "point_lookup_plain_ms": round(plain_ms, 1),
+        "point_lookup_bloom_ms": round(bloom_ms, 1),
+        "bloom_speedup_x": round(plain_ms / max(bloom_ms, 1e-9), 2),
+        "plain_mb": round(plain_b / 1e6, 1),
+        "bloom_mb": round(bloom_b / 1e6, 1),
+        "storage_premium_pct": round((bloom_b - plain_b) / plain_b * 100, 1),
+    }
+
+
+def _dir_size(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+    )
+
+
 def suite_stream_throughput(spark: SparkSession, sf_dir: str, tmp_dir: str, n_files: int = 8) -> dict:
     """Sustained throughput of a live watermarked streaming aggregation.
 
@@ -784,6 +843,7 @@ def run_all_suites(spark: SparkSession, sf_dir: str, tmp_dir: str, quick: bool =
         "single_file_commits": suite_single_file_commits(spark, sf_dir, tmp_dir),
         "stream_throughput": suite_stream_throughput(spark, sf_dir, tmp_dir),
         "skew_join": suite_skew_join(spark, n_rows=400_000 if quick else 4_000_000),
+        "bloom_prune": suite_bloom_prune(spark, tmp_dir, n_rows=500_000 if quick else 5_000_000, n_files=4 if quick else 20),
         "adaptive_tree": suite_adaptive_tree(spark, tree_scales),
         "wide_table": suite_wide_table(spark, tmp_dir, n_cols=100 if quick else 500, n_files=10 if quick else 50),
         # the survey's full range is "up to 1000 columns"

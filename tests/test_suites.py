@@ -83,6 +83,17 @@ def test_manifest_commit_bench_shape(tmp_path):
     assert r["batch_100"]["avg_manifest_kb"] > r["batch_1"]["avg_manifest_kb"]
 
 
+def test_bloom_prune_counts_agree(spark, tmp_path):
+    from iceberg_benchmark_poc_spark.bench.suites import suite_bloom_prune
+
+    r = suite_bloom_prune(spark, str(tmp_path), n_rows=200_000, n_files=4)
+    # the suite asserts plain/bloom lookups return identical counts; here:
+    # the filter costs storage (premium rounds away in MB at small scale)
+    # and both timings are real
+    assert r["storage_premium_pct"] > 0
+    assert r["point_lookup_plain_ms"] > 0 and r["point_lookup_bloom_ms"] > 0
+
+
 def test_skew_join_plans_agree(spark):
     from iceberg_benchmark_poc_spark.bench.suites import suite_skew_join
 
@@ -146,6 +157,7 @@ def test_bench_headline_fits_driver_tail():
         "wide_table_1000": {"v3_footer_scan_ms": 12345.67, "v4_stats_lookup_ms": 123.456},
         "stream_throughput": {"rows_per_sec": 1234567.8},
         "skew_join": {"salted_speedup_x": 123.45},
+        "bloom_prune": {"bloom_speedup_x": 123.45},
         "concurrent_writers": {"commits_per_sec": 12345.6, "conflict_rate": 0.123},
         "column_update": {"column_update_speedup_x": 1234.5},
     }
