@@ -320,3 +320,42 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
     )
     return uniq.join(delivered, "event_type")
+
+
+@register(
+    "q_json_props",
+    oracle="""
+        SELECT event_type,
+               count(*)                                              AS n_events,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+               CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+        FROM events
+        GROUP BY event_type
+        """,
+    tags=("json", "agg"),
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction: JSON payload column -> stats.
+
+    Every event carries a JSON string payload (the schemaless tail every
+    event pipeline has); from_json with an explicit schema parses it inside
+    codegen — no Python, no sampling-based schema inference job — and the
+    extracted field aggregates map-side like any other column. At 100 TB
+    the explicit schema matters twice: inference would scan the corpus
+    once just to guess types, and a typed struct column prunes/pushes
+    where a string blob cannot.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", StructType([StructField("k", LongType())])).alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("p.k").cast("bigint").alias("k_sum"),
+        F.min("p.k").cast("bigint").alias("k_min"),
+        F.max("p.k").cast("bigint").alias("k_max"),
+    )
