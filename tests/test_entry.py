@@ -23,7 +23,7 @@ def test_entry_returns_rows(spark):
 def test_registry_contract(spark):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert len(qs) >= 35, f"expected a wide operator surface, got {len(qs)}"
+    assert len(qs) >= 100, f"expected the full operator surface, got {len(qs)}"
     assert set(oracles) <= set(qs)
     missing_oracle = set(qs) - set(oracles)
     # every op is oracle-gated unless genuinely non-SQL-expressible

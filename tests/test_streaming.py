@@ -276,3 +276,34 @@ def test_salted_join_contract(spark):
         salted_join(big, small, "k", F.col("salt_src"), 4, "right")
     with pytest.raises(ValueError):
         salted_join(big, small, "k", F.col("salt_src"), 4, "full")
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    committed=st.sets(st.integers(0, 10**6), max_size=20),
+    fragment=st.text(alphabet="0123456789", min_size=1, max_size=6),
+    replay_id=st.integers(0, 10**6),
+)
+def test_ledger_torn_tail_never_phantoms(committed, fragment, replay_id):
+    """For ANY committed set and ANY torn digit fragment: loading repairs the
+    tail, the fragment is never trusted as a batch id, and a subsequent
+    append can never merge into a phantom id."""
+    import tempfile
+
+    from iceberg_benchmark_poc_spark.streaming.ingest import ExactlyOnceSink
+
+    with tempfile.TemporaryDirectory() as td:
+        first = ExactlyOnceSink(td)
+        with open(first.ledger_path, "w") as f:
+            for b in sorted(committed):
+                f.write(f"{b}\n")
+            f.write(fragment)  # torn append: no trailing newline
+
+        sink = ExactlyOnceSink(td)
+        assert sink.committed() == committed  # fragment dropped
+        with open(sink.ledger_path, "a") as f:  # replayed batch re-appends
+            f.write(f"{replay_id}\n")
+        assert ExactlyOnceSink(td).committed() == committed | {replay_id}
