@@ -206,3 +206,50 @@ def test_bloom_filter_has_no_false_negatives(spark):
             assert r["bloom_maybe"], f"false negative for doc {r['doc_id']}"
         if r["is_false_positive"]:
             assert r["bloom_maybe"] and not r["is_present"]
+
+
+def test_containment_exact_on_candidates_and_recall(spark):
+    """q_containment's reported values must equal brute-force shingle
+    containment for every reported pair (precision 1.0 on the measure), and
+    within the exact-audit sample its banded candidates must recover every
+    high-JACCARD containment pair (the documented recall bound: band
+    collisions are driven by symmetric Jaccard)."""
+    from iceberg_benchmark_poc_spark.operators.text import shingle_arrays
+    from iceberg_benchmark_poc_spark.queries.textpipe import (
+        CONTAINMENT_MIN,
+        NEAR_JACCARD,
+        q_containment,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sets = {
+        r["doc_id"]: set(r["sh_arr"]) for r in shingle_arrays(docs).collect()
+    }
+    reported = q_containment(spark, SF_DIR).collect()
+    assert reported, "fixture produced no containment pairs; threshold too high"
+    for r in reported:
+        a, b = sets[r["doc_id"]], sets[r["within_id"]]
+        exact = len(a & b) / len(a)
+        assert abs(r["containment"] - exact) < 1e-12
+        assert r["containment"] >= CONTAINMENT_MIN
+        assert r["n_shingles"] == len(a)
+
+    # recall over pairs whose symmetric Jaccard reaches the banding regime:
+    # every such pair with containment >= threshold must be reported
+    got = {(r["doc_id"], r["within_id"]) for r in reported}
+    ids = sorted(sets)
+    missed = []
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            a, b = sets[da], sets[db]
+            inter = len(a & b)
+            if not inter:
+                continue
+            jac = inter / (len(a) + len(b) - inter)
+            if jac < NEAR_JACCARD:
+                continue  # below the band-collision regime: recall not claimed
+            if inter / len(a) >= CONTAINMENT_MIN and (da, db) not in got:
+                missed.append((da, db))
+            if inter / len(b) >= CONTAINMENT_MIN and (db, da) not in got:
+                missed.append((db, da))
+    assert not missed, f"high-jaccard containment pairs missed: {missed[:5]}"
