@@ -69,6 +69,29 @@ def hash60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+#: zero-padded width of the file-id segment in synthetic file paths. lpad
+#: TRUNCATES overflow in BOTH engines (verified: lpad('123456789', 8, '0')
+#: -> '12345678'), so the old width of 8 made 9+-digit file_ids (o_orderkey
+#: reaches 100M around SF 17) collide into duplicate file_paths — breaking
+#: the uniqueness every DV join assumes. 12 digits covers o_orderkey to
+#: SF ~160,000. Defined ONCE per dialect; the six consuming fixtures all
+#: reference these two definitions.
+FILE_ID_PAD = 12
+
+
+def file_path_col(fid: "F.Column") -> "F.Column":
+    return F.concat(
+        F.lit("s3://bucket/table/data/file_"),
+        F.lpad(fid.cast("string"), FILE_ID_PAD, "0"),
+        F.lit(".parquet"),
+    )
+
+
+FILE_PATH_SQL = (
+    f"'s3://bucket/table/data/file_' || lpad(CAST(o_orderkey AS VARCHAR), {FILE_ID_PAD}, '0') || '.parquet'"
+)
+
+
 # ---------------------------------------------------------------------------
 # file_meta — V4 DataFile manifest entries, one per orders row
 # ---------------------------------------------------------------------------
@@ -88,11 +111,7 @@ def file_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         fid.alias("file_id"),
         F.lit(0).alias("content_type"),
-        F.concat(
-            F.lit("s3://bucket/table/data/file_"),
-            F.lpad(fid.cast("string"), 8, "0"),
-            F.lit(".parquet"),
-        ).alias("file_path"),
+        file_path_col(fid).alias("file_path"),
         F.lit("parquet").alias("file_format"),
         F.date_add(F.to_date(F.lit(EPOCH_DATE)), ((fid * 7919) % DATE_DOMAIN_DAYS).cast("int")).alias(
             "partition_date"
@@ -110,7 +129,7 @@ FILE_META_SQL = f"""
 SELECT
   o_orderkey                                            AS file_id,
   0                                                     AS content_type,
-  's3://bucket/table/data/file_' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') || '.parquet'
+  {FILE_PATH_SQL}
                                                         AS file_path,
   'parquet'                                             AS file_format,
   DATE '{EPOCH_DATE}' + CAST((o_orderkey * 7919) % {DATE_DOMAIN_DAYS} AS INTEGER)
@@ -141,11 +160,7 @@ def dv_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(fid % DV_COVERAGE_MOD < DV_COVERAGE_LT)
         .select(
             fid.alias("file_id"),
-            F.concat(
-                F.lit("s3://bucket/table/data/file_"),
-                F.lpad(fid.cast("string"), 8, "0"),
-                F.lit(".parquet"),
-            ).alias("file_path"),
+            file_path_col(fid).alias("file_path"),
             (F.lit(100) + (fid * 31) % 9901).alias("dv_size_bytes"),
             (F.lit(1) + (fid * 17) % 1000).alias("deleted_row_count"),
         )
@@ -155,7 +170,7 @@ def dv_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 DV_ENTRIES_SQL = f"""
 SELECT
   o_orderkey                                            AS file_id,
-  's3://bucket/table/data/file_' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') || '.parquet'
+  {FILE_PATH_SQL}
                                                         AS file_path,
   100 + (o_orderkey * 31) % 9901                        AS dv_size_bytes,
   1 + (o_orderkey * 17) % 1000                          AS deleted_row_count
@@ -185,11 +200,7 @@ def dv_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             fid.alias("file_id"),
             m,
-            F.concat(
-                F.lit("s3://bucket/table/data/file_"),
-                F.lpad(fid.cast("string"), 8, "0"),
-                F.lit(".parquet"),
-            ).alias("file_path"),
+            file_path_col(fid).alias("file_path"),
             (F.lit(100) + (fid * 31 + m * 97) % 9901).alias("dv_size_bytes"),
             (F.lit(1) + (fid * 17 + m * 13) % 1000).alias("deleted_row_count"),
         )
@@ -200,7 +211,7 @@ DV_MULTI_SQL = f"""
 SELECT
   o_orderkey                                            AS file_id,
   CAST(m.range AS INTEGER)                              AS manifest_idx,
-  's3://bucket/table/data/file_' || lpad(CAST(o_orderkey AS VARCHAR), 8, '0') || '.parquet'
+  {FILE_PATH_SQL}
                                                         AS file_path,
   100 + (o_orderkey * 31 + m.range * 97) % 9901         AS dv_size_bytes,
   1 + (o_orderkey * 17 + m.range * 13) % 1000           AS deleted_row_count

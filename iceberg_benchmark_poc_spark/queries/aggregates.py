@@ -161,8 +161,6 @@ def q_conflict_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic modular fixture here; the live measured variant runs in
     bench/ (threaded commit harness).
     """
-    from ..core.io import load_table
-
     e = load_table(spark, sf_dir, "events").select("event_id")
     eid = F.col("event_id")
     attempts = e.select(

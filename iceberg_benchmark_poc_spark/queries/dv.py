@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..core.fixtures import dv_entries, dv_multi, file_meta, with_fixtures
+from ..core.io import load_table
 from ..core.registry import register
 
 # ---------------------------------------------------------------------------
@@ -330,7 +331,7 @@ def q_ordered_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT o_orderkey + 10000000,
                  CAST(1000 AS DOUBLE) + o_orderkey % 500,
                  'NEW',
-                 1
+                 2
           FROM orders WHERE o_orderkey % 97 = 0
         ),
         base AS (
@@ -343,7 +344,7 @@ def q_ordered_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                count(*) AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
-               CAST(sum(src) AS BIGINT) AS n_from_updates
+               CAST(sum(CASE WHEN src > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_from_updates
         FROM merged WHERE rn = 1
         GROUP BY 1
         """,
@@ -363,9 +364,14 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     either; no join at all (union replaces the matched/unmatched probe). The
     update batch is usually << base, so AQE coalesces its partitions; the
     row_number window runs per-key with no global ordering anywhere.
-    """
-    from ..core.io import load_table
 
+    src is a three-level priority (0 base, 1 update, 2 insert), not a
+    boolean: each branch contributes at most one row per key, so the
+    row_number order is TOTAL within every partition. With a shared src=1,
+    an insert key colliding with an updated key (possible at SF >= 2, where
+    o_orderkey reaches the +10M insert offset) would tie and each engine —
+    indeed each run — could keep a different row.
+    """
     o = load_table(spark, sf_dir, "orders")
     base = o.select("o_orderkey", "o_totalprice", "o_orderpriority", F.lit(0).alias("src"))
     updates = (
@@ -381,7 +387,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
                 (F.lit(1000.0) + (F.col("o_orderkey") % 500).cast("double")).alias("o_totalprice"),
                 F.lit("NEW").alias("o_orderpriority"),
-                F.lit(1).alias("src"),
+                F.lit(2).alias("src"),
             )
         )
     )
@@ -390,7 +396,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
-        F.sum("src").alias("n_from_updates"),
+        F.sum(F.when(F.col("src") > 0, 1).otherwise(0)).cast("bigint").alias("n_from_updates"),
     )
 
 
@@ -442,8 +448,6 @@ def q_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB pays one broadcast hash anti-join inside the scan stage, which
     is exactly how Spark's Iceberg reader applies equality deletes.
     """
-    from ..core.io import load_table
-
     eq = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % EQ_DELETE_KEY_MOD == 0)

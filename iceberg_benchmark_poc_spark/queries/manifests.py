@@ -579,7 +579,10 @@ def q_manifest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy(F.substring("m.committed", 1, 7).alias("month")).agg(
         F.count("*").alias("n_files"),
         F.sum("m.records").alias("total_records"),
-        F.max(F.length("m.path")).alias("max_path_len"),
+        # bigint to match DuckDB's max(length(...)) — the driver hashes
+        # TYPED values, and the local gate collapses int widths, so an
+        # int32-vs-int64 mismatch is only visible driver-side (r01 red row)
+        F.max(F.length("m.path")).cast("bigint").alias("max_path_len"),
     )
 
 
@@ -849,11 +852,19 @@ def q_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one map-side-combined aggregation. No joins, so no broadcast of a
     scalar subquery (keeps the plan nested-loop free).
     """
+    # integer-exact cutoff, matching the oracle's `// 100` by construction:
+    # float `/ 100` + floor was only accidentally equal while magnitudes
+    # kept the representation error below 0.01 (the module invariant is
+    # integer arithmetic). (cut - cut % 100) is a multiple of 100, so the
+    # division is exact in double and the bigint cast loses nothing.
+    delta = F.max("snapshot_id").over(Window.partitionBy()) - F.min("snapshot_id").over(
+        Window.partitionBy()
+    )
+    cut = (delta * EXPIRE_PCT).cast("bigint")
     snap_cut = F.min("snapshot_id").over(Window.partitionBy()) + (
-        (F.max("snapshot_id").over(Window.partitionBy()) - F.min("snapshot_id").over(Window.partitionBy()))
-        * EXPIRE_PCT
-    ).cast("bigint") / 100
-    expired = F.col("snapshot_id") <= F.floor(snap_cut)
+        (cut - cut % 100) / 100
+    ).cast("bigint")
+    expired = F.col("snapshot_id") <= snap_cut
     return (
         file_meta(spark, sf_dir)
         .select("partition_date", "file_size_bytes", "snapshot_id")
