@@ -35,27 +35,13 @@ def word_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     hash reduced mod PORTABLE_HASH_PRIME. Documents with < 3 words produce a
     single whole-text shingle so every doc has a non-empty shingle set.
 
-    The word array is materialized as a column BEFORE the trigram lambda:
-    expressions referenced inside higher-order-function lambdas are
-    re-evaluated per element (no subexpression elimination there), so an
-    inline split() would re-tokenize the document O(words) times.
+    Derived from ``shingle_arrays`` (the packed form) by exploding, so the
+    trigram/short-doc-fallback definition exists exactly once — the two
+    pipelines cannot drift.
     """
-    tokenized = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.trim(F.col(text_col)).alias("txt"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("ws"),
-    )
-    ws = F.col("ws")
-    n = F.size(ws)
-    trigrams = F.transform(
-        F.sequence(F.lit(1), n - (SHINGLE_WORDS - 1)),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
-    )
-    shingle_arr = F.when(n >= SHINGLE_WORDS, trigrams).otherwise(F.array(F.col("txt")))
-    return (
-        tokenized.select("doc_id", F.explode(shingle_arr).alias("shingle"))
-        .distinct()
-        .withColumn("h", hash60(F.col("shingle")) % PORTABLE_HASH_PRIME)
+    packed = shingle_arrays(docs, id_col, text_col)
+    return packed.select("doc_id", F.explode("sh_arr").alias("shingle")).withColumn(
+        "h", hash60(F.col("shingle")) % PORTABLE_HASH_PRIME
     )
 
 

@@ -55,12 +55,14 @@ def cosine_quant(dot: Column, norm_a: Column, norm_b: Column) -> Column:
 
 
 def dot_decimal(a: Column, b: Column) -> Column:
-    """Order-independent exact dot product of two float arrays (as DECIMAL).
+    """Order-independent dot product of two float arrays (DECIMAL fold).
 
-    The parity path: bit-identical to the DuckDB oracle regardless of
-    summation order. Costs ~4x the double fold — use dot_double in
-    production search paths and this one where results must be
-    engine-reproducible (the correctness-gated queries).
+    Summation-order independent WITHIN an engine, but NOT cross-engine
+    bit-identical: each product's double->DECIMAL cast can land on an exact
+    round-half tie (float products are dyadic rationals), and Spark rounds
+    HALF_UP where DuckDB rounds half-even. The correctness-gated vector
+    queries therefore use dot_quant (integer arithmetic, no rounding mode
+    anywhere); keep this fold for within-engine reproducibility needs only.
     """
     products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(

@@ -28,6 +28,7 @@ from ..operators.text import (
     LSH_ROWS_PER_BAND,
     MINHASH_K,
     PORTABLE_HASH_PRIME,
+    jaccard_for_pairs,
     jaccard_from_arrays,
     lsh_pairs_between,
     lsh_pairs_from_wide,
@@ -441,19 +442,28 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("sh_b").alias("size_b"),
         )
     )
-    fwd = j.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("within_id"),
-        (F.col("inter") / F.col("size_a")).alias("containment"),
-        F.col("size_a").cast("bigint").alias("n_shingles"),
-    )
-    rev = j.select(
-        F.col("doc_b").alias("doc_id"),
-        F.col("doc_a").alias("within_id"),
-        (F.col("inter") / F.col("size_b")).alias("containment"),
-        F.col("size_b").cast("bigint").alias("n_shingles"),
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= CONTAINMENT_MIN)
+    # both directions explode from ONE row: a union of two selects over j
+    # would plan the candidate-join + array_intersect subtree twice (only
+    # exchanges are reused), doubling the verify work per candidate pair
+    both = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("within_id"),
+                    (F.col("inter") / F.col("size_a")).alias("containment"),
+                    F.col("size_a").cast("bigint").alias("n_shingles"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("within_id"),
+                    (F.col("inter") / F.col("size_b")).alias("containment"),
+                    F.col("size_b").cast("bigint").alias("n_shingles"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.doc_id", "d.within_id", "d.containment", "d.n_shingles")
+    return both.filter(F.col("containment") >= CONTAINMENT_MIN)
 
 
 @register(
@@ -518,32 +528,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array(F.col("txt")))
     grams = sample.select("doc_id", F.explode(bigrams_arr).alias("gram")).distinct()
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     ids = sample.select("doc_id")
     pairs = (
         ids.select(F.col("doc_id").alias("doc_a"))
         .crossJoin(ids.select(F.col("doc_id").alias("doc_b")))
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
-    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
-        pairs.join(ga, "doc_a")
-        .join(gb.withColumn("matched", F.lit(1)), ["doc_b", "gram"], "left")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("matched").alias("inter"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
-        )
-    )
+    # the canonical operator the LSH-recall tests treat as ground truth —
+    # reused (bigrams play the shingle role) instead of re-implemented
+    return jaccard_for_pairs(pairs, grams.withColumnRenamed("gram", "shingle"))
 
 
 #: the 60-bit SimHash signature build, shared by q_simhash and q_simhash_pairs
@@ -563,7 +556,7 @@ _SIMHASH_CTE = """
           FROM hw, range(60) b
           GROUP BY 1, 2
         ),
-        sigs16 AS (
+        sigs60 AS (
           SELECT doc_id,
                  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
                    AS simhash
@@ -577,7 +570,7 @@ _SIMHASH_CTE = """
     "q_simhash",
     oracle=f"""
         WITH {_SIMHASH_CTE.strip()}
-        SELECT doc_id, simhash FROM sigs16
+        SELECT doc_id, simhash FROM sigs60
         """,
     tags=("text", "dedup", "simhash"),
 )
@@ -604,11 +597,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_MIN = 0.35  # ~median of the synthetic corpus: keeps about half
 TOKEN_BUDGET = 8000  # absolute BPE-token budget for the selected set
 
-
-@register(
-    "q_corpus_select",
-    oracle=f"""
-        WITH feat AS (
+#: selection stage shared by q_corpus_select and q_shard_pack, defined ONCE
+#: per dialect (like _quality_score) so budget admission and shard layout
+#: cannot drift: exact-dedup keeper election, then quality + lang gates.
+_CAND_CTE = f"""
+        feat AS (
           SELECT doc_id, md5(text) AS text_hash,
                  len(regexp_extract_all(txt, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
                  {_STOP_RATIO_SQL} AS marker_ratio,
@@ -623,7 +616,39 @@ TOKEN_BUDGET = 8000  # absolute BPE-token budget for the selected set
           FROM feat f JOIN keep k ON k.doc_id = f.doc_id
           WHERE f.quality_score >= CAST({QUALITY_MIN} AS DOUBLE)
             AND f.marker_ratio >= CAST({LANG_MARKER_THRESHOLD} AS DOUBLE)
+        )"""
+
+
+def _quality_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bpe_tokens, quality_score) survivors of the selection
+    stage — the Spark twin of _CAND_CTE."""
+    d = _docs(spark, sf_dir)
+    txt = F.trim(F.col("text"))
+    ws = F.split(txt, r"\s+")
+    stop_ratio, score = _quality_score(txt, ws)
+    feat = d.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.regexp_count(txt, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
+        stop_ratio.alias("marker_ratio"),
+        score.alias("quality_score"),
+    )
+    keepers = feat.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        feat.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .filter(
+            (F.col("quality_score") >= F.lit(QUALITY_MIN))
+            & (F.col("marker_ratio") >= F.lit(LANG_MARKER_THRESHOLD))
         )
+        .select("doc_id", "n_bpe_tokens", "quality_score")
+    )
+
+
+
+@register(
+    "q_corpus_select",
+    oracle=f"""
+        WITH {_CAND_CTE.strip()}
         SELECT doc_id, n_bpe_tokens, quality_score, cum_tokens
         FROM (
           SELECT *, CAST(SUM(n_bpe_tokens) OVER (
@@ -656,26 +681,7 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the |ranges|-row totals table. Candidate volume is already
     quality-filtered metadata (doc_id + two numbers), not text.
     """
-    d = _docs(spark, sf_dir)
-    txt = F.trim(F.col("text"))
-    ws = F.split(txt, r"\s+")
-    stop_ratio, score = _quality_score(txt, ws)
-    feat = d.select(
-        "doc_id",
-        F.md5("text").alias("text_hash"),
-        F.regexp_count(txt, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
-        stop_ratio.alias("marker_ratio"),
-        score.alias("quality_score"),
-    )
-    keepers = feat.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-    cand = (
-        feat.join(keepers.select("doc_id"), "doc_id", "left_semi")
-        .filter(
-            (F.col("quality_score") >= F.lit(QUALITY_MIN))
-            & (F.col("marker_ratio") >= F.lit(LANG_MARKER_THRESHOLD))
-        )
-        .select("doc_id", "n_bpe_tokens", "quality_score")
-    )
+    cand = _quality_candidates(spark, sf_dir)
     from ..operators.prefix import global_prefix_sum
 
     summed = global_prefix_sum(
@@ -785,8 +791,13 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lit(True).alias("exact_flag"))
     )
 
-    inc_arr = shingle_arrays(incoming)
-    corp_arr = shingle_arrays(corpus)
+    # persisted: each side feeds two consumers (minhash signatures and the
+    # Jaccard verify) — without this the dominant-cost tokenize+trigram+md5
+    # pass runs twice per side (same pattern as q_minhash_dedup)
+    from pyspark import StorageLevel
+
+    inc_arr = shingle_arrays(incoming).persist(StorageLevel.MEMORY_AND_DISK)
+    corp_arr = shingle_arrays(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_pairs_between(minhash_from_arrays(inc_arr), minhash_from_arrays(corp_arr))
     jac = jaccard_from_arrays(pairs, inc_arr.unionByName(corp_arr))
     cand = jac.groupBy(F.col("doc_a").alias("doc_id")).agg(
@@ -1233,22 +1244,7 @@ SHARD_TOKENS = 2000  # BPE tokens per training shard
 @register(
     "q_shard_pack",
     oracle=f"""
-        WITH feat AS (
-          SELECT doc_id, md5(text) AS text_hash,
-                 len(regexp_extract_all(txt, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tokens,
-                 {_STOP_RATIO_SQL} AS marker_ratio,
-                 {_SCORE_SQL} AS quality_score
-          FROM (SELECT doc_id, text, trim(text) AS txt,
-                       string_split_regex(trim(text), '\\s+') AS ws
-                FROM documents)
-        ),
-        keep AS (SELECT min(doc_id) AS doc_id FROM feat GROUP BY text_hash),
-        cand AS (
-          SELECT f.doc_id, f.n_bpe_tokens
-          FROM feat f JOIN keep k ON k.doc_id = f.doc_id
-          WHERE f.quality_score >= CAST({QUALITY_MIN} AS DOUBLE)
-            AND f.marker_ratio >= CAST({LANG_MARKER_THRESHOLD} AS DOUBLE)
-        ),
+        WITH {_CAND_CTE.strip()},
         packed AS (
           SELECT doc_id, n_bpe_tokens,
                  CAST(floor((SUM(n_bpe_tokens) OVER (
@@ -1286,26 +1282,7 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     and because the order key is doc_id (not a computed score), range
     partitioning is free on an id-sorted corpus.
     """
-    d = _docs(spark, sf_dir)
-    txt = F.trim(F.col("text"))
-    ws = F.split(txt, r"\s+")
-    stop_ratio, score = _quality_score(txt, ws)
-    feat = d.select(
-        "doc_id",
-        F.md5("text").alias("text_hash"),
-        F.regexp_count(txt, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
-        stop_ratio.alias("marker_ratio"),
-        score.alias("quality_score"),
-    )
-    keepers = feat.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-    cand = (
-        feat.join(keepers.select("doc_id"), "doc_id", "left_semi")
-        .filter(
-            (F.col("quality_score") >= F.lit(QUALITY_MIN))
-            & (F.col("marker_ratio") >= F.lit(LANG_MARKER_THRESHOLD))
-        )
-        .select("doc_id", "n_bpe_tokens")
-    )
+    cand = _quality_candidates(spark, sf_dir).select("doc_id", "n_bpe_tokens")
     from ..operators.prefix import global_prefix_sum
 
     packed = global_prefix_sum(
@@ -1336,7 +1313,7 @@ SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
           SELECT doc_id, simhash, CAST(b.range AS INTEGER) AS band,
                  (simhash >> CAST(b.range * {SIMHASH_BAND_BITS} AS INTEGER)) & {SIMHASH_BAND_MASK}
                    AS chunk
-          FROM sigs16, range({N_SIMHASH_BANDS}) b
+          FROM sigs60, range({N_SIMHASH_BANDS}) b
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
@@ -1372,7 +1349,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the signature build (tokenize -> 60 per-bit votes) feeds 4 band
     # branches x 2 join sides — without materialization Spark recomputes the
     # word-explode pass 8x; persisted, it runs once and the banded join works
-    # on 2-byte signatures only
+    # on single-BIGINT signatures only
     sigs = simhash_sig(d).persist(StorageLevel.MEMORY_AND_DISK)
     nib = None
     for b in range(N_SIMHASH_BANDS):
