@@ -92,8 +92,13 @@ def media_embedding(docs_with_payload: DataFrame, dim: int = EMBED_DIM) -> DataF
     def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             embs = [
+                # bucket derived from dim (byte * dim // 256), not a fixed
+                # >> 4: with a hard 16-way shift, dim < 16 silently dropped
+                # the top buckets and dim > 16 left zero tails. For dim=16
+                # this is exactly byte >> 4 (oracle unchanged).
                 np.bincount(
-                    np.frombuffer(bytes(p), dtype=np.uint8) >> 4, minlength=dim
+                    np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64) * dim // 256,
+                    minlength=dim,
                 )[:dim].tolist()
                 for p in pdf["payload"]
             ]
@@ -148,6 +153,12 @@ def resize_media(docs_with_payload: DataFrame, out_w: int = RESIZE_W, out_h: int
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
                 n = len(b)
+                if n == 0:
+                    # empty payload: zero raster (the clamp below would index
+                    # b[-1]; every sibling operator tolerates n=0 too)
+                    ids.append(doc_id)
+                    px.append(bytes(out_w * out_h))
+                    continue
                 in_w = max(int(math.ceil(math.sqrt(n))), 1)
                 in_h = max(int(math.ceil(n / in_w)), 1)
                 out = bytes(

@@ -56,13 +56,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_frame_sample",
     oracle=f"""
-        SELECT d.doc_id,
-               CAST(r.range AS INTEGER) AS frame_idx,
-               CAST(length(substr(d.text, CAST(r.range AS INTEGER) * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS INTEGER)
+        WITH frames AS (
+          SELECT doc_id, text,
+                 CAST(unnest(generate_series(0, length(text) // {FRAME_BYTES})) AS INTEGER)
+                   AS frame_idx
+          FROM documents
+        )
+        SELECT doc_id,
+               frame_idx,
+               CAST(length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS INTEGER)
                  AS frame_len,
-               md5(substr(d.text, CAST(r.range AS INTEGER) * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
-        FROM documents d, range(16) r
-        WHERE r.range <= length(d.text) // {FRAME_BYTES}
+               md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+        FROM frames
         """,
     tags=("multimodal", "pandas-udf", "frames"),
 )

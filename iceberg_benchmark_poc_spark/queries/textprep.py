@@ -293,11 +293,15 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = words.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar: one lightweight count job, not a crossJoin
-    score = F.col("tf").cast("double") * F.lit(float(n_docs)) / F.col("df")
+    # one-row broadcast fold, matching the oracle's CROSS JOIN n: an eager
+    # d.count() here would launch a full documents scan at PLAN-BUILD time
+    # (every other registered query constructs lazily)
+    n = d.agg(F.count("*").cast("double").alias("n_docs"))
+    score = F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("w").asc())
     ranked = (
         tf.join(F.broadcast(df), "w")
+        .join(F.broadcast(n))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOP)
     )

@@ -21,6 +21,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: ts must be LTZ `timestamp` here — Spark watermarks reject TIMESTAMP_NTZ
+#: for event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The batch twins
+#: operate on the NTZ-normalized column, so equivalence depends on the
+#: session timezone being UTC; ``stream_events`` pins it (ensure_session_confs)
+#: exactly like every batch entry point, so no streaming window's truncation
+#: can shift relative to the batch twins in a non-UTC host session.
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
 )
@@ -41,6 +47,9 @@ def split_events_for_streaming(spark: SparkSession, sf_dir: str, out_dir: str, n
 
 def stream_events(spark: SparkSession, src_dir: str, files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over the split events directory."""
+    from ..core.io import ensure_session_confs
+
+    ensure_session_confs(spark)  # same pinning every batch entry point gets
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -92,8 +101,11 @@ def micro_batch_commit_metrics(
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         before = _dir_bytes(out) if os.path.exists(out) else 0
-        t0 = time.perf_counter()
         n = batch_df.count()
+        # timer starts AFTER the row count: commit_ms is the write+commit
+        # alone, not count-scan + write (which double-counted the read and
+        # overstated per-commit latency ~2x)
+        t0 = time.perf_counter()
         batch_df.write.mode("append").parquet(out)
         wall_ms = (time.perf_counter() - t0) * 1000
         log.record(batch_id, n, wall_ms, _dir_bytes(out) - before)

@@ -300,6 +300,7 @@ BNLJ_ALLOWED = {
     "q_dv_coalesce",     # scalar manifest-count bound
     "q_embed_topk",      # broadcast query set vs corpus (the exact baseline)
     "q_equidepth_hist",  # one-row decile-boundaries fold (9-element array)
+    "q_tfidf_terms",     # one-row corpus-count fold (lazy N, no eager count())
     "q_ivf_topk",        # broadcast centroids (|cells| rows)
     "q_ngram_jaccard",   # broadcast sampled probe set
     "q_range_join",      # interval predicate vs broadcast bounds
