@@ -67,6 +67,7 @@ def connected_components_star(edges: DataFrame) -> DataFrame:
     """
     cur = edges.select("src", "dst").filter("src <> dst").distinct().localCheckpoint(eager=False)
     prev_sig = None
+    converged = False
     for _ in range(MAX_STAR_ROUNDS):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         # edge-multiset signature: order-insensitive sum of a mixed hash —
@@ -78,8 +79,19 @@ def connected_components_star(edges: DataFrame) -> DataFrame:
         ).collect()[0]
         sig = (sig["s"], sig["n"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # callers use this as the CORRECTNESS fallback for high-diameter
+        # graphs — returning an under-merged (and possibly inconsistent)
+        # mapping here would silently break that guarantee. 25 rounds covers
+        # ~2^25 nodes; raise the cap for larger graphs rather than trusting
+        # a truncated fixed point.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {MAX_STAR_ROUNDS} rounds; "
+            "increase MAX_STAR_ROUNDS (O(log2 n) rounds are required)"
+        )
     # at the fixed point every edge is (node, root); nodes that ARE roots
     # appear only as dst — union them in as their own component
     members = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))

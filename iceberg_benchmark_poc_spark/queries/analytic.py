@@ -259,7 +259,7 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY l_returnflag
         )
         SELECT l_returnflag, n,
-               (n * sxy - sx * sy) / (n * (n - 1)) / 100.0                           AS covar,
+               (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * (n - 1)) / 100.0           AS covar,
                (n * sxy - sx * sy) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr
         FROM s
         """,
@@ -299,7 +299,10 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        ((n * sxy - sx * sy) / (n * (n - 1)) / F.lit(100.0)).alias("covar"),
+        # denominator in double: n*(n-1) in BIGINT overflows past ~3e9-row
+        # groups (the 100 TB design point) — ANSI mode would error, non-ANSI
+        # would silently wrap negative
+        ((n * sxy - sx * sy) / (n.cast("double") * (n - 1)) / F.lit(100.0)).alias("covar"),
         (
             (n * sxy - sx * sy)
             / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))

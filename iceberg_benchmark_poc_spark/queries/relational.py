@@ -296,8 +296,6 @@ def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     two columns. Semi-join output is bounded by the orders side, and the
     priority rollup is a 5-row aggregate.
     """
-    from ..core.io import load_table
-
     ov = "q_late_orders_orders"
     lv = "q_late_orders_lineitem"
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
@@ -331,13 +329,14 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers holding large-volume orders.
 
     The group-HAVING-join-back pattern: aggregate the fact table to find
-    qualifying orders, then join the (now tiny) qualifier set back to orders
-    and customer. Scale story: the only full-table shuffle is the lineitem
-    groupBy on l_orderkey; the HAVING output is a sliver (≈10% here, far
-    less at TPC-H thresholds) that BROADCASTS to the orders join, and the
-    customer join keys on the already-small result — so the expensive side
-    is touched exactly once. Quantity folds through DECIMAL so the HAVING
-    cut is exact on both engines.
+    qualifying orders, then join the qualifier set back to orders and
+    customer. Scale story: the only full-table shuffle is the lineitem
+    groupBy on l_orderkey. The fixture threshold keeps ~10% of orders, so
+    the qualifier join is left to AQE — a FORCED broadcast hint here would
+    bypass AQE's size demotion and try to collect billions of rows at large
+    SF (at TPC-H's own threshold the set is a genuine sliver and AQE
+    broadcasts it anyway). Quantity folds through DECIMAL so the HAVING cut
+    is exact on both engines.
     """
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -349,7 +348,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",

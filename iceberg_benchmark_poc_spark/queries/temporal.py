@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..core.io import epoch_micros, load_table
+from ..core.io import load_table
 from ..core.registry import register
 
 RATE_EVERY_MIN = 90  # snapshot cadence of the derived rate table
@@ -204,9 +204,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     def count_of(df: DataFrame, op: str) -> DataFrame:
         return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
 
+    # subtract() IS SQL's EXCEPT (distinct semantics); exceptAll().distinct()
+    # only coincided with it while file_id stayed unique on the left side
     return (
         count_of(dv_files.intersect(recent), "intersect")
-        .unionByName(count_of(dv_files.exceptAll(recent).distinct(), "except"))
+        .unionByName(count_of(dv_files.subtract(recent), "except"))
         .unionByName(count_of(dv_files.union(recent).distinct(), "union"))
     )
 
@@ -342,8 +344,6 @@ def q_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. The audit cost is one pass over the staged batch regardless of
     main-branch size — which is why WAP is viable on 100 TB tables.
     """
-    from ..core.io import load_table
-
     cust = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
     staged = (
         load_table(spark, sf_dir, "orders")
