@@ -138,7 +138,12 @@ def suite_delete_storm(spark: SparkSession, n_files: int = 10_000) -> dict:
     fm = synth_file_meta(spark, n_files)
     plan = fm.filter("has_dv").select("file_id", "dv_size_bytes")
     wall_ms, n_dv = _timed(plan)
-    external_reads = n_files + 1  # manifest + one fetch per file's DV
+    # one lookup per FILE (not per DV): the external planner must ask for
+    # every file's DV to learn it has none — the reference's own published
+    # methodology counts 10,001 reads for 10K files at 30% DV coverage
+    # (BASELINE.md "10,001 sequential reads"), so this count is the
+    # baseline-comparable one, deliberately not files_with_dv + 1
+    external_reads = n_files + 1  # manifest + one lookup per file
     modeled_external_ms = external_reads * TTFB_MS
     modeled_inline_ms = max(wall_ms, 1.0)
     return {
@@ -248,10 +253,19 @@ def suite_density_policy(spark: SparkSession, n_mdvs: int = 10_000) -> dict:
     so the expected outcome is the reference's: 100% inline.
     """
     fid = F.col("id")
+    # container mix: runs every 7th, a bitmap (8 KiB) every 101st — the
+    # bitmaps exceed the 4 KiB floor, so the cap-admission window below runs
+    # on a REAL candidate set (with arrays only, deleted_rows caps at 983 ->
+    # every MDV was must_inline and the admission path was measured on empty
+    # input). They still fit the 16 MiB budget, so the reference scenario's
+    # expected outcome — 100% inline — is preserved.
     mdv = spark.range(n_mdvs).select(
         fid.alias("manifest_id"),
         (F.lit(1) + (fid * 37) % 983).alias("deleted_rows"),
-        F.when(fid % 7 == 0, "run").when((F.lit(1) + (fid * 37) % 983) < 2048, "array").otherwise("bitmap").alias("container_type"),
+        F.when(fid % 7 == 0, "run")
+        .when(fid % 101 == 0, "bitmap")
+        .otherwise("array")
+        .alias("container_type"),
     ).withColumn(
         "mdv_size",
         F.when(F.col("container_type") == "run", 32)
@@ -543,7 +557,9 @@ def suite_bloom_prune(spark: SparkSession, tmp_dir: str, n_rows: int = 5_000_000
     plain_ms, n_plain = point_lookup_ms(plain)
     bloom_ms, n_bloom = point_lookup_ms(bloom)
     assert n_plain == n_bloom >= 1
-    plain_b, bloom_b = _dir_size(plain), _dir_size(bloom)
+    from ..streaming.ingest import _dir_bytes
+
+    plain_b, bloom_b = _dir_bytes(plain), _dir_bytes(bloom)
     return {
         "n_rows": n_rows,
         "point_lookup_plain_ms": round(plain_ms, 1),
@@ -553,14 +569,6 @@ def suite_bloom_prune(spark: SparkSession, tmp_dir: str, n_rows: int = 5_000_000
         "bloom_mb": round(bloom_b / 1e6, 1),
         "storage_premium_pct": round((bloom_b - plain_b) / plain_b * 100, 1),
     }
-
-
-def _dir_size(path: str) -> int:
-    return sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-    )
 
 
 def suite_stream_throughput(spark: SparkSession, sf_dir: str, tmp_dir: str, n_files: int = 8) -> dict:
@@ -611,7 +619,13 @@ def suite_stream_throughput(spark: SparkSession, sf_dir: str, tmp_dir: str, n_fi
 
 
 def suite_adaptive_tree(spark: SparkSession, scales: tuple = (1_000, 10_000, 50_000)) -> dict:
-    """Flat vs pruned 2/3-level tree planning over synthetic manifests."""
+    """Flat vs pruned 2-level tree planning over synthetic manifests.
+
+    The tree prune is genuinely TWO-level (the reference's root->branch->leaf
+    descent, poc/test_adaptive_metadata_tree.py): branch summaries are
+    consulted first, leaf summaries only within surviving branches, and
+    entries only within surviving leaves.
+    """
     probe = F.to_date(F.lit("2022-03-01"))
     out = {}
     for n in scales:
@@ -622,7 +636,15 @@ def suite_adaptive_tree(spark: SparkSession, scales: tuple = (1_000, 10_000, 50_
         leaves = entries.groupBy("leaf_id").agg(
             F.min("partition_date").alias("mn"), F.max("partition_date").alias("mx")
         ).withColumn("branch_id", F.floor(F.col("leaf_id") / 10))
-        vl = leaves.filter((probe >= F.col("mn")) & (probe <= F.col("mx"))).select("leaf_id")
+        branches = leaves.groupBy("branch_id").agg(
+            F.min("mn").alias("bmn"), F.max("mx").alias("bmx")
+        )
+        vb = branches.filter((probe >= F.col("bmn")) & (probe <= F.col("bmx"))).select("branch_id")
+        vl = (
+            leaves.join(vb, "branch_id")
+            .filter((probe >= F.col("mn")) & (probe <= F.col("mx")))
+            .select("leaf_id")
+        )
         tree_ms, leaves_visited = _timed(vl)
         matched_ms, n_match = _timed(entries.join(vl, "leaf_id").filter(F.col("partition_date") == probe))
         out[str(n)] = {
@@ -842,7 +864,7 @@ def suite_column_update(spark: SparkSession, tmp_dir: str, n_rows: int = 100_000
 
 def run_all_suites(spark: SparkSession, sf_dir: str, tmp_dir: str, quick: bool = False) -> dict:
     """Run every suite; ``quick`` shrinks scale points for CI-speed runs."""
-    dv_scales = (1_000, 10_000) if quick else (1_000, 10_000, 25_000, 100_000)
+    dv_scales = (1_000, 10_000) if quick else (1_000, 10_000, 25_000, 1_000_000, 100_000)
     tree_scales = (1_000, 10_000) if quick else (1_000, 10_000, 50_000)
     return {
         "writer_org": suite_writer_org(spark, 10_000 if quick else 100_000),
@@ -878,7 +900,7 @@ if __name__ == "__main__":
     import tempfile
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-    from ..core.session import get_spark
+    from iceberg_benchmark_poc_spark.core.session import get_spark
 
     spark = get_spark(app_name="suites")
     spark.sparkContext.setLogLevel("ERROR")

@@ -35,9 +35,6 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def ensure_session_confs(spark: SparkSession) -> None:
     """Pin the session confs the engine's semantics depend on.
 

@@ -152,7 +152,7 @@ def test_bench_headline_fits_driver_tail():
                 "batch_1000": {"avg_commit_ms": 12345.678},
             }
         },
-        "adaptive_tree": {"50000": {"flat_scan_ms": 12345.6}},
+        "adaptive_tree": {"50000": {"flat_scan_ms": 12345.6, "tree_prune_ms": 12345.6}},
         "wide_table": {"v3_footer_scan_ms": 12345.67, "v4_stats_lookup_ms": 123.456},
         "wide_table_1000": {"v3_footer_scan_ms": 12345.67, "v4_stats_lookup_ms": 123.456},
         "stream_throughput": {"rows_per_sec": 1234567.8},
