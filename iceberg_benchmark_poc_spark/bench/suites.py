@@ -480,16 +480,23 @@ def suite_skew_join(
     small = spark.range(n_keys).select(F.col("id").alias("k"), (F.col("id") % 7).alias("grp"))
 
     def run_grouped(build_joined) -> tuple[float, int]:
-        # warm on one lineage, TIME a freshly built identical lineage:
+        # warm on one lineage, TIME freshly built identical lineages:
         # re-collecting the same DataFrame lets Spark skip its shuffle
         # stages (map outputs are kept), which would measure only the final
         # stage and scramble the ratio; a fresh lineage gets new shuffle ids
-        # while codegen/JIT stay warm from the first run
+        # while codegen/JIT stay warm from the first run. Median of 3 runs:
+        # single-shot shuffle walls jitter ~2x under GC/writeback noise,
+        # which made the headline ratio swing run to run.
         build_joined().groupBy("grp").agg(F.sum("v").alias("sv"), F.count("*").alias("n")).collect()
-        agg = build_joined().groupBy("grp").agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
-        t0 = time.perf_counter()
-        rows = agg.collect()
-        return (time.perf_counter() - t0) * 1000, sum(r["n"] for r in rows)
+        walls = []
+        n_total = 0
+        for _ in range(3):
+            agg = build_joined().groupBy("grp").agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+            t0 = time.perf_counter()
+            rows = agg.collect()
+            walls.append((time.perf_counter() - t0) * 1000)
+            n_total = sum(r["n"] for r in rows)
+        return sorted(walls)[1], n_total
 
     prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
