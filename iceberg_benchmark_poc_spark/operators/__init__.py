@@ -24,7 +24,10 @@ from .vectors import (
     quantize,
     sq_norm_decimal,
 )
+from .graph import connected_components_star
 from .multimodal import media_features
+from .prefix import global_prefix_sum
+from .skew import salted_agg, salted_count, salted_join
 
 __all__ = [
     "PORTABLE_HASH_PRIME",
@@ -42,4 +45,9 @@ __all__ = [
     "quantize",
     "sq_norm_decimal",
     "media_features",
+    "connected_components_star",
+    "global_prefix_sum",
+    "salted_agg",
+    "salted_count",
+    "salted_join",
 ]
