@@ -26,15 +26,21 @@ ENTRY_BYTES = 200  # poc/test_delete_storm.py:141
 TTFB_MS = 50.0  # poc/utils/s3_simulator.py avg TTFB
 
 
-def _timed(df: DataFrame, warm: bool = True) -> tuple[float, int]:
+def _timed(df: DataFrame, warm: bool = True, reps: int = 3) -> tuple[float, int]:
     """Wall-clock of a full materialization; ``warm`` runs once first so the
     number is steady-state (codegen compiled, JIT warm) — what the
-    reference's repeated-iteration timings measure."""
+    reference's repeated-iteration timings measure. Median of ``reps`` timed
+    runs: at the ~100 ms local job floor a single shot jitters ~2x under
+    GC/writeback noise (same rationale as the skew-join suite's median)."""
     if warm:
         df.count()
-    t0 = time.perf_counter()
-    n = df.count()
-    return (time.perf_counter() - t0) * 1000, n
+    walls = []
+    n = 0
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        n = df.count()
+        walls.append((time.perf_counter() - t0) * 1000)
+    return sorted(walls)[len(walls) // 2], n
 
 
 def synth_file_meta(spark: SparkSession, n: int) -> DataFrame:
@@ -319,6 +325,10 @@ def suite_dv_resolution(
     """
     out = {}
     for n in scales:
+        # drain garbage from the previous scale point before sub-200ms timing:
+        # the 1M point's shuffle/broadcast garbage otherwise lands as a GC
+        # pause inside the 100K measurement (the baseline-comparable one)
+        spark._jvm.System.gc()
         fm = synth_file_meta(spark, n)
         dv = fm.filter("has_dv").select("file_id", "dv_size_bytes")
         # the DV side is the small side by construction (30% coverage, id+size
