@@ -7,11 +7,14 @@ oracle-verified.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..core.fixtures import commit_log, read_log, with_fixtures
 from ..core.io import epoch_micros, load_table
 from ..core.registry import register
+from ..operators.prefix import global_prefix_sum
 
 FLAGS = ("A", "N", "R")
 
@@ -212,17 +215,44 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     first so the percentile interpolation is engine-exact at half-steps
     (same rule as q_percentiles' integral ttfb).
 
-    The boundary fold here uses EXACT percentile so the DuckDB oracle can
-    hash-match it; exact percentile merges per-partition value maps, so its
-    memory is O(distinct values) — at 100 TB swap in approx_percentile
-    (constant-memory sketch, same one-row-fold plan) and keep the identical
-    assignment stage.
+    Boundaries are EXACT order statistics so the DuckDB quantile_cont
+    oracle hash-matches, but computed distributed: builtin percentile()
+    funnels every (value, count) pair through ONE boxed-hashmap merge
+    (3.5 s of this query's wall at sf0.1, O(distinct) memory on one
+    thread). Instead: groupBy-count per distinct cent value (bounded
+    domain — price cents, not rows), a two-phase global_prefix_sum for
+    cumulative ranks, then one conditional-agg pass picks the <=18
+    order statistics the 9 deciles interpolate between. The single
+    row count feeding the literal rank targets is a scalar fold, the
+    one driver-side value this plan needs. Interpolation reproduces the
+    identical IEEE expression quantile_cont evaluates — weights
+    (hi-p)/(p-lo) are Sterbenz-exact, products and sum in the same
+    order — so the result is bit-equal to builtin percentile too.
     """
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))
-    bounds = cents.agg(
-        F.expr(f"percentile(c, array({', '.join(str(d) for d in _DECILES)}))").alias("bs")
+    n_rows = max(cents.count(), 1)
+    counts = cents.groupBy("c").agg(F.count("*").alias("cnt"))
+    cum = global_prefix_sum(counts, [F.col("c")], F.col("cnt"), "cum")
+    # 0-indexed order statistic k = smallest c whose cumulative count covers k
+    ks = sorted(
+        {k for d in _DECILES for p in (d * (n_rows - 1),) for k in (math.floor(p), math.ceil(p))}
     )
+    vals = cum.agg(
+        *[F.min(F.when(F.col("cum") >= k + 1, F.col("c"))).alias(f"v{k}") for k in ks]
+    )
+    exprs = []
+    for d in _DECILES:
+        p = d * (n_rows - 1)
+        lo_k, hi_k = math.floor(p), math.ceil(p)
+        if lo_k == hi_k:
+            exprs.append(F.col(f"v{lo_k}").cast("double"))
+        else:
+            exprs.append(
+                F.lit(hi_k - p) * F.col(f"v{lo_k}").cast("double")
+                + F.lit(p - lo_k) * F.col(f"v{hi_k}").cast("double")
+            )
+    bounds = vals.select(F.array(*exprs).alias("bs"))
     assigned = cents.join(F.broadcast(bounds)).select(
         "c",
         F.aggregate(

@@ -90,6 +90,7 @@ def test_no_cartesian_in_similarity_path(spark):
 #: operators/prefix.py and appear here only for that totals table.
 GLOBAL_SORT_ALLOWLIST = {
     "q_corpus_select": "prefix-sum totals table: one row per range partition",
+    "q_equidepth_hist": "prefix-sum totals table: one row per range partition",
     "q_shard_pack": "prefix-sum totals table: one row per range partition",
     "q_dv_positional_join": "manifest entries (reference positional semantics)",
     "q_growth": "commit log",
