@@ -27,6 +27,7 @@ from .vectors import (
 from .graph import connected_components_star
 from .multimodal import media_features
 from .prefix import global_prefix_sum
+from .quantiles import exact_quantiles
 from .skew import salted_agg, salted_count, salted_join
 
 __all__ = [
@@ -47,6 +48,7 @@ __all__ = [
     "media_features",
     "connected_components_star",
     "global_prefix_sum",
+    "exact_quantiles",
     "salted_agg",
     "salted_count",
     "salted_join",

@@ -1,0 +1,81 @@
+"""Distributed exact quantiles: builtin ``percentile()`` semantics without
+the single-thread value-map merge.
+
+Spark's exact ``percentile`` aggregate accumulates a boxed
+``OpenHashMap[value, count]`` per partition and merges every map through ONE
+final reducer that sorts all distinct values on one thread — O(distinct)
+memory and wall on a single core. For bounded-domain value columns
+(quantized prices, durations in ms, scores on a grid) the distinct set is
+corpus-scale-safe but still large enough to make that merge the bottleneck.
+
+This operator computes the identical result as a distributed plan:
+
+1. ``groupBy(value)`` count — shuffled, map-side combined, one row per
+   distinct value;
+2. cumulative ranks via the two-phase :func:`global_prefix_sum` (no
+   single-partition corpus window);
+3. one conditional-aggregation pass picks the <=2*len(percentages) order
+   statistics the requested quantiles interpolate between — the 0-indexed
+   k-th order statistic is the smallest value whose cumulative count
+   covers k;
+4. linear interpolation with the same IEEE expression builtin
+   ``percentile`` (and DuckDB ``quantile_cont``) evaluates: position
+   ``p*(n-1)``, weights ``hi-pos`` / ``pos-lo`` (Sterbenz-exact), products
+   summed in the same order — bit-equal output.
+
+The only driver-side value is ``n_rows`` (one scalar count) because the
+rank targets are literals in the final aggregation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .prefix import global_prefix_sum
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value: Column,
+    percentages: list[float],
+    n_rows: int | None = None,
+    out_col: str = "bs",
+) -> DataFrame:
+    """One-row DataFrame: ``out_col`` = array of exact interpolated quantiles.
+
+    ``value`` must be an integral/orderable numeric column; the result array
+    is ``double`` and bit-equal to
+    ``F.expr(f"percentile(v, array({percentages}))")``. Pass ``n_rows`` if
+    the caller already knows the row count to skip the scalar count fold.
+    """
+    vals_df = df.select(value.alias("__qv"))
+    if n_rows is None:
+        n_rows = vals_df.count()
+    n_rows = max(n_rows, 1)
+    counts = vals_df.groupBy("__qv").agg(F.count("*").alias("__qcnt"))
+    cum = global_prefix_sum(counts, [F.col("__qv")], F.col("__qcnt"), "__qcum")
+    ks = sorted(
+        {
+            k
+            for d in percentages
+            for p in (d * (n_rows - 1),)
+            for k in (math.floor(p), math.ceil(p))
+        }
+    )
+    picked = cum.agg(
+        *[F.min(F.when(F.col("__qcum") >= k + 1, F.col("__qv"))).alias(f"__v{k}") for k in ks]
+    )
+    exprs = []
+    for d in percentages:
+        p = d * (n_rows - 1)
+        lo_k, hi_k = math.floor(p), math.ceil(p)
+        if lo_k == hi_k:
+            exprs.append(F.col(f"__v{lo_k}").cast("double"))
+        else:
+            exprs.append(
+                F.lit(hi_k - p) * F.col(f"__v{lo_k}").cast("double")
+                + F.lit(p - lo_k) * F.col(f"__v{hi_k}").cast("double")
+            )
+    return picked.select(F.array(*exprs).alias(out_col))

@@ -7,14 +7,12 @@ oracle-verified.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..core.fixtures import commit_log, read_log, with_fixtures
 from ..core.io import epoch_micros, load_table
 from ..core.registry import register
-from ..operators.prefix import global_prefix_sum
+from ..operators.quantiles import exact_quantiles
 
 FLAGS = ("A", "N", "R")
 
@@ -231,28 +229,7 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))
-    n_rows = max(cents.count(), 1)
-    counts = cents.groupBy("c").agg(F.count("*").alias("cnt"))
-    cum = global_prefix_sum(counts, [F.col("c")], F.col("cnt"), "cum")
-    # 0-indexed order statistic k = smallest c whose cumulative count covers k
-    ks = sorted(
-        {k for d in _DECILES for p in (d * (n_rows - 1),) for k in (math.floor(p), math.ceil(p))}
-    )
-    vals = cum.agg(
-        *[F.min(F.when(F.col("cum") >= k + 1, F.col("c"))).alias(f"v{k}") for k in ks]
-    )
-    exprs = []
-    for d in _DECILES:
-        p = d * (n_rows - 1)
-        lo_k, hi_k = math.floor(p), math.ceil(p)
-        if lo_k == hi_k:
-            exprs.append(F.col(f"v{lo_k}").cast("double"))
-        else:
-            exprs.append(
-                F.lit(hi_k - p) * F.col(f"v{lo_k}").cast("double")
-                + F.lit(p - lo_k) * F.col(f"v{hi_k}").cast("double")
-            )
-    bounds = vals.select(F.array(*exprs).alias("bs"))
+    bounds = exact_quantiles(cents, F.col("c"), _DECILES)
     assigned = cents.join(F.broadcast(bounds)).select(
         "c",
         F.aggregate(

@@ -541,3 +541,30 @@ def test_ann_query_sets_constant_across_sf(spark):
             assert n <= QUERY_K, f"{name}@{sf_dir}: {n} query ids > cap {QUERY_K}"
             counts.append(n)
         assert counts == sorted(counts, reverse=True) or counts[0] <= counts[-1] <= QUERY_K
+
+
+# ---------------------------------------------------------------------------
+# exact_quantiles is bit-equal to builtin percentile on arbitrary inputs
+# ---------------------------------------------------------------------------
+
+
+@given(
+    values=st.lists(st.integers(-(10**6), 10**6), min_size=1, max_size=80),
+    pcts=st.lists(
+        st.floats(0.0, 1.0, allow_nan=False, allow_infinity=False), min_size=1, max_size=6
+    ),
+)
+@settings(**SETTINGS)
+def test_exact_quantiles_matches_builtin_percentile(spark, values, pcts):
+    """The distributed order-statistic quantile (operators/quantiles.py) must
+    reproduce builtin exact percentile() bit-for-bit on any value multiset and
+    any percentage list — duplicates, negatives, single rows, p=0/1, and
+    fractional positions whose interpolation exercises the IEEE weight
+    arithmetic."""
+    from iceberg_benchmark_poc_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(v,) for v in values], "v bigint")
+    ours = exact_quantiles(df, F.col("v"), pcts).collect()[0]["bs"]
+    pct_sql = ", ".join(repr(p) for p in pcts)
+    builtin = df.agg(F.expr(f"percentile(v, array({pct_sql}))").alias("bs")).collect()[0]["bs"]
+    assert ours == builtin, f"{values=} {pcts=} -> {ours} != {builtin}"
