@@ -20,6 +20,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _cpu_calibration(spark) -> dict:
+    """Fixed-work host-speed probe recorded alongside every run.
+
+    The VM's effective CPU speed varies round to round (shared-host
+    throttling has been observed to swing pure-compute wall ~1.5x), so
+    absolute walls are only comparable across rounds after normalizing by a
+    constant-work yardstick: one single-thread JVM fold and one pure-Python
+    loop, both data-independent. Medians of 3.
+    """
+    jvm_walls, py_walls = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 1).selectExpr("sum(id * 3 % 7)").collect()
+        jvm_walls.append((time.perf_counter() - t0) * 1000)
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(2_000_000):
+            s += i
+        py_walls.append((time.perf_counter() - t0) * 1000)
+    return {
+        "jvm_fold_50m_ms": round(sorted(jvm_walls)[1], 1),
+        "python_loop_2m_ms": round(sorted(py_walls)[1], 1),
+    }
+
+
 def sf_from_dir(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -53,6 +78,14 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         spark.catalog.clearCache()
 
+    # Early checkpoint line: the driver parses the LAST stdout line under a
+    # wall budget; if it kills this process mid-suites there would be no
+    # line at all and the round's query timings would be lost. Print a
+    # queries-only headline now — superseded by the final full line when
+    # the suites complete.
+    total = round(sum(timings.values()), 4)
+    print(build_headline_line(total, timings, None, sf_from_dir(SF_DIR)), flush=True)
+
     # reference-suite workloads (BASELINE.md comparison) unless disabled.
     # Guarded: a suite failure must not discard the minutes of per-query
     # timings already collected (BENCH_FULL + headline still get written).
@@ -73,7 +106,6 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)  # multi-GB parquet per run
 
-    total = round(sum(timings.values()), 4)
     full = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -81,6 +113,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
         "n_queries": len(timings),
+        "calibration": _cpu_calibration(spark),
     }
     if suites is not None:
         full["suites"] = suites
@@ -92,7 +125,7 @@ def main() -> None:
     with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
-    print(build_headline_line(total, timings, suites, sf_from_dir(SF_DIR)))
+    print(build_headline_line(total, timings, suites, sf_from_dir(SF_DIR), full["calibration"]))
     spark.stop()
 
 
@@ -101,7 +134,13 @@ def main() -> None:
 HEADLINE_MAX_BYTES = 1800
 
 
-def build_headline_line(total: float, timings: dict[str, float], suites: dict | None, sf: float) -> str:
+def build_headline_line(
+    total: float,
+    timings: dict[str, float],
+    suites: dict | None,
+    sf: float,
+    calibration: dict | None = None,
+) -> str:
     out = {
         "metric": "total_query_wall_time",
         "value": total,
@@ -111,6 +150,8 @@ def build_headline_line(total: float, timings: dict[str, float], suites: dict | 
         "full": "BENCH_FULL.json",
         "queries": _slowest(timings, 10),
     }
+    if calibration is not None:
+        out["cal"] = calibration
     if suites is not None:
         out["suites"] = _suite_headline(suites)
     line = json.dumps(out, separators=(",", ":"))

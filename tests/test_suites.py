@@ -161,7 +161,8 @@ def test_bench_headline_fits_driver_tail():
         "concurrent_writers": {"commits_per_sec": 12345.6, "conflict_rate": 0.123},
         "column_update": {"column_update_speedup_x": 1234.5},
     }
-    line = bench.build_headline_line(9999.9999, timings, suites, 0.1)
+    cal = {"jvm_fold_50m_ms": 123456.7, "python_loop_2m_ms": 123456.7}
+    line = bench.build_headline_line(9999.9999, timings, suites, 0.1, cal)
     assert len(line.encode()) < cap, f"worst-case headline {len(line)}B >= {cap}B"
     json.loads(line)  # still valid JSON after truncation
 
@@ -170,7 +171,11 @@ def test_bench_headline_fits_driver_tail():
     if os.path.exists(full_path):
         full = json.load(open(full_path))
         line = bench.build_headline_line(
-            full["value"], full["queries"], full.get("suites"), full.get("sf", 0.1)
+            full["value"],
+            full["queries"],
+            full.get("suites"),
+            full.get("sf", 0.1),
+            full.get("calibration"),
         )
         assert len(line.encode()) < cap
         json.loads(line)
