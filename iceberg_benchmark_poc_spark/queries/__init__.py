@@ -28,4 +28,5 @@ from . import approx  # noqa: F401
 from . import analytic  # noqa: F401
 from . import dv_payload  # noqa: F401
 from . import streamlike  # noqa: F401
+from . import sources  # noqa: F401
 from . import zorder  # noqa: F401

@@ -1,0 +1,140 @@
+"""Raw text-source ingest: CSV and JSONL as first-class sources/sinks.
+
+Parquet is the engine's native format (every other query reads it), but a
+training-data pipeline's INPUT is almost always line-delimited text — JSONL
+dumps and CSV exports. These queries certify that path end to end: write a
+documents slice through the text sink, read it back through the text
+source, and aggregate content fingerprints that only match the DuckDB
+oracle (which recomputes from the original parquet) if every byte survived
+the round trip — quoting, escaping, and type parsing included.
+
+Scale design, per the ingest rules that matter at 100 TB:
+
+- **Explicit schema on read, always.** Schema inference is a full extra
+  pass over the corpus just to guess types; a declared schema makes the
+  read single-pass and the plan's ReadSchema exact.
+- **Line-delimited stays splittable.** JSONL escapes embedded newlines
+  (``\\n`` inside the string), so files split on physical lines no matter
+  what the payload contains. CSV with *raw* embedded newlines would force
+  ``multiLine=true`` — an unsplittable whole-file parse — so the
+  CSV-hostile payload here carries quotes and separators (exercising the
+  quoting machinery Spark and the sink share) but newline torture is
+  routed to the JSONL variant where escaping keeps the format splittable.
+- The round-trip directory is pid-keyed scratch space: re-running the
+  query in one process reuses (overwrites) it; concurrent processes
+  cannot collide.
+
+Reference scope note: the reference's only sources are parquet + JSON
+manifests (poc/utils/manifest_generator.py); CSV/JSONL ingest is part of
+the training-data extension surface, same tier as textpipe/embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.fixtures import hash60, hash60_sql
+from ..core.io import load_table
+from ..core.registry import register
+from ..operators.text import PORTABLE_HASH_PRIME
+
+#: quote + separator torture for the CSV path (no raw newline — see module
+#: doc); the JSONL path appends newline/tab/backslash torture on top. The
+#: Spark side builds these with F.lit (no SQL-escape interpretation); the
+#: DuckDB side composes control characters with chr() because plain SQL
+#: string literals do not interpret backslash escapes there.
+_JSONL_TAIL = "\n\ttail\\"
+
+
+def _spark_payload(with_tail: bool):
+    parts = [F.lit('"'), F.col("text"), F.lit('", '), F.col("lang")]
+    if with_tail:
+        parts.append(F.lit(_JSONL_TAIL))
+    return F.concat(*parts)
+
+
+def _duck_payload(with_tail: bool) -> str:
+    base = "concat('\"', text, '\", ', lang"
+    if with_tail:
+        base += ", chr(10), chr(9), 'tail', chr(92)"
+    return base + ")"
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    base = os.path.join(
+        tempfile.gettempdir(), f"ibp_spark_sources_{os.getpid()}", os.path.basename(sf_dir.rstrip("/"))
+    )
+    return os.path.join(base, leaf)
+
+
+def _roundtrip_agg(back: DataFrame) -> DataFrame:
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        F.sum(hash60(F.col("payload")) % PORTABLE_HASH_PRIME)
+        .cast("bigint")
+        .alias("payload_hash_sum"),
+    )
+
+
+def _oracle(payload_sql: str) -> str:
+    return f"""
+        SELECT lang,
+               count(*)                        AS n_docs,
+               CAST(sum(n_chars) AS BIGINT)    AS sum_chars,
+               CAST(min(doc_id) AS BIGINT)     AS min_doc_id,
+               CAST(max(doc_id) AS BIGINT)     AS max_doc_id,
+               CAST(sum({hash60_sql(payload_sql)} % {PORTABLE_HASH_PRIME}) AS BIGINT)
+                                               AS payload_hash_sum
+        FROM documents
+        GROUP BY lang
+        """
+
+
+_READ_SCHEMA = "doc_id BIGINT, lang STRING, payload STRING, n_chars BIGINT"
+
+
+@register("q_csv_roundtrip", oracle=_oracle(_duck_payload(False)), tags=("source", "sink", "csv"))
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink -> CSV source -> per-language content fingerprint.
+
+    The payload embeds quotes and the field separator, so the writer must
+    quote/escape and the reader must undo it exactly — the per-row md5
+    fingerprint sum only matches the oracle (computed from the original
+    parquet) on a byte-perfect round trip. Read uses the explicit schema;
+    no inference pass, no multiLine.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _spark_payload(False).alias("payload"), "n_chars"
+    )
+    path = _scratch(sf_dir, "docs_csv")
+    d.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(_READ_SCHEMA).option("header", True).csv(path)
+    return _roundtrip_agg(back)
+
+
+@register(
+    "q_jsonl_roundtrip", oracle=_oracle(_duck_payload(True)), tags=("source", "sink", "jsonl")
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink -> JSONL source -> per-language content fingerprint.
+
+    The training-data interchange format: one JSON object per physical
+    line. The payload embeds quotes, a newline, a tab, and a backslash —
+    all of which the JSON encoder must escape (keeping the file
+    line-splittable) and the decoder must restore byte-perfectly for the
+    fingerprint sum to match the parquet-side oracle. Read uses the
+    explicit schema; no sampling inference job.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _spark_payload(True).alias("payload"), "n_chars"
+    )
+    path = _scratch(sf_dir, "docs_jsonl")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(_READ_SCHEMA).json(path)
+    return _roundtrip_agg(back)
