@@ -507,3 +507,380 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_items") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: the remaining TPC-H shapes expressible on this schema
+# (no partsupp / commitdate / receiptdate in the fixture, so Q2/Q9/Q11/Q12/
+# Q16/Q20/Q21 are out of reach; the shapes below complete the rest)
+# ---------------------------------------------------------------------------
+
+#: Q7's nation pair — revenue flows in BOTH directions between these two
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+@register(
+    "q_nation_volume",
+    oracle=f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(vol) AS DOUBLE) AS revenue,
+               count(*)                 AS n_items
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10)) AS vol
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+          WHERE (n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+             OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        """,
+    tags=("join", "agg", "tpch-q7"),
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by year.
+
+    Two independent dimension chains hang off the same fact row — supplier's
+    nation via l_suppkey and customer's nation via l_orderkey->o_custkey —
+    and the filter is a disjunction across the PAIR of chains, so neither
+    chain's nation predicate can prune alone; each side only prunes to the
+    two-nation superset. Scale: supplier/customer/nation all broadcast (the
+    only shuffle left is lineitem<->orders on orderkey), the pair predicate
+    evaluates after both chains resolve, and the (nation, nation, year)
+    grouping is tiny. Revenue folds through DECIMAL for engine parity.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    a, b = _Q7_NATIONS
+    pair = ((F.col("supp_nation") == a) & (F.col("cust_nation") == b)) | (
+        (F.col("supp_nation") == b) & (F.col("cust_nation") == a)
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+#: Q8's market: ECONOMY-type parts sold into EUROPE customers; the share
+#: tracked is NATION_5's suppliers. Both sums are emitted instead of the
+#: ratio so the hash comparison stays on exactly-reproducible decimals.
+_Q8_REGION = "EUROPE"
+_Q8_NATION = "NATION_5"
+_Q8_PTYPE = "ECONOMY"
+
+
+@register(
+    "q_market_share",
+    oracle=f"""
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN vol
+                             ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE) AS nation_volume,
+               CAST(sum(vol) AS DOUBLE)                                     AS total_volume
+        FROM (
+          SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10)) AS vol,
+                 ns.n_name AS supp_nation
+          FROM lineitem l
+          JOIN part p     ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+          JOIN region r   ON r.r_regionkey = nc.n_regionkey
+          JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+          WHERE r.r_name = '{_Q8_REGION}' AND p.p_type = '{_Q8_PTYPE}'
+        )
+        GROUP BY o_year
+        """,
+    tags=("join", "agg", "tpch-q8"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's market, by year.
+
+    The deepest dimension topology in the set — seven tables, with nation
+    joined TWICE under different roles (customer's nation restricts the
+    market region; supplier's nation labels the volume). Scale: part/
+    supplier/customer/nation/region all broadcast, so the single big-data
+    shuffle remains lineitem<->orders; the market filter (region + part
+    type) prunes fact rows at the join, and the per-year conditional sums
+    partial-aggregate map-side. Emitting nation_volume and total_volume
+    (not their ratio) keeps the comparison on exact decimal folds.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q8_PTYPE)
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    # customer-side chain: nation -> region, pre-filtered to the market region
+    nc = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == _Q8_REGION)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    ns = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    zero = F.lit(0).cast("decimal(38,10)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == _Q8_NATION, vol).otherwise(zero))
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "q_order_count_dist",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """,
+    tags=("join", "agg", "tpch-q13"),
+)
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts.
+
+    The double-aggregation shape with a filtered LEFT join: customers with
+    zero qualifying orders must appear in the c_count=0 bucket, so the
+    filter lives in the join condition, not a WHERE (a WHERE would silently
+    turn the join inner). Scale: rather than shuffling the join output
+    (|orders| rows) into a custkey agg, pre-aggregate orders to per-customer
+    counts FIRST — the fact table collapses before any join — then left-join
+    customer to the count table and coalesce the misses to 0. The second
+    aggregation (count distribution) is over at most |distinct counts|
+    groups. Same result as join-then-count, one fact-table shuffle less.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+#: Q15's revenue quarter
+_Q15_START, _Q15_END = "1997-07-01", "1997-10-01"
+
+
+@register(
+    "q_top_supplier",
+    oracle=f"""
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS rev_dec
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '{_Q15_START}'
+            AND CAST(l_shipdate AS DATE) <  DATE '{_Q15_END}'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.rev_dec AS DOUBLE) AS total_revenue
+        FROM supplier s
+        JOIN rev r ON r.supplier_no = s.s_suppkey
+        WHERE r.rev_dec = (SELECT max(rev_dec) FROM rev)
+        """,
+    tags=("join", "subquery", "tpch-q15"),
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
+
+    The scalar-aggregate-subquery shape: the per-supplier revenue table is
+    consumed twice — once for its max (a 1-row scalar) and once row-wise to
+    keep the suppliers attaining it (ALL of them, on a tie). Scale: the
+    quarter filter pushes to the lineitem scan, per-suppkey revenue
+    partial-aggregates map-side, and the 1-row max joins back by broadcast —
+    the equality is tested on the DECIMAL fold, not the double projection,
+    so a tie can't be split by float rounding. supplier broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit(_Q15_START))
+        & (F.to_date("l_shipdate") < F.lit(_Q15_END))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")).alias(
+            "rev_dec"
+        )
+    )
+    max_rev = rev.agg(F.max("rev_dec").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev), rev.rev_dec == max_rev.max_rev)
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+#: Q17's brand slice
+_Q17_BRAND = "Brand#1"
+
+
+@register(
+    "q_small_qty_revenue",
+    oracle=f"""
+        WITH pa AS (
+          SELECT l_partkey,
+                 sum(CAST(l_quantity AS DECIMAL(38,6))) AS qty_sum,
+                 count(*)                               AS qty_n
+          FROM lineitem
+          GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN pa     ON pa.l_partkey = l.l_partkey
+        WHERE p.p_brand = '{_Q17_BRAND}'
+          AND CAST(l.l_quantity AS DECIMAL(38,6)) * 5 * pa.qty_n < pa.qty_sum
+        """,
+    tags=("join", "subquery", "tpch-q17"),
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand.
+
+    The correlated-scalar-subquery shape: each lineitem compares its
+    quantity against 0.2x the average quantity of ITS part, decorrelated
+    into a per-part aggregate joined back to the fact rows. Two exactness
+    moves: (1) `qty < 0.2 * avg` is algebraically rearranged to
+    `5 * qty * n < sum` over DECIMAL folds, so the boundary cut cannot
+    flip on float rounding; (2) the per-part aggregate is computed only
+    for the brand's parts — the brand filter broadcasts into BOTH the
+    fact scan and the aggregate's input (a semi join), so the big table
+    never aggregates groups that are about to be discarded.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_sum"),
+        F.count("*").alias("qty_n"),
+    )
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(
+            F.col("l_quantity").cast("decimal(38,6)") * 5 * F.col("qty_n") < F.col("qty_sum")
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+#: Q22's idleness horizon: no orders on/after this date. (The fixture's
+#: order keys cover every customer, so Q22's literal "never ordered" set is
+#: empty at all SFs; a recency cutoff keeps the identical anti-join shape
+#: AND a non-trivial result.)
+_Q22_CUTOFF = "2000-01-01"
+
+
+@register(
+    "q_idle_customers",
+    oracle=f"""
+        WITH pos AS (
+          SELECT sum(CAST(c_acctbal AS DECIMAL(38,6))) AS bal_sum,
+                 count(*)                              AS bal_n
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey AS cntrycode,
+               count(*)    AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+        FROM customer c, pos
+        WHERE CAST(c.c_acctbal AS DECIMAL(38,6)) * pos.bal_n > pos.bal_sum
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND CAST(o.o_orderdate AS DATE) >= DATE '{_Q22_CUTOFF}')
+        GROUP BY c_nationkey
+        """,
+    tags=("anti-join", "subquery", "tpch-q22"),
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone idle.
+
+    Anti join + global-scalar threshold: keep customers whose balance
+    exceeds the average positive balance (the scalar subquery) AND who have
+    placed no order since the cutoff (NOT EXISTS -> left anti join),
+    grouped by country (the fixture has no phone column, so nationkey
+    stands in for Q22's cntrycode prefix). Exactness: `bal > avg` is
+    rearranged to `bal * n > sum` over DECIMAL folds — no float-boundary
+    flips. Scale: the 1-row threshold cross-joins by broadcast; the anti
+    join's right side is the date-filtered orders' custkey column only,
+    pre-shrunk by distinct — it shuffles at most |customers| keys, and AQE
+    picks broadcast-anti when the distinct set is small.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("bal_sum"),
+            F.count("*").alias("bal_n"),
+        )
+    )
+    o_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit(_Q22_CUTOFF))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast("decimal(38,6)") * F.col("bal_n") > F.col("bal_sum"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("totacctbal"),
+        )
+    )
