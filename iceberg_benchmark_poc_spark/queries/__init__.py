@@ -29,4 +29,5 @@ from . import analytic  # noqa: F401
 from . import dv_payload  # noqa: F401
 from . import streamlike  # noqa: F401
 from . import sources  # noqa: F401
+from . import behavior  # noqa: F401
 from . import zorder  # noqa: F401

@@ -1,0 +1,228 @@
+"""Behavioral analytics over the events stream: funnel, retention, anomaly.
+
+The event-sequence workloads every product-analytics deployment runs over
+exactly this kind of (user_id, ts, event_type, value) fact table. They are
+registered beyond the reference surface (the reference has no event
+sequencing — SURVEY.md §2 note on events) because they exercise plan
+shapes nothing else in the registry covers: staged self-aggregation
+(funnel), self-join cohorting (retention), and a variance cut done in
+exact integer arithmetic (anomaly).
+
+Parity conventions (established in core/io.py + q_corr_stats):
+- timestamps compare as *microseconds* on both engines — Spark
+  ``epoch_micros`` vs DuckDB ``epoch_ns(ts) // 1000`` — because events.ts
+  is physically TIMESTAMP(NANOS) and the engines truncate differently;
+- any threshold on float aggregates is rearranged onto exact integer /
+  decimal folds so the cut cannot flip on summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..core.io import epoch_micros, load_table
+from ..core.registry import register
+
+#: one day in microseconds — the retention bucketing grid (the events
+#: fixture spans one month, so weekly cohorts would collapse to a single
+#: cell; daily cells give a real triangle at every SF)
+DAY_US = 24 * 3600 * 1_000_000
+
+#: funnel conversion window: the next stage must follow within this span
+#: (an unwindowed funnel saturates — any active user eventually does
+#: everything; the window is what makes drop-off measurable)
+FUNNEL_WINDOW_US = 48 * 3600 * 1_000_000
+
+#: anomaly cut: |value - mean| > Z * stddev(population), applied per event_type
+ANOMALY_Z = 3
+
+
+def _day_index(col) -> F.Column:
+    """Absolute day index (micros since epoch div one day), exactly.
+
+    ``floor(em / D)`` in doubles can round up within a hair of a day
+    boundary; subtracting the remainder first keeps every step in exact
+    BIGINT arithmetic (the final division is a multiple of D over D, exact
+    in double far below 2^53), matching DuckDB's ``//`` integer division.
+    """
+    em = epoch_micros(col)
+    d = F.lit(DAY_US)
+    return ((em - F.pmod(em, d)) / d).cast("bigint")
+
+
+@register(
+    "q_funnel",
+    oracle=f"""
+        WITH s1 AS (
+          SELECT user_id, min(epoch_ns(ts) // 1000) AS t1
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t2
+          FROM events e JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) // 1000 > s1.t1
+            AND epoch_ns(e.ts) // 1000 <= s1.t1 + {FUNNEL_WINDOW_US}
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t3
+          FROM events e JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > s2.t2
+            AND epoch_ns(e.ts) // 1000 <= s2.t2 + {FUNNEL_WINDOW_US}
+          GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM s1) AS n_viewed,
+               (SELECT count(*) FROM s2) AS n_clicked,
+               (SELECT count(*) FROM s3) AS n_purchased
+        """,
+    tags=("events", "funnel", "sequence"),
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: view -> click -> purchase, per user.
+
+    A user advances a stage only with an event STRICTLY AFTER their
+    first event of the previous stage AND within the 48-hour conversion
+    window — order matters (that separates a funnel from three independent
+    counts) and the window makes drop-off measurable (an unwindowed funnel
+    saturates on any sufficiently active user). Each stage is one
+    filtered groupBy(user_id) min, joined to the previous stage's
+    timestamps; at scale that is three hash aggregations all shuffled on
+    the same key (AQE reuses the partitioning run to run), each stage's
+    input strictly smaller than the last. The three 1-row stage counts
+    combine by broadcast cross join. Timestamps compare as microseconds
+    on both engines (events.ts is TIMESTAMP(NANOS); see module doc).
+    """
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(epoch_micros("ts")).alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", epoch_micros("ts").alias("tc"))
+        .join(s1, "user_id")
+        .filter((F.col("tc") > F.col("t1")) & (F.col("tc") <= F.col("t1") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("tc").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_micros("ts").alias("tp"))
+        .join(s2, "user_id")
+        .filter((F.col("tp") > F.col("t2")) & (F.col("tp") <= F.col("t2") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(s2.agg(F.count("*").alias("n_clicked")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchased")))
+    )
+
+
+@register(
+    "q_retention",
+    oracle=f"""
+        WITH ew AS (
+          SELECT user_id, (epoch_ns(ts) // 1000) // {DAY_US} AS d FROM events
+        ),
+        coh AS (SELECT user_id, min(d) AS cohort_day FROM ew GROUP BY user_id),
+        act AS (
+          SELECT DISTINCT e.user_id, c.cohort_day, e.d - c.cohort_day AS day_offset
+          FROM ew e JOIN coh c ON c.user_id = e.user_id
+        )
+        SELECT cohort_day, day_offset, count(*) AS n_users
+        FROM act GROUP BY cohort_day, day_offset
+        """,
+    tags=("events", "retention", "cohort"),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users active N days after their first day.
+
+    The classic triangle: cohort users by first-activity day, then count
+    distinct users per (cohort, days-since-cohort) cell. Scale: the event
+    table reduces to per-(user, day) activity FIRST (distinct over the
+    bucketed pair — the big shrink happens before any join), the per-user
+    cohort day is a groupBy min on the already-shrunk table, and the
+    self-join keys on user_id — the same key both aggregations shuffled
+    on, so AQE plans co-partitioned exchanges, and no side is assumed
+    broadcastable (users scale with the corpus). Day bucketing is exact
+    integer arithmetic on epoch-microseconds, never float floor (see
+    _day_index).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ew = e.select("user_id", _day_index("ts").alias("d")).distinct()
+    coh = ew.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ew.join(coh, "user_id")
+        .select("cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "q_anomaly",
+    oracle=f"""
+        WITH g AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c FROM events
+        ),
+        s AS (
+          SELECT event_type, count(*) AS n,
+                 sum(CAST(c AS HUGEINT))     AS sc,
+                 sum(CAST(c AS HUGEINT) * c) AS sc2
+          FROM g GROUP BY event_type
+        )
+        SELECT g.event_type,
+               CAST(any_value(s.n) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (
+                 WHERE (s.n * CAST(g.c AS HUGEINT) - s.sc) * (s.n * CAST(g.c AS HUGEINT) - s.sc)
+                     > {ANOMALY_Z * ANOMALY_Z} * (s.n * s.sc2 - s.sc * s.sc)
+               ) AS BIGINT) AS n_anomalies
+        FROM g JOIN s ON s.event_type = g.event_type
+        GROUP BY g.event_type
+        """,
+    tags=("events", "statistics", "anomaly"),
+)
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly counts per event type, cut in exact arithmetic.
+
+    Flags events with |value - mean| > 3 sigma (population) of their
+    event_type. The naive form compares floats whose summation order
+    differs across engines; instead the cut is rearranged onto an exact
+    integer grid (value floors to cents — the z-score is scale-invariant):
+
+        (v - S/n)^2 > 9 * (S2/n - (S/n)^2)
+        <=> (n*v - S)^2 > 9 * (n*S2 - S^2)        [multiply by n^2 > 0]
+
+    with S = sum(c), S2 = sum(c^2) as 128-bit-exact folds (DECIMAL(38,0)
+    on Spark, HUGEINT on DuckDB) — both engines evaluate the identical
+    integer inequality, so the boundary cannot flip. Scale: one groupBy
+    over a handful of event types produces a tiny moment table that
+    BROADCASTS back to the event scan; the flagging pass is map-only, and
+    the final per-type count partial-aggregates. Two scans of events, zero
+    big shuffles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.select("event_type", F.floor(F.col("value") * 100).cast("bigint").alias("c"))
+    cd = F.col("c").cast("decimal(38,0)")
+    s = g.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.count("*").alias("n"),
+        F.sum(cd).alias("sc"),
+        F.sum(cd * F.col("c")).alias("sc2"),
+    )
+    dev = F.col("n") * cd - F.col("sc")  # n*v - S, exact decimal
+    var_n2 = F.col("n") * F.col("sc2") - F.col("sc") * F.col("sc")  # n*S2 - S^2
+    return (
+        g.join(F.broadcast(s), g.event_type == F.col("s_type"))
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n_events"),
+            F.sum(
+                F.when(dev * dev > F.lit(ANOMALY_Z * ANOMALY_Z) * var_n2, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
