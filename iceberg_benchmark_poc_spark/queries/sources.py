@@ -138,3 +138,33 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.write.mode("overwrite").json(path)
     back = spark.read.schema(_READ_SCHEMA).json(path)
     return _roundtrip_agg(back)
+
+
+@register(
+    "q_orc_roundtrip", oracle=_oracle(_duck_payload(True)), tags=("source", "sink", "orc")
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink -> ORC source -> per-language content fingerprint.
+
+    The second columnar format Spark ships natively (orc-core is bundled;
+    the same snappy + column-projection + predicate-pushdown machinery as
+    parquet, different footer layout). ORC strings are length-prefixed
+    binary — no escaping layer at all — so the payload carries the full
+    newline/tab/backslash torture tail and must come back byte-identical
+    for the fingerprint sum to match the parquet-side oracle. ORC matters
+    operationally as the migration path: warehouses arriving from
+    Hive/Trino are ORC, and "switch the reader call" is the whole story.
+
+    Avro, the remaining interchange format, is NOT registered: pyspark
+    ships avro-core but not the spark-avro datasource module, so
+    ``spark.read.format("avro")`` raises AnalysisException in this
+    container (same absent-dependency policy as the Iceberg runtime jar —
+    see README "Iceberg note").
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _spark_payload(True).alias("payload"), "n_chars"
+    )
+    path = _scratch(sf_dir, "docs_orc")
+    d.write.mode("overwrite").orc(path)
+    back = spark.read.schema(_READ_SCHEMA).orc(path)
+    return _roundtrip_agg(back)

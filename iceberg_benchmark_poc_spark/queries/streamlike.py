@@ -359,3 +359,31 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p.k").cast("bigint").alias("k_min"),
         F.max("p.k").cast("bigint").alias("k_max"),
     )
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+        SELECT c.c_mktsegment, e.event_type,
+               count(*)                                          AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment, e.event_type
+        """,
+    tags=("streaming", "stream-static-join"),
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the dimension-join streaming family's twin.
+
+    Same code as the streaming operator (streaming/dedup_join.py
+    enrich_events) applied to static frames: broadcast the customer
+    dimension into the event scan, roll up per (segment, type). The
+    streaming path is equivalence-tested in tests/test_streaming.py; this
+    batch twin is what the DuckDB oracle can gate.
+    """
+    from ..streaming.dedup_join import enrich_events
+
+    return enrich_events(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )

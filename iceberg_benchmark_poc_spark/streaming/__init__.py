@@ -14,7 +14,7 @@ provides both halves natively:
   guarantee is part of the engine contract).
 """
 
-from .dedup_join import attribution_join, dedup_events
+from .dedup_join import attribution_join, dedup_events, enrich_events
 from .ingest import micro_batch_commit_metrics, split_events_for_streaming, stream_events
 from .stateful import value_threshold_monitor
 from .windows import session_totals, sliding_totals, tumbling_counts
@@ -29,4 +29,5 @@ __all__ = [
     "value_threshold_monitor",
     "dedup_events",
     "attribution_join",
+    "enrich_events",
 ]

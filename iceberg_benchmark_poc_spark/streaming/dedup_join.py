@@ -83,3 +83,31 @@ def attribution_join(
     return c.join(p, cond, "inner").select(
         "user_id", "click_id", "click_ts", "buy_id", "buy_ts", "buy_value"
     )
+
+
+def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Enrich the event stream with customer attributes: stream-static join.
+
+    The third streaming join family next to dedup (stateful) and the
+    interval join (stream-stream): a STATELESS per-batch join of the live
+    stream against a slowly-changing static dimension. Spark re-plans the
+    static side each micro-batch (picking up dimension updates) and, with
+    the explicit broadcast, ships the dimension to every stream task — no
+    shuffle ever touches the stream side, so throughput is the map-rate of
+    the stream. The rollup to (mktsegment, event_type) then partial-
+    aggregates; with watermarkless complete-mode output its state is one
+    row per group, independent of stream length.
+
+    Works identically on a static events frame (the oracle-gated batch
+    twin q_stream_enrich) — stream-batch unification, as windows.py.
+    """
+    dims = customers.select(
+        F.col("c_custkey").alias("cust_id"),
+        "c_mktsegment",
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    joined = events.join(F.broadcast(dims), events.user_id == dims.cust_id)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+    )

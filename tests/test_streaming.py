@@ -146,6 +146,19 @@ def test_micro_batch_commits(spark, stream_src, tmp_path):
     assert all(c["commit_ms"] > 0 for c in log.commits)
 
 
+def test_enrich_stream_matches_batch(spark, stream_src):
+    """Stream-static broadcast join: stream result == batch twin."""
+    from iceberg_benchmark_poc_spark.streaming.dedup_join import enrich_events
+
+    src, _ = stream_src
+    customers = load_table(spark, SF_DIR, "customer")
+    batch = enrich_events(load_table(spark, SF_DIR, "events"), customers)
+    stream = _run_stream(
+        spark, enrich_events(stream_events(spark, src), customers), "complete"
+    )
+    _assert_same(batch, stream)
+
+
 def test_attribution_stream_matches_batch(spark, stream_src):
     """Stream-stream interval join == the same function on the static table."""
     from iceberg_benchmark_poc_spark.streaming import attribution_join
