@@ -189,6 +189,7 @@ def _suite_headline(suites: dict) -> dict:
         "commit_ms_batch1000": g("single_file_commits", "manifest_commit", "batch_1000", "avg_commit_ms"),
         "stream_rows_per_sec": g("stream_throughput", "rows_per_sec"),
         "skew_salted_speedup_x": g("skew_join", "salted_speedup_x"),
+        "bucketed_join_speedup_x": g("bucketed_join", "bucketed_speedup_x"),
         "bloom_point_lookup_x": g("bloom_prune", "bloom_speedup_x"),
         # flat scan is the BASELINE-comparable number (reference flat @50K:
         # 355.9 ms); the 2-level prune gets its own honestly-named key

@@ -879,6 +879,92 @@ def suite_column_update(spark: SparkSession, tmp_dir: str, n_rows: int = 100_000
 # ---------------------------------------------------------------------------
 
 
+
+def suite_bucketed_join(
+    spark: SparkSession, tmp_dir: str, n_fact: int = 2_000_000, n_dim: int = 400_000, n_buckets: int = 32
+) -> dict:
+    """Bucketed co-located join vs plain shuffle join, measured.
+
+    The pre-shuffled-layout story (core/layout.py): writing both tables
+    bucketed on the join key makes every later join between them exchange-
+    free — Spark reads matching buckets into the same tasks. tests/
+    test_layout.py asserts the plan property (zero Exchange); this suite
+    prices it. Broadcast is disabled so the baseline genuinely shuffles
+    both sides (the dim here is the "too big to broadcast" middle class).
+    The one-time bucketed-write cost is reported alongside: bucketing pays
+    off after (write_ms / per-join saving) joins — the standard
+    amortization argument for dimension tables joined by every query of a
+    nightly batch. At cluster scale the saved exchange is the fact table's
+    full network transit, and co-bucketed layouts also survive executor
+    loss better than shuffle files.
+    """
+    from ..core.layout import colocated_join, write_bucketed
+
+    fid = F.col("id")
+    fact = spark.range(n_fact).select(
+        (fid % n_dim).alias("k"), (fid % 97).alias("v")
+    )
+    dim = spark.range(n_dim).select(F.col("id").alias("dk"), (F.col("id") % 1000).alias("grp"))
+
+    fact_path = os.path.join(tmp_dir, "bj_fact")
+    dim_path = os.path.join(tmp_dir, "bj_dim")
+    fact.write.mode("overwrite").parquet(fact_path)
+    dim.write.mode("overwrite").parquet(dim_path)
+
+    t0 = time.perf_counter()
+    write_bucketed(fact, "bj_fact_b", ["k"], n_buckets=n_buckets)
+    write_bucketed(dim, "bj_dim_b", ["dk"], n_buckets=n_buckets)
+    bucketed_write_ms = (time.perf_counter() - t0) * 1000
+
+    def timed_agg(build_joined) -> float:
+        build_joined().agg(F.sum("v").alias("sv"), F.count("*").alias("n")).collect()
+        walls = []
+        for _ in range(3):
+            agg = build_joined().agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+            t = time.perf_counter()
+            rows = agg.collect()
+            walls.append((time.perf_counter() - t) * 1000)
+            assert rows[0]["n"] == n_fact
+        return sorted(walls)[1]
+
+    def plan_exchanges(df) -> int:
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        return df._jdf.queryExecution().explainString(mode).count("Exchange")
+
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def plain():
+            f = spark.read.parquet(fact_path)
+            d = spark.read.parquet(dim_path)
+            return f.join(d, f.k == d.dk)
+
+        def bucketed():
+            return colocated_join(spark, "bj_fact_b", "bj_dim_b", "k", "dk")
+
+        plain_ms = timed_agg(plain)
+        bucketed_ms = timed_agg(bucketed)
+        n_exchanges_plain = plan_exchanges(plain())
+        n_exchanges_bucketed = plan_exchanges(bucketed())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.sql("DROP TABLE IF EXISTS bj_fact_b")
+        spark.sql("DROP TABLE IF EXISTS bj_dim_b")
+    # join-side exchanges only: the final 1-row agg contributes none on the
+    # bucketed plan and its partial/final pair is shared by both
+    return {
+        "n_fact": n_fact,
+        "n_dim": n_dim,
+        "n_buckets": n_buckets,
+        "plain_join_ms": round(plain_ms, 1),
+        "bucketed_join_ms": round(bucketed_ms, 1),
+        "bucketed_speedup_x": round(plain_ms / max(bucketed_ms, 1e-9), 2),
+        "bucketed_write_ms": round(bucketed_write_ms, 1),
+        "n_exchanges_plain": n_exchanges_plain,
+        "n_exchanges_bucketed": n_exchanges_bucketed,
+    }
+
+
 def run_all_suites(spark: SparkSession, sf_dir: str, tmp_dir: str, quick: bool = False) -> dict:
     """Run every suite; ``quick`` shrinks scale points for CI-speed runs."""
     dv_scales = (1_000, 10_000) if quick else (1_000, 10_000, 25_000, 1_000_000, 100_000)
@@ -893,6 +979,9 @@ def run_all_suites(spark: SparkSession, sf_dir: str, tmp_dir: str, quick: bool =
         "single_file_commits": suite_single_file_commits(spark, sf_dir, tmp_dir),
         "stream_throughput": suite_stream_throughput(spark, sf_dir, tmp_dir),
         "skew_join": suite_skew_join(spark, n_rows=400_000 if quick else 4_000_000),
+        "bucketed_join": suite_bucketed_join(
+            spark, tmp_dir, n_fact=200_000 if quick else 2_000_000, n_dim=40_000 if quick else 400_000
+        ),
         "bloom_prune": suite_bloom_prune(spark, tmp_dir, n_rows=500_000 if quick else 5_000_000, n_files=4 if quick else 20),
         "adaptive_tree": suite_adaptive_tree(spark, tree_scales),
         "wide_table": suite_wide_table(spark, tmp_dir, n_cols=100 if quick else 500, n_files=10 if quick else 50),

@@ -1440,3 +1440,107 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 4)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (PMI)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # bigram support floor — PMI is unstable below this
+PMI_TOP_K = 50
+
+
+@register(
+    "q_pmi_bigrams",
+    oracle=rf"""
+        WITH words AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        ),
+        uni AS (SELECT unnest(ws) AS w FROM words),
+        n1 AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+        tot AS (SELECT count(*) AS n_tokens FROM uni),
+        bgs AS (
+          SELECT ws[i] || ' ' || ws[i+1] AS bg
+          FROM (SELECT ws, generate_subscripts(ws, 1) AS i FROM words)
+          WHERE i <= len(ws) - 1
+        ),
+        totb AS (SELECT count(*) AS n_bigrams FROM bgs),
+        nb AS (
+          SELECT bg, count(*) AS n_xy FROM bgs GROUP BY bg
+          HAVING count(*) >= {PMI_MIN_COUNT}
+        )
+        SELECT nb.bg   AS bigram,
+               nb.n_xy AS n_xy,
+               nx.n    AS n_x,
+               ny.n    AS n_y,
+               CAST(nb.n_xy AS DOUBLE) * t.n_tokens * t.n_tokens
+                 / (CAST(tb.n_bigrams AS DOUBLE) * nx.n * ny.n) AS pmi_ratio
+        FROM nb
+        JOIN n1 nx ON nx.w = string_split(nb.bg, ' ')[1]
+        JOIN n1 ny ON ny.w = string_split(nb.bg, ' ')[2]
+        CROSS JOIN tot t CROSS JOIN totb tb
+        ORDER BY pmi_ratio DESC, bigram ASC
+        LIMIT {PMI_TOP_K}
+        """,
+    tags=("text", "collocation", "corpus-analysis"),
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations: bigrams ranked by pointwise mutual information.
+
+    The corpus-analysis companion to q_heavy_hitters: instead of raw token
+    frequency, rank ADJACENT PAIRS by how much more often they co-occur
+    than their unigram frequencies predict — the standard collocation /
+    multi-word-expression detector run before tokenizer training. The
+    score is the PMI *ratio* p(xy)/(p(x)p(y)) rather than its log: the
+    ranking is identical (log is monotone) and the ratio needs only IEEE
+    multiply/divide, which both engines evaluate bit-identically, where
+    libm log implementations may differ in the last ulp.
+
+    Scale: both explodes are narrow (no shuffle until the counts); unigram
+    and bigram counts partial-aggregate map-side; the two count-lookup
+    joins shuffle on the word key, where token frequency skew ("the") is
+    exactly what AQE skew-join splitting handles; the scalar totals
+    broadcast; and the final top-k is TakeOrderedAndProject (per-partition
+    heaps + driver merge of K rows), never a global sort. The support
+    floor prunes the long tail before any join. Ties order by bigram text,
+    so the K-row result is deterministic on both engines.
+    """
+    d = _docs(spark, sf_dir)
+    w = d.select(F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    uni = w.select(F.explode("ws").alias("w"))
+    n1 = uni.groupBy("w").agg(F.count("*").alias("n"))
+    tot = uni.agg(F.count("*").alias("n_tokens"))
+    bgs = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")
+        ).alias("bg")
+    )
+    totb = bgs.agg(F.count("*").alias("n_bigrams"))
+    nb = bgs.groupBy("bg").agg(F.count("*").alias("n_xy")).filter(
+        F.col("n_xy") >= PMI_MIN_COUNT
+    )
+    nx = n1.select(F.col("w").alias("wx"), F.col("n").alias("n_x"))
+    ny = n1.select(F.col("w").alias("wy"), F.col("n").alias("n_y"))
+    ratio = (
+        F.col("n_xy").cast("double")
+        * F.col("n_tokens")
+        * F.col("n_tokens")
+        / (F.col("n_bigrams").cast("double") * F.col("n_x") * F.col("n_y"))
+    )
+    return (
+        nb.withColumn("wx", F.split(F.col("bg"), " ")[0])
+        .withColumn("wy", F.split(F.col("bg"), " ")[1])
+        .join(nx, "wx")
+        .join(ny, "wy")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(totb))
+        .select(
+            F.col("bg").alias("bigram"),
+            "n_xy",
+            "n_x",
+            "n_y",
+            ratio.alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), F.col("bigram").asc())
+        .limit(PMI_TOP_K)
+    )

@@ -104,6 +104,14 @@ def test_skew_join_plans_agree(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
+def test_bucketed_join_suite_is_exchange_free(spark, tmp_path):
+    from iceberg_benchmark_poc_spark.bench.suites import suite_bucketed_join
+
+    r = suite_bucketed_join(spark, str(tmp_path), n_fact=50_000, n_dim=5_000, n_buckets=4)
+    assert r["n_exchanges_bucketed"] == 0  # co-located: zero shuffles
+    assert r["n_exchanges_plain"] >= 2  # baseline shuffles both join sides
+
+
 def test_stream_throughput_processes_all_rows(spark, tmp_path):
     from iceberg_benchmark_poc_spark.bench.suites import suite_stream_throughput
 
