@@ -59,6 +59,42 @@ def test_fact_dim_joins_broadcast_and_push(spark):
     assert "BroadcastHashJoin" in plan_of(spark, "q_disjunct_revenue")
 
 
+def test_market_share_single_fact_shuffle(spark):
+    # Q8 shape: seven tables, but every dimension chain broadcasts — the only
+    # ShuffledHashJoin/SortMergeJoin allowed is lineitem<->orders
+    plan = plan_of(spark, "q_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5  # part, supplier, customer, 2x nation(+region)
+    big_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert big_joins <= 1, f"expected at most the fact-fact join to shuffle, got {big_joins}"
+    assert "p_type" in dict(scans(plan)).get("part", "")  # market filter pushed
+
+
+def test_order_count_dist_preaggregates_orders(spark):
+    # Q13 shape: orders must collapse to per-customer counts BEFORE the join —
+    # the join's output is customer-sized, never |orders|-sized
+    plan = plan_of(spark, "q_order_count_dist")
+    blocks = plan.split("HashAggregate")
+    # an aggregate appears below the join in the plan tree (orders pre-agg)
+    assert len(blocks) >= 3
+    # priority filter pushed down to a scan (scans() can mispair adjacent
+    # blocks when an earlier scan carries no PushedFilters line)
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_top_supplier_broadcasts_scalar_max(spark):
+    # Q15 shape: the 1-row max joins back by broadcast; no global sort
+    plan = plan_of(spark, "q_top_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "l_shipdate" in dict(scans(plan)).get("lineitem", "")  # quarter pushed
+
+
+def test_anomaly_broadcasts_moment_table(spark):
+    # the per-type moment table (5 rows) broadcasts back to the event scan
+    plan = plan_of(spark, "q_anomaly")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pricing_summary_partial_aggregates(spark):
     plan = plan_of(spark, "q_pricing_summary")
     # partial HashAggregate must appear below (before) the exchange
@@ -301,6 +337,9 @@ BNLJ_ALLOWED = {
     "q_dv_coalesce",     # scalar manifest-count bound
     "q_embed_topk",      # broadcast query set vs corpus (the exact baseline)
     "q_equidepth_hist",  # one-row decile-boundaries fold (9-element array)
+    "q_funnel",          # three 1-row stage counts combined by scalar cross join
+    "q_idle_customers",  # 1-row balance-threshold fold broadcast to customers
+    "q_pmi_bigrams",     # two 1-row corpus-total folds broadcast to the bigram set
     "q_tfidf_terms",     # one-row corpus-count fold (lazy N, no eager count())
     "q_ivf_topk",        # broadcast centroids (|cells| rows)
     "q_ngram_jaccard",   # broadcast sampled probe set
