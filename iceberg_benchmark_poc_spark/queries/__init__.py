@@ -13,6 +13,8 @@ Each module covers one band of SURVEY.md §2 (see COVERAGE.md for the full map):
   embeddings  — similarity search over embedding vectors
   multimodal  — binary payloads through Arrow-batched Pandas UDFs
   streamlike  — batch twins of the streaming window queries (§2.9)
+  sources     — CSV/JSONL/ORC source+sink round trips (fingerprint-gated)
+  behavior    — event-sequence analytics: funnel, retention, anomaly
 """
 
 from . import manifests  # noqa: F401
