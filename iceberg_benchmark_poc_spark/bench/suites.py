@@ -886,9 +886,10 @@ def suite_bucketed_join(
     """Bucketed co-located join vs plain shuffle join, measured.
 
     The pre-shuffled-layout story (core/layout.py): writing both tables
-    bucketed on the join key makes every later join between them exchange-
-    free — Spark reads matching buckets into the same tasks. tests/
-    test_layout.py asserts the plan property (zero Exchange); this suite
+    bucketed AND bucket-sorted on the join key makes every later join
+    between them exchange-free and sort-free — Spark reads matching buckets
+    into the same tasks and streams the merge off the sorted files. tests/
+    test_layout.py asserts the zero-Exchange plan property; this suite
     prices it. Broadcast is disabled so the baseline genuinely shuffles
     both sides (the dim here is the "too big to broadcast" middle class).
     The one-time bucketed-write cost is reported alongside: bucketing pays
@@ -911,9 +912,17 @@ def suite_bucketed_join(
     fact.write.mode("overwrite").parquet(fact_path)
     dim.write.mode("overwrite").parquet(dim_path)
 
+    # repartition ON the bucket key before writing: every task then holds
+    # exactly one bucket, so each bucket is ONE sorted file — which is what
+    # lets Spark elide the per-task sort as well as the exchange (a bucketed
+    # table whose buckets span many unsorted files still sort-merges).
     t0 = time.perf_counter()
-    write_bucketed(fact, "bj_fact_b", ["k"], n_buckets=n_buckets)
-    write_bucketed(dim, "bj_dim_b", ["dk"], n_buckets=n_buckets)
+    write_bucketed(
+        fact.repartition(n_buckets, "k"), "bj_fact_b", ["k"], n_buckets=n_buckets, sort_cols=["k"]
+    )
+    write_bucketed(
+        dim.repartition(n_buckets, "dk"), "bj_dim_b", ["dk"], n_buckets=n_buckets, sort_cols=["dk"]
+    )
     bucketed_write_ms = (time.perf_counter() - t0) * 1000
 
     def timed_agg(build_joined) -> float:

@@ -168,3 +168,50 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d.write.mode("overwrite").orc(path)
     back = spark.read.schema(_READ_SCHEMA).orc(path)
     return _roundtrip_agg(back)
+
+
+#: q_partitioned_sink's read-side partition predicate
+_PART_LANGS = ("en", "fr")
+
+
+@register(
+    "q_partitioned_sink",
+    oracle=f"""
+        SELECT lang,
+               count(*)                     AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum({hash60_sql("text")} % {PORTABLE_HASH_PRIME}) AS BIGINT)
+                                            AS text_hash_sum
+        FROM documents
+        WHERE lang IN {_PART_LANGS!r}
+        GROUP BY lang
+        """,
+    tags=("sink", "partitioning", "pruning"),
+)
+def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink + partition-pruned read-back.
+
+    The physical-layout half of partition filtering: documents are written
+    ``partitionBy(lang)`` (each language its own directory — the layout a
+    100 TB corpus store actually uses, so per-language jobs touch only
+    their slice), then read back with a two-language predicate that must
+    prune at the DIRECTORY level — visible as PartitionFilters in the scan
+    (plan-tested), with the non-selected languages' files never opened or
+    listed into tasks. The content fingerprint proves the partition
+    columns' values survive the write->encode-into-path->read-back round
+    trip (partition values live in directory names, not data pages, and
+    come back typed from partition discovery). Complements
+    q_partition_filter, which prunes on *modeled manifest* partition
+    stats; this one prunes on the real directory layout.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "docs_partitioned")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang").isin(*_PART_LANGS))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(hash60(F.col("text")) % PORTABLE_HASH_PRIME)
+        .cast("bigint")
+        .alias("text_hash_sum"),
+    )
