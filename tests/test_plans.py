@@ -95,6 +95,14 @@ def test_anomaly_broadcasts_moment_table(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_partitioned_sink_prunes_directories(spark):
+    # the read-back scan must carry the lang predicate as a PARTITION filter
+    # (directory-level pruning), not a data filter
+    plan = plan_of(spark, "q_partitioned_sink")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), f"no partition filter in scan: {plan[:400]}"
+
+
 def test_pricing_summary_partial_aggregates(spark):
     plan = plan_of(spark, "q_pricing_summary")
     # partial HashAggregate must appear below (before) the exchange
