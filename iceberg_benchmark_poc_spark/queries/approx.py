@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..core.fixtures import hash60, hash60_sql
 from ..core.io import load_table
 from ..core.registry import register
 from ..operators.skew import salted_count, salted_join
@@ -93,4 +94,110 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(q, 1).alias("price_q50"),
         F.element_at(q, 2).alias("price_q95"),
         F.element_at(q, 3).alias("price_q99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # lanes (independent hash rows)
+# buckets per lane — deliberately sized BELOW the fixture vocabulary (31
+# distinct tokens) so lane collisions actually happen and the one-sided
+# error bound is EXERCISED by the oracle comparison, not vacuously true; a
+# production sketch sizes width ~ e/epsilon (thousands+)
+CMS_WIDTH = 16
+CMS_TOP_K = 20
+
+
+@register(
+    "q_countmin_topk",
+    oracle=rf"""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+        ),
+        lanes AS (SELECT t, l.range AS lane FROM toks, range({CMS_DEPTH}) l),
+        sketch AS (
+          SELECT lane,
+                 {hash60_sql("CAST(lane AS VARCHAR) || ':' || t")} % {CMS_WIDTH} AS bucket,
+                 count(*) AS cnt
+          FROM lanes GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT t, count(*) AS exact_n FROM toks GROUP BY t
+          ORDER BY exact_n DESC, t ASC LIMIT {CMS_TOP_K}
+        )
+        SELECT top.t                          AS token,
+               top.exact_n                    AS exact_n,
+               min(s.cnt)                     AS cms_estimate,
+               min(s.cnt) - top.exact_n       AS overestimate
+        FROM top
+        CROSS JOIN range({CMS_DEPTH}) l
+        JOIN sketch s
+          ON s.lane = l.range
+         AND s.bucket = {hash60_sql("CAST(l.range AS VARCHAR) || ':' || top.t")} % {CMS_WIDTH}
+        GROUP BY top.t, top.exact_n
+        """,
+    tags=("approx", "sketch", "heavy-hitters"),
+)
+def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream, probed at the exact top-k.
+
+    The mergeable-sketch pattern HLL/quantile sketches (q_approx_stats)
+    don't show: a count-min sketch IS a DataFrame — (lane, bucket, cnt)
+    with depth x width rows — built by one groupBy whose map-side partials
+    are the per-partition sketches and whose shuffle merges them (sketch
+    merge = cell-wise add = the partial aggregation Spark already does).
+    The shuffle carries at most depth*width rows per partition regardless
+    of corpus size, the sketch broadcasts anywhere, and point queries are
+    min-over-lanes lookups. Unlike approx_percentile's engine-internal
+    sketch, every cell is a deterministic md5-lane count, so DuckDB builds
+    the bit-identical sketch and the driver hash-gates ALL of it — the
+    overestimate column (always >= 0, the CMS one-sided error bound) is
+    checked exactly, not just bounded.
+
+    The exact top-k probe set doubles as the accuracy baseline: estimates
+    for heavy tokens must equal-or-exceed their true counts, with the
+    overage showing real collision noise (width is sized below the fixture
+    vocabulary on purpose — see CMS_WIDTH).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"))
+    lanes = toks.select(
+        "t", F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("lane")
+    )
+    bucket = hash60(F.concat(F.col("lane").cast("string"), F.lit(":"), F.col("t"))) % CMS_WIDTH
+    sketch = (
+        lanes.select("lane", bucket.alias("bucket"))
+        .groupBy("lane", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("t").asc())
+        .limit(CMS_TOP_K)
+    )
+    probe = top.crossJoin(
+        F.broadcast(
+            spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("lane"))
+        )
+    ).select(
+        "t",
+        "exact_n",
+        "lane",
+        (hash60(F.concat(F.col("lane").cast("string"), F.lit(":"), F.col("t"))) % CMS_WIDTH).alias(
+            "bucket"
+        ),
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["lane", "bucket"])
+        .groupBy(F.col("t").alias("token"), "exact_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).alias("overestimate"),
+        )
     )

@@ -568,3 +568,17 @@ def test_exact_quantiles_matches_builtin_percentile(spark, values, pcts):
     pct_sql = ", ".join(repr(p) for p in pcts)
     builtin = df.agg(F.expr(f"percentile(v, array({pct_sql}))").alias("bs")).collect()[0]["bs"]
     assert ours == builtin, f"{values=} {pcts=} -> {ours} != {builtin}"
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS one-sided error bound through the registered query path: the
+    sketch estimate of every probed token must be >= its exact count (the
+    fixture-scale width forces real collisions, so this isn't vacuous)."""
+    from iceberg_benchmark_poc_spark.queries.approx import q_countmin_topk
+
+    from .conftest import SF_DIR
+
+    rows = q_countmin_topk(spark, SF_DIR).collect()
+    assert rows, "probe set empty"
+    assert all(r["cms_estimate"] >= r["exact_n"] for r in rows)
+    assert all(r["overestimate"] == r["cms_estimate"] - r["exact_n"] for r in rows)
