@@ -379,3 +379,144 @@ def q_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gate")
     )
+
+
+# ---------------------------------------------------------------------------
+# irregular time series: OHLC resampling + time-weighted average
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3600 * 1_000_000
+
+#: composite order key: epoch-micros * SCALE + event_id, a single scalar
+#: whose ordering equals lexicographic (ts, event_id). SCALE must exceed
+#: every event_id; 2^40 leaves ~10^12 ids and keeps the key under 2^101 —
+#: exact in DECIMAL(38,0) / HUGEINT on both engines (never double)
+ORDER_KEY_SCALE = 1 << 40
+
+
+@register(
+    "q_ohlc",
+    oracle=f"""
+        WITH e AS (
+          SELECT event_type,
+                 (epoch_ns(ts) // 1000) // {HOUR_US} AS hour_idx,
+                 CAST(epoch_ns(ts) // 1000 AS HUGEINT) * {ORDER_KEY_SCALE} + event_id
+                   AS ord_key,
+                 value
+          FROM events
+        )
+        SELECT event_type, hour_idx,
+               arg_min(value, ord_key) AS open,
+               max(value)              AS high,
+               min(value)              AS low,
+               arg_max(value, ord_key) AS close,
+               count(*)                AS n_events
+        FROM e
+        GROUP BY event_type, hour_idx
+        """,
+    tags=("temporal", "resample", "window"),
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resampling of the irregular event stream, per type.
+
+    The time-series downsampling primitive: open/close are ORDER-dependent
+    selections (first/last value in the bucket), high/low are plain
+    extremes. Open/close are min_by/max_by on a composite scalar key
+    (micros * 2^40 + event_id, exact in 128-bit integers) — the event_id
+    component makes the answer deterministic when two events share a
+    microsecond, exactly where arg_min on timestamp alone diverges between
+    engines. Scale: this is ONE hash aggregation with map-side partials —
+    no window, no sort — so a pathologically hot (type, hour) bucket costs
+    a partial-aggregate cell, not a million-row sorted partition; values
+    are selected, never summed, so doubles compare exactly.
+    """
+    from ..core.io import epoch_micros
+
+    e = load_table(spark, sf_dir, "events")
+    em = epoch_micros("ts")
+    hour = F.lit(HOUR_US)
+    base = e.select(
+        "event_type",
+        ((em - F.pmod(em, hour)) / hour).cast("bigint").alias("hour_idx"),
+        (em.cast("decimal(38,0)") * ORDER_KEY_SCALE + F.col("event_id")).alias("ord_key"),
+        "value",
+    )
+    return base.groupBy("event_type", "hour_idx").agg(
+        F.min_by("value", F.col("ord_key")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.col("ord_key")).alias("close"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH e AS (
+          SELECT event_type, user_id,
+                 CAST(floor(value * 100) AS BIGINT) AS cents,
+                 epoch_ns(ts) // 1000               AS em,
+                 event_id
+          FROM events
+        ),
+        held AS (
+          SELECT event_type, cents,
+                 lead(em) OVER (PARTITION BY event_type, user_id
+                                ORDER BY em ASC, event_id ASC) - em AS dt_us
+          FROM e
+        )
+        SELECT event_type,
+               CAST(sum(CAST(cents AS HUGEINT) * dt_us) AS DOUBLE)
+                 / CAST(sum(dt_us) AS DOUBLE) / 100.0 AS twa_value,
+               CAST(sum(dt_us) AS BIGINT)             AS observed_us,
+               count(*)                               AS n_events
+        FROM held
+        WHERE dt_us IS NOT NULL
+        GROUP BY event_type
+        """,
+    tags=("temporal", "window", "statistics"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (irregular sampling).
+
+    A plain avg() over-weights bursts; the time-weighted mean holds each
+    observation for the interval until the next one (step interpolation —
+    the standard irregular-series estimator) and weights by that holding
+    time. Holding intervals are computed per (type, user) stream — each
+    entity's own clock — and pooled per type. Exactness: value quantizes
+    to cents and every weight product folds through 128-bit integers
+    (DECIMAL(38,0) / HUGEINT), so the only float steps are two
+    exact-int->double casts and two IEEE divisions — no summation-order
+    dependence. The final sample of each stream has no successor and is
+    excluded (dt NULL), matching on both engines. Scale: the lead window
+    partitions on the HIGH-CARDINALITY (type, user) pair — never on the
+    5-value type alone, which would funnel billions of rows through five
+    sorted partitions — and the per-type weighted sums partial-aggregate.
+    """
+    from pyspark.sql import Window
+
+    from ..core.io import epoch_micros
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        epoch_micros("ts").alias("em"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        F.col("em").asc(), F.col("event_id").asc()
+    )
+    held = e.select(
+        "event_type", "cents", (F.lead("em").over(w) - F.col("em")).alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    return held.groupBy("event_type").agg(
+        (
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dt_us")).cast("double")
+            / F.sum("dt_us").cast("double")
+            / F.lit(100.0)
+        ).alias("twa_value"),
+        F.sum("dt_us").cast("bigint").alias("observed_us"),
+        F.count("*").alias("n_events"),
+    )
