@@ -348,6 +348,7 @@ BNLJ_ALLOWED = {
     "q_funnel",          # three 1-row stage counts combined by scalar cross join
     "q_idle_customers",  # 1-row balance-threshold fold broadcast to customers
     "q_pmi_bigrams",     # two 1-row corpus-total folds broadcast to the bigram set
+    "q_countmin_topk",   # k-row probe set crossed with the D-row lane table (<=K*D rows)
     "q_tfidf_terms",     # one-row corpus-count fold (lazy N, no eager count())
     "q_ivf_topk",        # broadcast centroids (|cells| rows)
     "q_ngram_jaccard",   # broadcast sampled probe set
