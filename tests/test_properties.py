@@ -582,3 +582,38 @@ def test_countmin_never_underestimates(spark):
     assert rows, "probe set empty"
     assert all(r["cms_estimate"] >= r["exact_n"] for r in rows)
     assert all(r["overestimate"] == r["cms_estimate"] - r["exact_n"] for r in rows)
+
+
+def test_funnel_is_monotone(spark):
+    """Each funnel stage can only lose users (ordered, windowed stages)."""
+    from iceberg_benchmark_poc_spark.queries.behavior import q_funnel
+
+    from .conftest import SF_DIR
+
+    r = q_funnel(spark, SF_DIR).collect()[0]
+    assert r["n_viewed"] >= r["n_clicked"] >= r["n_purchased"] >= 0
+
+
+def test_time_weighted_avg_within_value_range(spark):
+    """The TWA is a convex combination of observed values: for every event
+    type it must lie within [min, max] of that type's (cent-quantized)
+    values, and the observed span must be positive."""
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_poc_spark.core.io import load_table
+    from iceberg_benchmark_poc_spark.queries.temporal import q_time_weighted_avg
+
+    from .conftest import SF_DIR
+
+    bounds = {
+        r["event_type"]: r
+        for r in load_table(spark, SF_DIR, "events")
+        .select("event_type", (F.floor(F.col("value") * 100) / 100).alias("v"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    for r in q_time_weighted_avg(spark, SF_DIR).collect():
+        b = bounds[r["event_type"]]
+        assert b["lo"] <= r["twa_value"] <= b["hi"], r
+        assert r["observed_us"] > 0
