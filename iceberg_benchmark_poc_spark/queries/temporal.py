@@ -520,3 +520,47 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dt_us").cast("bigint").alias("observed_us"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "q_cube",
+    oracle="""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+                                             AS gid,
+               count(*)                      AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+    tags=("agg", "cube", "grouping-sets"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE with grouping_id: all four grouping sets in one pass.
+
+    Completes the grouping-set family next to q_rollup's hierarchy: CUBE
+    emits (flag, status), (flag), (status), and () — the cross-tab
+    marginals BI tools ask for — and grouping_id() disambiguates a real
+    NULL group key from a rollup placeholder (both engines number the bits
+    identically: first grouping column = high bit). Scale: Spark expands
+    the input 4x logically but partial-aggregates each set map-side, so
+    the shuffle carries |distinct(flag)| x |distinct(status)| x 4 rows,
+    not data volume. Quantity folds through DECIMAL as usual.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid_raw"),
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            F.col("gid_raw").cast("bigint").alias("gid"),
+            "n_items",
+            "sum_qty",
+        )
+    )
