@@ -109,6 +109,22 @@ CMS_DEPTH = 4  # lanes (independent hash rows)
 CMS_WIDTH = 16
 CMS_TOP_K = 20
 
+#: modulus of the affine lane-hash family (same prime as the minhash family
+#: in operators/text.py — both draw pairwise-independent hashes from one
+#: base md5 value instead of paying one md5 per lane)
+CMS_PRIME = 1_000_000_007
+
+
+def _cms_bucket(lane, h):
+    """Lane bucket from the shared base hash: ((2*lane+3)*h + 5*lane+7) mod P mod W.
+
+    One md5 per TOKEN, not per (token, lane): the per-lane hashes are an
+    affine pairwise-independent family over the base value — the standard
+    CMS construction, and 4x less hashing on the hot path. Coefficients are
+    literals on both engines, so the sketches stay bit-identical.
+    """
+    return ((lane * 2 + 3) * h + (lane * 5 + 7)) % CMS_PRIME % CMS_WIDTH
+
 
 @register(
     "q_countmin_topk",
@@ -116,15 +132,17 @@ CMS_TOP_K = 20
         WITH toks AS (
           SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
         ),
-        lanes AS (SELECT t, l.range AS lane FROM toks, range({CMS_DEPTH}) l),
+        hashed AS (SELECT t, {hash60_sql("t")} % {CMS_PRIME} AS h FROM toks),
+        lanes AS (SELECT h, l.range AS lane FROM hashed, range({CMS_DEPTH}) l),
         sketch AS (
           SELECT lane,
-                 {hash60_sql("CAST(lane AS VARCHAR) || ':' || t")} % {CMS_WIDTH} AS bucket,
+                 ((lane * 2 + 3) * h + (lane * 5 + 7)) % {CMS_PRIME} % {CMS_WIDTH} AS bucket,
                  count(*) AS cnt
           FROM lanes GROUP BY 1, 2
         ),
         top AS (
-          SELECT t, count(*) AS exact_n FROM toks GROUP BY t
+          SELECT t, count(*) AS exact_n, min({hash60_sql("t")} % {CMS_PRIME}) AS h
+          FROM toks GROUP BY t
           ORDER BY exact_n DESC, t ASC LIMIT {CMS_TOP_K}
         )
         SELECT top.t                          AS token,
@@ -135,7 +153,7 @@ CMS_TOP_K = 20
         CROSS JOIN range({CMS_DEPTH}) l
         JOIN sketch s
           ON s.lane = l.range
-         AND s.bucket = {hash60_sql("CAST(l.range AS VARCHAR) || ':' || top.t")} % {CMS_WIDTH}
+         AND s.bucket = ((l.range * 2 + 3) * top.h + (l.range * 5 + 7)) % {CMS_PRIME} % {CMS_WIDTH}
         GROUP BY top.t, top.exact_n
         """,
     tags=("approx", "sketch", "heavy-hitters"),
@@ -159,22 +177,28 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact top-k probe set doubles as the accuracy baseline: estimates
     for heavy tokens must equal-or-exceed their true counts, with the
     overage showing real collision noise (width is sized below the fixture
-    vocabulary on purpose — see CMS_WIDTH).
+    vocabulary on purpose — see CMS_WIDTH). Hashing cost is one md5 per
+    token; the per-lane buckets derive from that base value through an
+    affine pairwise-independent family (_cms_bucket).
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"))
-    lanes = toks.select(
-        "t", F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("lane")
+    hashed = toks.select((hash60(F.col("t")) % CMS_PRIME).alias("h"))
+    lanes = hashed.select(
+        "h", F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("lane")
     )
-    bucket = hash60(F.concat(F.col("lane").cast("string"), F.lit(":"), F.col("t"))) % CMS_WIDTH
+    lane_bucket = _cms_bucket(F.col("lane"), F.col("h"))
     sketch = (
-        lanes.select("lane", bucket.alias("bucket"))
+        lanes.select("lane", lane_bucket.alias("bucket"))
         .groupBy("lane", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
     top = (
         toks.groupBy("t")
-        .agg(F.count("*").alias("exact_n"))
+        .agg(
+            F.count("*").alias("exact_n"),
+            F.min(hash60(F.col("t")) % CMS_PRIME).alias("h"),
+        )
         .orderBy(F.col("exact_n").desc(), F.col("t").asc())
         .limit(CMS_TOP_K)
     )
@@ -186,9 +210,7 @@ def q_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "exact_n",
         "lane",
-        (hash60(F.concat(F.col("lane").cast("string"), F.lit(":"), F.col("t"))) % CMS_WIDTH).alias(
-            "bucket"
-        ),
+        _cms_bucket(F.col("lane"), F.col("h")).alias("bucket"),
     )
     return (
         probe.join(F.broadcast(sketch), ["lane", "bucket"])
