@@ -1510,7 +1510,10 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = w.select(F.explode("ws").alias("w"))
     n1 = uni.groupBy("w").agg(F.count("*").alias("n"))
     tot = uni.agg(F.count("*").alias("n_tokens"))
-    bgs = w.select(
+    # docs with < 2 tokens contribute no bigrams; without this guard
+    # sequence(1, 0) DESCENDS to [1, 0] and ws[1] on a 1-element array
+    # aborts the job under ANSI mode (nulls would skew n_bigrams without it)
+    bgs = w.filter(F.size("ws") >= 2).select(
         F.explode(
             F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")
         ).alias("bg")

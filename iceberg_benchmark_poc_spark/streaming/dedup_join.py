@@ -104,7 +104,6 @@ def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
     dims = customers.select(
         F.col("c_custkey").alias("cust_id"),
         "c_mktsegment",
-        F.col("c_acctbal").alias("acctbal"),
     )
     joined = events.join(F.broadcast(dims), events.user_id == dims.cust_id)
     return joined.groupBy("c_mktsegment", "event_type").agg(

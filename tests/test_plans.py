@@ -71,13 +71,17 @@ def test_market_share_single_fact_shuffle(spark):
 
 def test_order_count_dist_preaggregates_orders(spark):
     # Q13 shape: orders must collapse to per-customer counts BEFORE the join —
-    # the join's output is customer-sized, never |orders|-sized
-    plan = plan_of(spark, "q_order_count_dist")
-    blocks = plan.split("HashAggregate")
-    # an aggregate appears below the join in the plan tree (orders pre-agg)
-    assert len(blocks) >= 3
+    # the join's output is customer-sized, never |orders|-sized. In the
+    # optimized logical tree the pre-aggregate prints BELOW the join; the
+    # naive join-then-count form has no Aggregate under the Join at all.
+    df = all_queries()["q_order_count_dist"].fn(spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    head, sep, below_join = logical.partition("Join")
+    assert sep, f"no join in plan:\n{logical}"
+    assert "Aggregate" in below_join, f"orders not pre-aggregated below the join:\n{logical}"
     # priority filter pushed down to a scan (scans() can mispair adjacent
     # blocks when an earlier scan carries no PushedFilters line)
+    plan = plan_of(spark, "q_order_count_dist")
     assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
 
 

@@ -617,3 +617,26 @@ def test_time_weighted_avg_within_value_range(spark):
         b = bounds[r["event_type"]]
         assert b["lo"] <= r["twa_value"] <= b["hi"], r
         assert r["observed_us"] > 0
+
+
+def test_pmi_bigrams_survive_single_token_docs(spark, tmp_path):
+    """Regression: a document that trims/splits to ONE token must contribute
+    zero bigrams — not an ANSI INVALID_ARRAY_INDEX abort (sequence(1, 0)
+    descends) nor null bigrams inflating n_bigrams."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_benchmark_poc_spark.queries.textpipe import q_pmi_bigrams
+
+    from .conftest import SF_DIR
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    patched = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 7 == 0, F.lit("  solo  ")).otherwise(F.col("text"))
+    )
+    sf = str(tmp_path / "sf_single")
+    os.makedirs(sf)
+    patched.write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = q_pmi_bigrams(spark, sf).collect()  # must not raise
+    assert all(" " in r["bigram"] for r in rows)  # every bigram is a real pair
