@@ -215,3 +215,61 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("text_hash_sum"),
     )
+
+
+#: deterministic corruption: every doc whose id hits this residue is written
+#: as a torn JSON line (truncated object) — the crash-mid-write / bad
+#: producer case every at-scale ingest absorbs
+_BAD_MOD = 37
+
+
+@register(
+    "q_jsonl_badrecords",
+    oracle=f"""
+        SELECT coalesce(CASE WHEN doc_id % {_BAD_MOD} = 0 THEN '__corrupt__' END, lang)
+                 AS lang,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN doc_id % {_BAD_MOD} = 0 THEN 0 ELSE n_chars END)
+                    AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY 1
+        """,
+    tags=("source", "jsonl", "bad-records"),
+)
+def q_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSONL ingest: quarantine torn lines, keep the rest.
+
+    At 100 TB some producer always ships torn JSON (crashed mid-write,
+    encoding bug); an ingest that aborts on the first bad line (FAILFAST)
+    or silently drops them (DROPMALFORMED) is operationally wrong at that
+    scale. This is the PERMISSIVE path: bad lines surface as rows with
+    only ``_corrupt_record`` populated — they quarantine into their own
+    '__corrupt__' bucket and every well-formed line still parses. The
+    fixture writes a deterministically-torn line for every doc_id
+    divisible by {_BAD_MOD}, so the oracle knows exactly which rows must
+    land in quarantine; matching counts + char sums prove no bad line
+    was dropped and no good line was misparsed. Scale: the corrupt-path
+    check is per-line in the same single-pass scan — no second read.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bad = F.col("doc_id") % _BAD_MOD == 0
+    line = F.when(
+        bad,
+        # torn object: opener + id, no closer — malformed for any parser
+        F.concat(F.lit('{"doc_id":'), F.col("doc_id").cast("string"), F.lit(', "lang"')),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+    path = _scratch(sf_dir, "docs_jsonl_bad")
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.schema(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT, _corrupt_record STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    return back.groupBy(
+        F.coalesce(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__")), F.col("lang")
+        ).alias("lang")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("bigint").alias("sum_chars"),
+    )
