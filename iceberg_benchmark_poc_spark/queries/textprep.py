@@ -453,3 +453,92 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bloom_maybe") & ~F.col("is_present")).alias("is_false_positive"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate stripping (segment-level dedup)
+# ---------------------------------------------------------------------------
+
+SEG_WORDS = 10  # segment granularity (stand-in for lines; fixture text has none)
+BOILER_DOCS = 2  # a segment appearing in >= this many distinct docs is boilerplate
+
+
+@register(
+    "q_boilerplate_strip",
+    oracle=rf"""
+        WITH segs AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS idx,
+                 array_to_string(ws[(i * {SEG_WORDS} + 1):((i + 1) * {SEG_WORDS})], ' ') AS seg
+          FROM (
+            SELECT doc_id, ws,
+                   unnest(range(CAST(ceil(len(ws) / {SEG_WORDS}.0) AS BIGINT))) AS i
+            FROM (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+            )
+          )
+        ),
+        freq AS (
+          SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg
+        ),
+        marked AS (
+          SELECT g.doc_id, g.idx, g.seg, f.n_docs >= {BOILER_DOCS} AS boiler
+          FROM segs g JOIN freq f ON f.seg = g.seg
+        )
+        SELECT doc_id,
+               count(*)                                        AS n_segs,
+               CAST(count(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
+               CAST(coalesce(sum(CASE WHEN NOT boiler THEN
+                 (('0x' || substr(md5(seg), 1, 15))::BIGINT) % 1000000007 END), 0)
+                 AS BIGINT)                                    AS kept_hash_sum
+        FROM marked
+        GROUP BY doc_id
+        """,
+    tags=("text", "dedup", "boilerplate"),
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal: drop segments shared across docs.
+
+    The CCNet/RefinedWeb-style pass that document-level dedup misses:
+    headers, footers, and licence blocks repeat across otherwise-distinct
+    pages. Here each document splits into fixed 10-word segments (the
+    fixture has no newlines; real corpora use physical lines) and any
+    segment appearing in >= 2 DISTINCT documents is stripped everywhere.
+    The per-doc output keeps a position-weighted content fingerprint of the
+    surviving segments, so the oracle match proves the exact same segments
+    survived on both engines.
+
+    Scale: segmentation is a narrow explode; the frequency pass is one
+    hash-group on the segment text with map-side partial distinct-counts;
+    the mark-back join shuffles on the segment key, where the very
+    boilerplate being hunted is the hot key — AQE skew splitting's natural
+    territory; the per-doc rollup shuffles doc-sized rows once.
+    """
+    from ..core.fixtures import hash60
+    from ..operators.text import PORTABLE_HASH_PRIME
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    segs = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(ws) / {SEG_WORDS}.0) AS INT) - 1),"
+                    f" i -> struct(CAST(i AS BIGINT) AS idx,"
+                    f" array_join(slice(ws, i * {SEG_WORDS} + 1, {SEG_WORDS}), ' ') AS seg))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.idx").alias("idx"), F.col("s.seg").alias("seg"))
+    )
+    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("n_docs"))
+    marked = segs.join(freq, "seg").select(
+        "doc_id", "idx", "seg", (F.col("n_docs") >= BOILER_DOCS).alias("boiler")
+    )
+    kept_hash = F.when(~F.col("boiler"), hash60(F.col("seg")) % PORTABLE_HASH_PRIME)
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(~F.col("boiler"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.sum(kept_hash), F.lit(0)).cast("bigint").alias("kept_hash_sum"),
+    )
