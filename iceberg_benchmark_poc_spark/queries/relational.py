@@ -14,14 +14,49 @@ from ..core.io import load_table
 from ..core.registry import register
 
 
+
+
+# ---------------------------------------------------------------------------
+# exact fixed-point revenue folds
+# ---------------------------------------------------------------------------
+
+#: price carries 2 decimal digits and discount 2, so price*(1-discount) is
+#: mathematically exact at 4 decimal places. Folding floor(product * 1e4)
+#: through 128-bit integers keeps every sum exact AND keeps the summed
+#: integer below 2^53 through ~SF 100, so the single int->double conversion
+#: at the end is EXACT on both engines. The previous DECIMAL(38,10) fold
+#: broke at sf0.1: its 18-significant-digit sums exceeded double's exact
+#: range and the engines' decimal->double conversions round differently
+#: (DuckDB double-rounds int128 / 10^10; Spark's BigDecimal.doubleValue is
+#: correctly rounded), flipping the last ulp of the output.
+REV_SCALE = 10_000
+
+
+def _rev_fp():
+    """floor(l_extendedprice * (1 - l_discount) * REV_SCALE), exact integer."""
+    prod = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return F.floor(prod * REV_SCALE).cast("decimal(38,0)")
+
+
+def _rev_fp_sql(q: str = "") -> str:
+    return f"CAST(floor({q}l_extendedprice * (1 - {q}l_discount) * {REV_SCALE}) AS HUGEINT)"
+
+
+def _rev_sum():
+    return F.sum(_rev_fp()).cast("double") / REV_SCALE
+
+
+def _rev_sum_sql(q: str = "") -> str:
+    return f"CAST(sum({_rev_fp_sql(q)}) AS DOUBLE) / {REV_SCALE}.0"
+
+
 @register(
     "q_pricing_summary",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)       AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)  AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)
-                                                                            AS sum_disc_price,
+               {_rev_sum_sql()}                                             AS sum_disc_price,
                CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
                count(*)                                                     AS count_order
         FROM lineitem
@@ -38,14 +73,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal folds keep the float sums order-independent (engine parity rule).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+
     return (
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
             F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            _rev_sum().alias("sum_disc_price"),
             (F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
@@ -54,10 +89,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_star_join",
-    oracle="""
+    oracle=f"""
         SELECT r.r_name AS region, n.n_name AS nation,
-               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE)
-                                                             AS revenue,
+               {_rev_sum_sql("l.")}                          AS revenue,
                count(*)                                      AS n_lineitems
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -93,9 +127,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation")).agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)"))
-        .cast("double")
-        .alias("revenue"),
+        _rev_sum().alias("revenue"),
         F.count("*").alias("n_lineitems"),
     )
 
@@ -144,12 +176,11 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ship_priority",
-    oracle="""
+    oracle=f"""
         SELECT l_orderkey, revenue, order_date, o_orderpriority
         FROM (
           SELECT l.l_orderkey,
-                 CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE)
-                                                 AS revenue,
+                 {_rev_sum_sql("l.")}            AS revenue,
                  CAST(o.o_orderdate AS DATE)     AS order_date,
                  o.o_orderpriority
           FROM customer c
@@ -186,11 +217,7 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate").alias("order_date"),
             "o_orderpriority",
         )
-        .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)"))
-            .cast("double")
-            .alias("revenue")
-        )
+        .agg(_rev_sum().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
@@ -199,10 +226,9 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_local_volume",
-    oracle="""
+    oracle=f"""
         SELECT n.n_name AS nation,
-               CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10))) AS DOUBLE)
-                                               AS revenue,
+               {_rev_sum_sql("l.")}            AS revenue,
                count(*)                        AS n_lineitems
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -246,9 +272,7 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)"))
-            .cast("double")
-            .alias("revenue"),
+            _rev_sum().alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -361,12 +385,11 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_promo_revenue",
-    oracle="""
+    oracle=f"""
         SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))
-                 ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE)  AS promo_revenue,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)
-                                                                 AS total_revenue,
+                 THEN {_rev_fp_sql()}
+                 ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) / {REV_SCALE}.0 AS promo_revenue,
+               {_rev_sum_sql()}                                  AS total_revenue,
                count(*)                                          AS n_items
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
@@ -389,18 +412,16 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.to_date("l_shipdate") < F.lit("1997-10-01"))
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(38,0)")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.sum(
-                F.when(F.col("p_type") == "PROMO", rev.cast("decimal(38,10)")).otherwise(
-                    F.lit(0).cast("decimal(38,10)")
-                )
-            )
-            .cast("double")
-            .alias("promo_revenue"),
-            F.sum(rev.cast("decimal(38,10)")).cast("double").alias("total_revenue"),
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", _rev_fp()).otherwise(zero))
+                .cast("double")
+                / REV_SCALE
+            ).alias("promo_revenue"),
+            _rev_sum().alias("total_revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -424,8 +445,7 @@ _Q19_SQL_PRED = " OR ".join(
     "q_disjunct_revenue",
     oracle=f"""
         SELECT count(*) AS n_items,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)
-                 AS revenue
+               {_rev_sum_sql()} AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE {_Q19_SQL_PRED}
         """,
@@ -452,20 +472,18 @@ def q_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(q0, q1)
         )
         pred = branch if pred is None else (pred | branch)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return joined.filter(pred).agg(
         F.count("*").alias("n_items"),
-        F.sum(rev.cast("decimal(38,10)")).cast("double").alias("revenue"),
+        _rev_sum().alias("revenue"),
     )
 
 
 @register(
     "q_returned_revenue",
-    oracle="""
+    oracle=f"""
         SELECT c_custkey,
                count(*) AS n_items,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE)
-                 AS lost_revenue
+               {_rev_sum_sql()} AS lost_revenue
         FROM lineitem
         JOIN orders   ON o_orderkey = l_orderkey
         JOIN customer ON c_custkey = o_custkey
@@ -496,14 +514,13 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(rev.cast("decimal(38,10)")).cast("double").alias("lost_revenue"),
+            _rev_sum().alias("lost_revenue"),
         )
         .filter(F.col("n_items") >= 5)
     )
@@ -523,12 +540,12 @@ _Q7_NATIONS = ("NATION_3", "NATION_7")
     "q_nation_volume",
     oracle=f"""
         SELECT supp_nation, cust_nation, l_year,
-               CAST(sum(vol) AS DOUBLE) AS revenue,
+               CAST(sum(vol) AS DOUBLE) / {REV_SCALE}.0 AS revenue,
                count(*)                 AS n_items
         FROM (
           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
-                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10)) AS vol
+                 {_rev_fp_sql("l.")} AS vol
           FROM lineitem l
           JOIN supplier s ON s.s_suppkey = l.l_suppkey
           JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -565,7 +582,6 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = ((F.col("supp_nation") == a) & (F.col("cust_nation") == b)) | (
         (F.col("supp_nation") == b) & (F.col("cust_nation") == a)
     )
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -574,7 +590,7 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(vol).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .agg(_rev_sum().alias("revenue"), F.count("*").alias("n_items"))
     )
 
 
@@ -591,11 +607,12 @@ _Q8_PTYPE = "ECONOMY"
     oracle=f"""
         SELECT o_year,
                CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}' THEN vol
-                             ELSE CAST(0 AS DECIMAL(38,10)) END) AS DOUBLE) AS nation_volume,
-               CAST(sum(vol) AS DOUBLE)                                     AS total_volume
+                             ELSE CAST(0 AS HUGEINT) END) AS DOUBLE) / {REV_SCALE}.0
+                 AS nation_volume,
+               CAST(sum(vol) AS DOUBLE) / {REV_SCALE}.0 AS total_volume
         FROM (
           SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,10)) AS vol,
+                 {_rev_fp_sql("l.")} AS vol,
                  ns.n_name AS supp_nation
           FROM lineitem l
           JOIN part p     ON p.p_partkey = l.l_partkey
@@ -641,8 +658,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_nationkey").alias("cn_key"))
     )
     ns = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
-    zero = F.lit(0).cast("decimal(38,10)")
+    zero = F.lit(0).cast("decimal(38,0)")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -652,10 +668,12 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.sum(F.when(F.col("supp_nation") == _Q8_NATION, vol).otherwise(zero))
-            .cast("double")
-            .alias("nation_volume"),
-            F.sum(vol).cast("double").alias("total_volume"),
+            (
+                F.sum(F.when(F.col("supp_nation") == _Q8_NATION, _rev_fp()).otherwise(zero))
+                .cast("double")
+                / REV_SCALE
+            ).alias("nation_volume"),
+            _rev_sum().alias("total_volume"),
         )
     )
 
@@ -712,17 +730,17 @@ _Q15_START, _Q15_END = "1997-07-01", "1997-10-01"
     oracle=f"""
         WITH rev AS (
           SELECT l_suppkey AS supplier_no,
-                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS rev_dec
+                 sum({_rev_fp_sql()}) AS rev_fp
           FROM lineitem
           WHERE CAST(l_shipdate AS DATE) >= DATE '{_Q15_START}'
             AND CAST(l_shipdate AS DATE) <  DATE '{_Q15_END}'
           GROUP BY l_suppkey
         )
         SELECT s.s_suppkey, s.s_name,
-               CAST(r.rev_dec AS DOUBLE) AS total_revenue
+               CAST(r.rev_fp AS DOUBLE) / {REV_SCALE}.0 AS total_revenue
         FROM supplier s
         JOIN rev r ON r.supplier_no = s.s_suppkey
-        WHERE r.rev_dec = (SELECT max(rev_dec) FROM rev)
+        WHERE r.rev_fp = (SELECT max(rev_fp) FROM rev)
         """,
     tags=("join", "subquery", "tpch-q15"),
 )
@@ -734,24 +752,26 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the suppliers attaining it (ALL of them, on a tie). Scale: the
     quarter filter pushes to the lineitem scan, per-suppkey revenue
     partial-aggregates map-side, and the 1-row max joins back by broadcast —
-    the equality is tested on the DECIMAL fold, not the double projection,
-    so a tie can't be split by float rounding. supplier broadcasts.
+    the equality is tested on the exact fixed-point fold, not the double
+    projection, so a tie can't be split by float rounding. supplier broadcasts.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.to_date("l_shipdate") >= F.lit(_Q15_START))
         & (F.to_date("l_shipdate") < F.lit(_Q15_END))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")).alias(
-            "rev_dec"
-        )
+        F.sum(_rev_fp()).alias("rev_fp")
     )
-    max_rev = rev.agg(F.max("rev_dec").alias("max_rev"))
+    max_rev = rev.agg(F.max("rev_fp").alias("max_rev"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(max_rev), rev.rev_dec == max_rev.max_rev)
+        rev.join(F.broadcast(max_rev), rev.rev_fp == max_rev.max_rev)
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_fp").cast("double") / REV_SCALE).alias("total_revenue"),
+        )
     )
 
 
