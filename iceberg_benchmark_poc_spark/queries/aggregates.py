@@ -384,7 +384,7 @@ IVM_DELETE_MOD = 20  # o_orderkey % 20 == 2 rows are retracted by the delta
     oracle=f"""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
         FROM orders
         WHERE o_orderkey % {IVM_DELETE_MOD} <> 2
         GROUP BY 1
@@ -407,7 +407,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves merge == recompute.
     """
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("decimal(38,6)").alias("price")
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("decimal(38,2)").alias("price")
     )
     key = F.col("o_orderkey")
     # the base view CONTAINS the rows the delta will retract (that's what
@@ -436,8 +436,8 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             (F.coalesce("n_orders", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_orders"),
             (
-                F.coalesce(F.col("sum_price"), F.lit(0).cast("decimal(38,6)"))
-                + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(38,6)"))
+                F.coalesce(F.col("sum_price"), F.lit(0).cast("decimal(38,2)"))
+                + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(38,2)"))
             ).alias("sum_price"),
         )
         .filter(F.col("n_orders") > 0)

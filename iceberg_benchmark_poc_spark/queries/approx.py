@@ -44,7 +44,7 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p_brand,
                count(*) AS n_items,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS brand_revenue
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS brand_revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         GROUP BY p_brand
         """,
@@ -68,7 +68,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, p, "l_partkey", F.col("l_orderkey"), n_salts=8)
     return joined.groupBy("p_brand").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("brand_revenue"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double").alias("brand_revenue"),
     )
 
 

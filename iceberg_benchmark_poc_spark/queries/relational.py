@@ -31,6 +31,12 @@ from ..core.registry import register
 #: correctly rounded), flipping the last ulp of the output.
 REV_SCALE = 10_000
 
+#: the same magnitude rule governs every other fold in this module: integral
+#: quantities fold at DECIMAL(38,0) and 2-dp prices/balances at DECIMAL(38,2)
+#: — the smallest scale that loses nothing — so the summed numerator stays
+#: inside double's exact 2^53 range orders of magnitude longer than the old
+#: blanket (38,6) (which would hit the cross-engine conversion ulp at ~SF 2).
+
 
 def _rev_fp():
     """floor(l_extendedprice * (1 - l_discount) * REV_SCALE), exact integer."""
@@ -54,10 +60,10 @@ def _rev_sum_sql(q: str = "") -> str:
     "q_pricing_summary",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)       AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)  AS sum_base_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE)       AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)  AS sum_base_price,
                {_rev_sum_sql()}                                             AS sum_disc_price,
-               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS avg_qty,
                count(*)                                                     AS count_order
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -78,10 +84,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double").alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(38,0)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double").alias("sum_base_price"),
             _rev_sum().alias("sum_disc_price"),
-            (F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(F.col("l_quantity").cast("decimal(38,0)")).cast("double") / F.count("*")).alias("avg_qty"),
             F.count("*").alias("count_order"),
         )
     )
@@ -138,10 +144,10 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_brand, p_partkey, p_name, total_qty
         FROM (
           SELECT p.p_brand, p.p_partkey, p.p_name,
-                 CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+                 CAST(sum(CAST(l.l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS total_qty,
                  row_number() OVER (
                    PARTITION BY p.p_brand
-                   ORDER BY CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) DESC, p.p_partkey
+                   ORDER BY CAST(sum(CAST(l.l_quantity AS DECIMAL(38,0))) AS DOUBLE) DESC, p.p_partkey
                  ) AS rk
           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
           GROUP BY p.p_brand, p.p_partkey, p.p_name
@@ -164,7 +170,7 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_partkey", "p_name")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("total_qty"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,0)")).cast("double").alias("total_qty"))
     )
     w = Window.partitionBy("p_brand").orderBy(F.col("total_qty").desc(), F.col("p_partkey"))
     return (
@@ -335,10 +341,10 @@ LARGE_ORDER_QTY = 180  # total-quantity threshold (TPC-H Q18 uses 300 at SF1)
     oracle=f"""
         WITH big AS (
           SELECT l_orderkey,
-                 CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+                 CAST(sum(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS total_qty
           FROM lineitem
           GROUP BY 1
-          HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > {LARGE_ORDER_QTY}
+          HAVING sum(CAST(l_quantity AS DECIMAL(38,0))) > {LARGE_ORDER_QTY}
         )
         SELECT c.c_custkey, o.o_orderkey,
                CAST(o.o_orderdate AS DATE) AS o_orderdate,
@@ -367,7 +373,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     big = (
         l.groupBy(F.col("l_orderkey"))
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_dec"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,0)")).alias("qty_dec"))
         .filter(F.col("qty_dec") > LARGE_ORDER_QTY)
         .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
     )
@@ -784,19 +790,19 @@ _Q17_BRAND = "Brand#1"
     oracle=f"""
         WITH pa AS (
           SELECT l_partkey,
-                 sum(CAST(l_quantity AS DECIMAL(38,6))) AS qty_sum,
+                 sum(CAST(l_quantity AS DECIMAL(38,0))) AS qty_sum,
                  count(*)                               AS qty_n
           FROM lineitem
           GROUP BY l_partkey
         )
-        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) / 7.0
                  AS avg_yearly,
                count(*) AS n_items
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN pa     ON pa.l_partkey = l.l_partkey
         WHERE p.p_brand = '{_Q17_BRAND}'
-          AND CAST(l.l_quantity AS DECIMAL(38,6)) * 5 * pa.qty_n < pa.qty_sum
+          AND CAST(l.l_quantity AS DECIMAL(38,0)) * 5 * pa.qty_n < pa.qty_sum
         """,
     tags=("join", "subquery", "tpch-q17"),
 )
@@ -822,16 +828,16 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("qty_sum"),
+        F.sum(F.col("l_quantity").cast("decimal(38,0)")).alias("qty_sum"),
         F.count("*").alias("qty_n"),
     )
     return (
         li.join(pa, F.col("l_partkey") == F.col("pa_partkey"))
         .filter(
-            F.col("l_quantity").cast("decimal(38,6)") * 5 * F.col("qty_n") < F.col("qty_sum")
+            F.col("l_quantity").cast("decimal(38,0)") * 5 * F.col("qty_n") < F.col("qty_sum")
         )
         .agg(
-            (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0).alias(
+            (F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double") / 7.0).alias(
                 "avg_yearly"
             ),
             F.count("*").alias("n_items"),
@@ -850,15 +856,15 @@ _Q22_CUTOFF = "2000-01-01"
     "q_idle_customers",
     oracle=f"""
         WITH pos AS (
-          SELECT sum(CAST(c_acctbal AS DECIMAL(38,6))) AS bal_sum,
+          SELECT sum(CAST(c_acctbal AS DECIMAL(38,2))) AS bal_sum,
                  count(*)                              AS bal_n
           FROM customer WHERE c_acctbal > 0
         )
         SELECT c_nationkey AS cntrycode,
                count(*)    AS numcust,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS totacctbal
         FROM customer c, pos
-        WHERE CAST(c.c_acctbal AS DECIMAL(38,6)) * pos.bal_n > pos.bal_sum
+        WHERE CAST(c.c_acctbal AS DECIMAL(38,2)) * pos.bal_n > pos.bal_sum
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND CAST(o.o_orderdate AS DATE) >= DATE '{_Q22_CUTOFF}')
@@ -884,7 +890,7 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (
         c.filter(F.col("c_acctbal") > 0)
         .agg(
-            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("bal_sum"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).alias("bal_sum"),
             F.count("*").alias("bal_n"),
         )
     )
@@ -896,11 +902,11 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.join(F.broadcast(pos))
-        .filter(F.col("c_acctbal").cast("decimal(38,6)") * F.col("bal_n") > F.col("bal_sum"))
+        .filter(F.col("c_acctbal").cast("decimal(38,2)") * F.col("bal_n") > F.col("bal_sum"))
         .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double").alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double").alias("totacctbal"),
         )
     )

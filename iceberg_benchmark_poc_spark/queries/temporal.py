@@ -530,7 +530,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
                                              AS gid,
                count(*)                      AS n_items,
-               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,0))) AS DOUBLE) AS sum_qty
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
@@ -554,7 +554,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid_raw"),
             F.count("*").alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(38,0)")).cast("double").alias("sum_qty"),
         )
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
