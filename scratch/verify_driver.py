@@ -5,6 +5,11 @@ value hash + arrow-level result types. Exit non-zero on any mismatch.
 Deliberately uses a BARE SparkSession (no engine confs) — the real driver
 builds its own session, and round 1 proved session-dependent behavior
 (events.parquet nanos handling) only surfaces under that condition.
+
+SPARK_GRAFT_VERIFY_SF overrides the scale (default 0.01 — the driver's
+gate). Run it at 0.1 periodically: that 10x sweep is what exposed the
+DECIMAL(38,10)->double conversion-ulp divergence in the revenue folds
+(round 3) that sf0.01 could not reach.
 """
 
 import importlib.util
@@ -36,7 +41,7 @@ n = len(mod.entry(spark).collect())
 assert n > 0, "t1 smoke: entry() returned no rows"
 print(f"t1 smoke OK ({n} rows)")
 
-SF = "/root/testdata/sf0.01"
+SF = f"/root/testdata/sf{os.environ.get('SPARK_GRAFT_VERIFY_SF', '0.01')}"
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
           "events", "documents", "embeddings"]:
