@@ -304,6 +304,15 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 3 bands scores once, not thrice. Bucket skew is AQE's skew-join
     case. Precision stays 1.0 by construction (exact verify); recall vs the
     brute-force pair set is measured in tests.
+
+    Tuning (N_HYPERPLANES bits x N_NEARDUP_BANDS bands): candidate noise is
+    ~bands * n^2 / 2^bits pairs, recall ~1-(1-s^bits)^bands with s the
+    per-bit agreement of a true dup. The fixture plants WEAK dups (cosine
+    0.35-0.5 -> s~0.63), where only small bands keep recall — 4 bits is
+    deliberate here and the verify volume is the price of a 0.35 threshold.
+    A production corpus whose near-dups sit at cosine >= 0.9 (s~0.92)
+    should raise to 12-16 bits x 6-10 bands: noise shrinks by ~2^10 while
+    recall stays >= 0.9 — same plan, two constants.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     feats = emb.select(
