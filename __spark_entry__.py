@@ -28,9 +28,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ extensions).
 
-    Ordered round-robin across operator families so a time-truncated sweep
-    still samples every family (round 1 stopped at 50/85 and left whole
-    families unverdicted).
+    Ordered by verification debt (never-green queries first, then stalest
+    greens, round-robined across operator families) so the driver's
+    wall-budget-truncated sweep converges to a recent green row for every
+    query — see core/registry.py:driver_ordered_queries.
     """
     return {name: q.fn for name, q in driver_ordered_queries().items()}
 
