@@ -640,3 +640,88 @@ def test_pmi_bigrams_survive_single_token_docs(spark, tmp_path):
     patched.write.parquet(os.path.join(sf, "documents.parquet"))
     rows = q_pmi_bigrams(spark, sf).collect()  # must not raise
     assert all(" " in r["bigram"] for r in rows)  # every bigram is a real pair
+
+
+# ---------------------------------------------------------------------------
+# funnel + OHLC vs brute-force python, through the registered parquet path
+# ---------------------------------------------------------------------------
+
+_EVENT_STRAT = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user_id
+        st.integers(0, 6000),  # minutes offset (spans > the 48h window)
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(-500, 500),  # value in half-units
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _events_parquet(spark, tmp_path_factory, events):
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=m), u, t, v / 2.0, "")
+        for i, (u, m, t, v) in enumerate(events)
+    ]
+    d = str(tmp_path_factory.mktemp("ev"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    return d, rows
+
+
+@given(events=_EVENT_STRAT)
+@settings(**SETTINGS)
+def test_funnel_matches_bruteforce(spark, tmp_path_factory, events):
+    """q_funnel == the per-user staged scan recomputed in plain Python."""
+    from iceberg_benchmark_poc_spark.queries.behavior import FUNNEL_WINDOW_US, q_funnel
+
+    d, rows = _events_parquet(spark, tmp_path_factory, events)
+    win = datetime.timedelta(microseconds=FUNNEL_WINDOW_US)
+
+    by_user = {}
+    for _i, ts, u, t, _v, _p in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    viewed = clicked = purchased = 0
+    for _u, evs in by_user.items():
+        t1 = min((ts for ts, t in evs if t == "view"), default=None)
+        if t1 is None:
+            continue
+        viewed += 1
+        t2 = min((ts for ts, t in evs if t == "click" and t1 < ts <= t1 + win), default=None)
+        if t2 is None:
+            continue
+        clicked += 1
+        t3 = min((ts for ts, t in evs if t == "purchase" and t2 < ts <= t2 + win), default=None)
+        if t3 is not None:
+            purchased += 1
+
+    r = q_funnel(spark, d).collect()[0]
+    assert (r["n_viewed"], r["n_clicked"], r["n_purchased"]) == (viewed, clicked, purchased)
+
+
+@given(events=_EVENT_STRAT)
+@settings(**SETTINGS)
+def test_ohlc_matches_bruteforce(spark, tmp_path_factory, events):
+    """q_ohlc == per-(type, hour) first/last/min/max recomputed in Python,
+    including the (ts, event_id) tie-break on open/close."""
+    from iceberg_benchmark_poc_spark.queries.temporal import HOUR_US, q_ohlc
+
+    d, rows = _events_parquet(spark, tmp_path_factory, events)
+    cells = {}
+    for i, ts, _u, t, v, _p in rows:
+        em = int(ts.timestamp() * 1_000_000)
+        cells.setdefault((t, em // HOUR_US), []).append((em, i, v))
+    want = {}
+    for k, vs in cells.items():
+        vs.sort()
+        vals = [v for _, _, v in vs]
+        want[k] = (vs[0][2], max(vals), min(vals), vs[-1][2], len(vs))
+
+    got = {
+        (r["event_type"], r["hour_idx"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in q_ohlc(spark, d).collect()
+    }
+    assert got == want
