@@ -725,3 +725,89 @@ def test_ohlc_matches_bruteforce(spark, tmp_path_factory, events):
         for r in q_ohlc(spark, d).collect()
     }
     assert got == want
+
+
+@given(events=_EVENT_STRAT)
+@settings(**SETTINGS)
+def test_retention_matches_bruteforce(spark, tmp_path_factory, events):
+    """q_retention == daily cohort triangle recomputed with python sets."""
+    from iceberg_benchmark_poc_spark.queries.behavior import DAY_US, q_retention
+
+    d, rows = _events_parquet(spark, tmp_path_factory, events)
+    days = {}
+    for _i, ts, u, _t, _v, _p in rows:
+        days.setdefault(u, set()).add(int(ts.timestamp() * 1_000_000) // DAY_US)
+    want = {}
+    for _u, ds in days.items():
+        c = min(ds)
+        for day in ds:
+            k = (c, day - c)
+            want[k] = want.get(k, 0) + 1
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in q_retention(spark, d).collect()
+    }
+    assert got == want
+
+
+@given(events=_EVENT_STRAT)
+@settings(**SETTINGS)
+def test_anomaly_matches_bruteforce(spark, tmp_path_factory, events):
+    """q_anomaly == the exact-integer 3-sigma cut recomputed with python
+    bigints: (n*c - S)^2 > 9 * (n*S2 - S^2) per event type."""
+    import math
+
+    from iceberg_benchmark_poc_spark.queries.behavior import ANOMALY_Z, q_anomaly
+
+    d, rows = _events_parquet(spark, tmp_path_factory, events)
+    groups = {}
+    for _i, _ts, _u, t, v, _p in rows:
+        groups.setdefault(t, []).append(math.floor(v * 100))
+    want = {}
+    for t, cs in groups.items():
+        n, s1, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+        bad = sum(1 for c in cs if (n * c - s1) ** 2 > ANOMALY_Z * ANOMALY_Z * (n * s2 - s1 * s1))
+        want[t] = (n, bad)
+    got = {
+        r["event_type"]: (r["n_events"], r["n_anomalies"])
+        for r in q_anomaly(spark, d).collect()
+    }
+    assert got == want
+
+
+@given(events=_EVENT_STRAT)
+@settings(**SETTINGS)
+def test_time_weighted_avg_matches_bruteforce(spark, tmp_path_factory, events):
+    """q_time_weighted_avg == per-(type, user) step-hold integration
+    recomputed with python bigints; final doubles compared exactly."""
+    import math
+
+    from iceberg_benchmark_poc_spark.queries.temporal import q_time_weighted_avg
+
+    d, rows = _events_parquet(spark, tmp_path_factory, events)
+    streams = {}
+    for i, ts, u, t, v, _p in rows:
+        em = int(ts.timestamp() * 1_000_000)
+        streams.setdefault((t, u), []).append((em, i, math.floor(v * 100)))
+    acc = {}
+    for (t, _u), evs in streams.items():
+        evs.sort()
+        for (em, _i, c), (em2, _i2, _c2) in zip(evs, evs[1:]):
+            dt = em2 - em
+            w, s = acc.get(t, (0, 0))
+            acc[t] = (w + c * dt, s + dt)
+    want = {
+        t: (float(w) / float(s) / 100.0, s)
+        for t, (w, s) in acc.items()
+        if s > 0 or (w, s) != (0, 0)
+    }
+    # types whose streams all have a single event produce no held intervals
+    want = {t: v for t, v in want.items() if v[1] > 0}
+    got = {
+        r["event_type"]: (r["twa_value"], r["observed_us"])
+        for r in q_time_weighted_avg(spark, d).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][1] == want[t][1], (t, got[t], want[t])
+        assert got[t][0] == want[t][0], (t, got[t], want[t])
