@@ -315,3 +315,41 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
         ).alias("corr"),
     )
+
+
+@register(
+    "q_group_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.5)  AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75,
+               quantile_cont(l_quantity, 0.9)  AS q90,
+               count(*)                        AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    tags=("agg", "percentile", "group"),
+)
+def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantity percentiles per return flag.
+
+    The grouped form of q_percentiles: order statistics as a GROUPED
+    aggregate — each group sorts independently inside the percentile
+    aggregator, so the shuffle carries (group, value) pairs and no global
+    sort exists. Quantities are integral, and both engines interpolate at
+    position p*(n-1) with the same double arithmetic, so the interpolated
+    values match bit-for-bit (q_percentiles established the formula
+    parity; this adds the per-group path). For data-scale high-cardinality
+    groups the sketch variant (q_approx_stats) is the scale path; exact
+    grouped percentiles are for bounded per-group volumes like these 3
+    flags.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.expr("percentile(l_quantity, 0.9)").alias("q90"),
+        F.count("*").alias("n_items"),
+    )

@@ -273,3 +273,67 @@ def q_jsonl_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("bigint").alias("sum_chars"),
     )
+
+
+#: access-log line synthesized per event: user, epoch-micros, verb+path,
+#: status, latency-ms — the classic semi-structured ETL input
+#: the latency group accepts scientific notation and sign: Spark prints
+#: doubles below 1e-3 (and huge ones) as "3.5E-4", which a bare [0-9.]+
+#: would silently truncate into a wrong-but-parsing number
+_LOG_RE = r'^u(\d+) \[(\d+)\] "([A-Z]+) /api/([a-z]+)" (\d{3}) ([0-9.Ee+-]+)$'
+
+
+@register(
+    "q_log_parse",
+    oracle="""
+        SELECT event_type AS endpoint,
+               count(*)   AS n_requests,
+               CAST(count(*) FILTER (WHERE 200 + (event_id % 3) * 100 >= 400) AS BIGINT)
+                          AS n_errors,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS latency_cs_sum
+        FROM events
+        GROUP BY event_type
+        """,
+    tags=("source", "text", "regex-etl"),
+)
+def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-log ETL: render -> text sink -> regex parse -> rollup.
+
+    The semi-structured ingest shape q_jsonl_* doesn't cover: the input is
+    a LINE FORMAT, not a record encoding, so extraction is a regex with
+    capture groups (``regexp_extract``), the workhorse of real log
+    pipelines. Lines are synthesized from events (user, epoch-micros,
+    verb, endpoint, status derived from event_id, latency from value),
+    round-trip through a text sink, and every parsed field must survive:
+    the per-endpoint rollup (request count, >=400 error count, exact
+    centisecond latency sum) only matches the oracle — which recomputes
+    straight from the events table — if the regex recovered every column
+    from every line. Scale: format, parse, and aggregate all run inside
+    whole-stage codegen; one narrow pass plus the tiny per-endpoint
+    shuffle. Latency folds to integer centiseconds — never float-summed.
+    """
+    from ..core.io import epoch_micros
+
+    e = load_table(spark, sf_dir, "events")
+    status = (F.lit(200) + (F.col("event_id") % 3) * 100).cast("int")
+    line = F.format_string(
+        'u%d [%d] "GET /api/%s" %d %s',
+        F.col("user_id"),
+        epoch_micros("ts"),
+        F.col("event_type"),
+        status,
+        F.col("value").cast("string"),
+    )
+    path = _scratch(sf_dir, "access_log")
+    e.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(
+        F.regexp_extract("value", _LOG_RE, 4).alias("endpoint"),
+        F.regexp_extract("value", _LOG_RE, 5).cast("int").alias("status"),
+        F.regexp_extract("value", _LOG_RE, 6).cast("double").alias("latency"),
+    )
+    return parsed.groupBy("endpoint").agg(
+        F.count("*").alias("n_requests"),
+        F.sum(F.when(F.col("status") >= 400, 1).otherwise(0)).cast("bigint").alias("n_errors"),
+        F.sum(F.floor(F.col("latency") * 100).cast("bigint")).cast("bigint").alias("latency_cs_sum"),
+    )
