@@ -21,14 +21,18 @@ from ..core.registry import register
 # ---------------------------------------------------------------------------
 
 #: price carries 2 decimal digits and discount 2, so price*(1-discount) is
-#: mathematically exact at 4 decimal places. Folding floor(product * 1e4)
-#: through 128-bit integers keeps every sum exact AND keeps the summed
-#: integer below 2^53 through ~SF 100, so the single int->double conversion
-#: at the end is EXACT on both engines. The previous DECIMAL(38,10) fold
-#: broke at sf0.1: its 18-significant-digit sums exceeded double's exact
-#: range and the engines' decimal->double conversions round differently
-#: (DuckDB double-rounds int128 / 10^10; Spark's BigDecimal.doubleValue is
-#: correctly rounded), flipping the last ulp of the output.
+#: mathematically exact at 4 decimal places and floor(product * 1e4) folds
+#: it through 128-bit integers with zero loss. PARITY holds at every SF:
+#: a scale-0 integer converts to double in ONE correctly-rounded step on
+#: both engines (int128 hardware cast / BigDecimal.doubleValue), and the
+#: final /1e4 is the same IEEE division of the same double. The previous
+#: DECIMAL(38,10) fold broke at sf0.1 precisely because its conversion is
+#: NOT one step — DuckDB divides int128 by 10^10 in floating point (two
+#: roundings) where Spark converts correctly-rounded, so 18-significant-
+#: digit sums flipped their last ulp. Exactness to the true value's last
+#: ulp additionally needs the summed integer under 2^53, which the global
+#: revenue sum outgrows around SF 3 (grouped outputs much later) — beyond
+#: that both engines still agree bit-for-bit, they just round together.
 REV_SCALE = 10_000
 
 #: the same magnitude rule governs every other fold in this module: integral

@@ -327,10 +327,16 @@ def q_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "access_log")
     e.select(line.alias("value")).write.mode("overwrite").text(path)
     back = spark.read.text(path)
+    # ONE regex pass per line: rewrite the matched groups into a
+    # control-char-delimited triple and split — three separate
+    # regexp_extract calls would re-run the full 6-group match per column
+    # (Catalyst does not common-subexpression-eliminate across different
+    # group indexes)
+    fields = F.split(F.regexp_replace("value", _LOG_RE, "$4\u0001$5\u0001$6"), "\u0001")
     parsed = back.select(
-        F.regexp_extract("value", _LOG_RE, 4).alias("endpoint"),
-        F.regexp_extract("value", _LOG_RE, 5).cast("int").alias("status"),
-        F.regexp_extract("value", _LOG_RE, 6).cast("double").alias("latency"),
+        fields.getItem(0).alias("endpoint"),
+        fields.getItem(1).cast("int").alias("status"),
+        fields.getItem(2).cast("double").alias("latency"),
     )
     return parsed.groupBy("endpoint").agg(
         F.count("*").alias("n_requests"),

@@ -472,7 +472,7 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(dt_us) AS BIGINT)             AS observed_us,
                count(*)                               AS n_events
         FROM held
-        WHERE dt_us IS NOT NULL
+        WHERE dt_us IS NOT NULL AND dt_us > 0
         GROUP BY event_type
         """,
     tags=("temporal", "window", "statistics"),
@@ -489,7 +489,8 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(38,0) / HUGEINT), so the only float steps are two
     exact-int->double casts and two IEEE divisions — no summation-order
     dependence. The final sample of each stream has no successor and is
-    excluded (dt NULL), matching on both engines. Scale: the lead window
+    excluded (dt NULL), as are zero-length holds — which also keeps the
+    weighted division safe when a stream's samples share one timestamp. Scale: the lead window
     partitions on the HIGH-CARDINALITY (type, user) pair — never on the
     5-value type alone, which would funnel billions of rows through five
     sorted partitions — and the per-type weighted sums partial-aggregate.
@@ -508,9 +509,12 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type", "user_id").orderBy(
         F.col("em").asc(), F.col("event_id").asc()
     )
+    # dt > 0, not merely non-null: a zero-length hold carries no weight, and
+    # a type whose every interval is zero-length would otherwise divide the
+    # weighted sum by zero (ANSI abort / engine-dependent NULL)
     held = e.select(
         "event_type", "cents", (F.lead("em").over(w) - F.col("em")).alias("dt_us")
-    ).filter(F.col("dt_us").isNotNull())
+    ).filter(F.col("dt_us") > 0)
     return held.groupBy("event_type").agg(
         (
             F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dt_us")).cast("double")

@@ -488,7 +488,7 @@ BOILER_DOCS = 2  # a segment appearing in >= this many distinct docs is boilerpl
                count(*)                                        AS n_segs,
                CAST(count(*) FILTER (WHERE NOT boiler) AS BIGINT) AS n_kept,
                CAST(coalesce(sum(CASE WHEN NOT boiler THEN
-                 (('0x' || substr(md5(seg), 1, 15))::BIGINT) % 1000000007 END), 0)
+                 (idx + 1) * ((('0x' || substr(md5(seg), 1, 15))::BIGINT) % 1000000007) END), 0)
                  AS BIGINT)                                    AS kept_hash_sum
         FROM marked
         GROUP BY doc_id
@@ -503,9 +503,10 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages. Here each document splits into fixed 10-word segments (the
     fixture has no newlines; real corpora use physical lines) and any
     segment appearing in >= 2 DISTINCT documents is stripped everywhere.
-    The per-doc output keeps a position-weighted content fingerprint of the
-    surviving segments, so the oracle match proves the exact same segments
-    survived on both engines.
+    The per-doc output keeps a position-weighted content fingerprint of
+    the surviving segments ((idx+1) * hash per survivor), so the oracle
+    match proves the same segments survived AT the same positions on both
+    engines.
 
     Scale: segmentation is a narrow explode; the frequency pass is one
     hash-group on the segment text with map-side partial distinct-counts;
@@ -536,7 +537,12 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = segs.join(freq, "seg").select(
         "doc_id", "idx", "seg", (F.col("n_docs") >= BOILER_DOCS).alias("boiler")
     )
-    kept_hash = F.when(~F.col("boiler"), hash60(F.col("seg")) % PORTABLE_HASH_PRIME)
+    # (idx+1)-weighted so the fingerprint is position-sensitive: surviving
+    # segments reordered (or attributed to the wrong slot) change the sum
+    # even when the multiset of segments is identical
+    kept_hash = F.when(
+        ~F.col("boiler"), (F.col("idx") + 1) * (hash60(F.col("seg")) % PORTABLE_HASH_PRIME)
+    )
     return marked.groupBy("doc_id").agg(
         F.count("*").alias("n_segs"),
         F.sum(F.when(~F.col("boiler"), 1).otherwise(0)).cast("bigint").alias("n_kept"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import datetime
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 from pyspark.sql import Window, functions as F
 
 SETTINGS = dict(
@@ -712,7 +712,7 @@ def test_ohlc_matches_bruteforce(spark, tmp_path_factory, events):
     d, rows = _events_parquet(spark, tmp_path_factory, events)
     cells = {}
     for i, ts, _u, t, v, _p in rows:
-        em = int(ts.timestamp() * 1_000_000)
+        em = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
         cells.setdefault((t, em // HOUR_US), []).append((em, i, v))
     want = {}
     for k, vs in cells.items():
@@ -736,7 +736,7 @@ def test_retention_matches_bruteforce(spark, tmp_path_factory, events):
     d, rows = _events_parquet(spark, tmp_path_factory, events)
     days = {}
     for _i, ts, u, _t, _v, _p in rows:
-        days.setdefault(u, set()).add(int(ts.timestamp() * 1_000_000) // DAY_US)
+        days.setdefault(u, set()).add(int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) // DAY_US)
     want = {}
     for _u, ds in days.items():
         c = min(ds)
@@ -776,6 +776,9 @@ def test_anomaly_matches_bruteforce(spark, tmp_path_factory, events):
 
 
 @given(events=_EVENT_STRAT)
+# regression: a type whose only held interval is zero-length (two events on
+# one timestamp) must vanish from the output, not divide by zero under ANSI
+@example(events=[(0, 0, "view", 0), (0, 0, "view", 0)])
 @settings(**SETTINGS)
 def test_time_weighted_avg_matches_bruteforce(spark, tmp_path_factory, events):
     """q_time_weighted_avg == per-(type, user) step-hold integration
@@ -787,7 +790,7 @@ def test_time_weighted_avg_matches_bruteforce(spark, tmp_path_factory, events):
     d, rows = _events_parquet(spark, tmp_path_factory, events)
     streams = {}
     for i, ts, u, t, v, _p in rows:
-        em = int(ts.timestamp() * 1_000_000)
+        em = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
         streams.setdefault((t, u), []).append((em, i, math.floor(v * 100)))
     acc = {}
     for (t, _u), evs in streams.items():
