@@ -814,3 +814,101 @@ def test_time_weighted_avg_matches_bruteforce(spark, tmp_path_factory, events):
     for t in want:
         assert got[t][1] == want[t][1], (t, got[t], want[t])
         assert got[t][0] == want[t][0], (t, got[t], want[t])
+
+
+# ---------------------------------------------------------------------------
+# boilerplate strip + PMI vs brute-force python over synthetic corpora
+# ---------------------------------------------------------------------------
+
+_DOC_STRAT = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=25),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _docs_parquet(spark, tmp_path_factory, docs):
+    rows = [
+        (i, " ".join(words), "en", "src0", len(" ".join(words)))
+        for i, words in enumerate(docs)
+    ]
+    d = str(tmp_path_factory.mktemp("bdocs"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    return d, rows
+
+
+@given(docs=_DOC_STRAT)
+@settings(**SETTINGS)
+def test_boilerplate_strip_matches_bruteforce(spark, tmp_path_factory, docs):
+    """q_boilerplate_strip == python segmentation + cross-doc frequency cut,
+    compared on (n_segs, n_kept) and the kept-positions set per doc."""
+    from iceberg_benchmark_poc_spark.queries.textprep import (
+        BOILER_DOCS,
+        SEG_WORDS,
+        q_boilerplate_strip,
+    )
+
+    d, rows = _docs_parquet(spark, tmp_path_factory, docs)
+    segs = {}  # (doc_id, idx) -> seg
+    seg_docs = {}  # seg -> set(doc_id)
+    for doc_id, text, _l, _s, _n in rows:
+        ws = text.split()
+        for idx in range((len(ws) + SEG_WORDS - 1) // SEG_WORDS):
+            seg = " ".join(ws[idx * SEG_WORDS : (idx + 1) * SEG_WORDS])
+            segs[(doc_id, idx)] = seg
+            seg_docs.setdefault(seg, set()).add(doc_id)
+    want = {}
+    for (doc_id, idx), seg in segs.items():
+        n_segs, kept = want.get(doc_id, (0, set()))
+        n_segs += 1
+        if len(seg_docs[seg]) < BOILER_DOCS:
+            kept = kept | {idx}
+        want[doc_id] = (n_segs, kept)
+
+    got = {r["doc_id"]: r for r in q_boilerplate_strip(spark, d).collect()}
+    assert set(got) == set(want)
+    for doc_id, (n_segs, kept) in want.items():
+        assert got[doc_id]["n_segs"] == n_segs, doc_id
+        assert got[doc_id]["n_kept"] == len(kept), doc_id
+
+
+@given(docs=_DOC_STRAT)
+@settings(**SETTINGS)
+def test_pmi_bigrams_matches_bruteforce(spark, tmp_path_factory, docs):
+    """q_pmi_bigrams == python bigram/unigram counting + the identical ratio
+    expression, on the same (ratio desc, bigram asc) top-k cut."""
+    from iceberg_benchmark_poc_spark.queries.textpipe import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        q_pmi_bigrams,
+    )
+
+    d, rows = _docs_parquet(spark, tmp_path_factory, docs)
+    uni, bg = {}, {}
+    n_tokens = n_bigrams = 0
+    for _i, text, _l, _s, _n in rows:
+        ws = text.split()
+        n_tokens += len(ws)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+            n_bigrams += 1
+    cand = []
+    for (a, b), n_xy in bg.items():
+        if n_xy < PMI_MIN_COUNT:
+            continue
+        ratio = float(n_xy) * n_tokens * n_tokens / (float(n_bigrams) * uni[a] * uni[b])
+        cand.append((f"{a} {b}", n_xy, uni[a], uni[b], ratio))
+    cand.sort(key=lambda t: (-t[4], t[0]))
+    want = cand[:PMI_TOP_K]
+
+    got = [
+        (r["bigram"], r["n_xy"], r["n_x"], r["n_y"], r["pmi_ratio"])
+        for r in q_pmi_bigrams(spark, d)
+        .orderBy(F.col("pmi_ratio").desc(), F.col("bigram").asc())
+        .collect()
+    ]
+    assert got == want
