@@ -912,3 +912,51 @@ def test_pmi_bigrams_matches_bruteforce(spark, tmp_path_factory, docs):
         .collect()
     ]
     assert got == want
+
+
+@given(docs=_DOC_STRAT)
+@settings(**SETTINGS)
+def test_countmin_matches_bruteforce(spark, tmp_path_factory, docs):
+    """q_countmin_topk == a python CMS built with the identical md5 base
+    hash and affine lane family — estimates must match cell-for-cell, and
+    the one-sided bound must hold on every probe."""
+    import hashlib
+
+    from iceberg_benchmark_poc_spark.queries.approx import (
+        CMS_DEPTH,
+        CMS_PRIME,
+        CMS_TOP_K,
+        CMS_WIDTH,
+        q_countmin_topk,
+    )
+
+    d, rows = _docs_parquet(spark, tmp_path_factory, docs)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % CMS_PRIME
+
+    sketch = {}
+    counts = {}
+    for _i, text, _l, _s, _n in rows:
+        for t in text.split():
+            counts[t] = counts.get(t, 0) + 1
+            h = h60(t)
+            for lane in range(CMS_DEPTH):
+                b = ((lane * 2 + 3) * h + (lane * 5 + 7)) % CMS_PRIME % CMS_WIDTH
+                sketch[(lane, b)] = sketch.get((lane, b), 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOP_K]
+    want = {}
+    for t, n in top:
+        h = h60(t)
+        est = min(
+            sketch[(lane, ((lane * 2 + 3) * h + (lane * 5 + 7)) % CMS_PRIME % CMS_WIDTH)]
+            for lane in range(CMS_DEPTH)
+        )
+        want[t] = (n, est)
+
+    got = {
+        r["token"]: (r["exact_n"], r["cms_estimate"])
+        for r in q_countmin_topk(spark, d).collect()
+    }
+    assert got == want
+    assert all(est >= n for n, est in got.values())
