@@ -1,10 +1,10 @@
 """Approximate and skew-aware aggregation queries.
 
 q_salted_agg is oracle-gated (salting is a physical rewrite — the logical
-result is exactly the unsalted groupBy). q_approx_stats has NO oracle twin:
-HLL/quantile-sketch results are engine-specific by design, so the driver
-applies its rows-only check (the documented non-SQL-expressible case); the
-engine-side test instead bounds the approximation error against exact values.
+result is exactly the unsalted groupBy). q_approx_stats's raw sketch values
+are engine-specific by design, so it gates itself: the query emits
+within-10%-of-exact booleans computed in-engine and the oracle asserts them
+as literal TRUE — a drifting sketch turns the driver row red.
 """
 
 from __future__ import annotations
@@ -72,28 +72,66 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_approx_stats", oracle=None, tags=("agg", "approx"))
+@register(
+    "q_approx_stats",
+    oracle="""
+        SELECT count(*)  AS n_rows,
+               TRUE      AS orders_within_10pct,
+               TRUE      AS parts_within_10pct,
+               TRUE      AS q50_within_10pct,
+               TRUE      AS q95_within_10pct,
+               TRUE      AS q99_within_10pct
+        FROM lineitem
+        """,
+    tags=("agg", "approx"),
+)
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based statistics: approx distinct + approx quantiles.
 
     The constant-memory path for 100 TB profiling: HyperLogLog counters and
     quantile sketches merge associatively across partitions, so these run in
-    one combine-shuffle pass regardless of cardinality. No oracle (sketches
-    are engine-specific); tests bound the error against exact answers.
+    one combine-shuffle pass regardless of cardinality. Sketch VALUES are
+    engine-specific (HLL register layout, KLL compaction), so the raw
+    estimates can't be hash-gated against DuckDB — instead the query emits
+    in-engine accuracy verdicts: |approx - exact| / exact < 0.1 booleans,
+    each computed against an exact twin inside the same single-pass agg.
+    The oracle asserts all five booleans as literal TRUE, which converts
+    the former rows-only row into a hard hash gate: if a sketch ever drifts
+    past 10%, the driver goes red. The exact twins (count distinct, exact
+    percentile) exist only to power the gate — the production profile at
+    100 TB runs the sketch columns alone.
 
-    Quantiles are returned as three scalar doubles (q50/q95/q99) rather than
-    one array column: the driver's rows-only canonicalization sorts cell
-    values and list cells are unhashable (r02 red row).
+    Quantile verdicts are scalar booleans (q50/q95/q99) rather than one
+    array column: the driver's canonicalization sorts cell values and list
+    cells are unhashable (r02 red row).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
-    return li.agg(
+    aq = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+    eq = F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+
+    def within(approx, exact):
+        return F.abs(approx - exact) / exact < F.lit(0.1)
+
+    agg = li.agg(
         F.count("*").alias("n_rows"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.element_at(q, 1).alias("price_q50"),
-        F.element_at(q, 2).alias("price_q95"),
-        F.element_at(q, 3).alias("price_q99"),
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.countDistinct("l_orderkey").alias("e_orders"),
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.countDistinct("l_partkey").alias("e_parts"),
+        F.element_at(aq, 1).alias("a_q50"),
+        F.element_at(aq, 2).alias("a_q95"),
+        F.element_at(aq, 3).alias("a_q99"),
+        F.element_at(eq, 1).alias("e_q50"),
+        F.element_at(eq, 2).alias("e_q95"),
+        F.element_at(eq, 3).alias("e_q99"),
+    )
+    return agg.select(
+        "n_rows",
+        within(F.col("a_orders"), F.col("e_orders")).alias("orders_within_10pct"),
+        within(F.col("a_parts"), F.col("e_parts")).alias("parts_within_10pct"),
+        within(F.col("a_q50"), F.col("e_q50")).alias("q50_within_10pct"),
+        within(F.col("a_q95"), F.col("e_q95")).alias("q95_within_10pct"),
+        within(F.col("a_q99"), F.col("e_q99")).alias("q99_within_10pct"),
     )
 
 

@@ -20,9 +20,14 @@ from ..core.registry import register
 # exact fixed-point revenue folds
 # ---------------------------------------------------------------------------
 
-#: price carries 2 decimal digits and discount 2, so price*(1-discount) is
-#: mathematically exact at 4 decimal places and floor(product * 1e4) folds
-#: it through 128-bit integers with zero loss. PARITY holds at every SF:
+#: price carries 2 decimal digits and discount 2, so price*(1-discount) has
+#: a 4-decimal-place true value; floor(product * 1e4) folds the IEEE product
+#: through 128-bit integers. The fold is not mathematically exact — the
+#: stored columns are DOUBLE, and the IEEE product can land one ulp below
+#: the true 4-dp value, under-counting that row by 1e-4 — but it is
+#: BIT-IDENTICAL CROSS-ENGINE, which is the property the oracle gate needs:
+#: both engines evaluate the same IEEE op chain on the same doubles, so they
+#: floor the same value every time. PARITY holds at every SF:
 #: a scale-0 integer converts to double in ONE correctly-rounded step on
 #: both engines (int128 hardware cast / BigDecimal.doubleValue), and the
 #: final /1e4 is the same IEEE division of the same double. The previous

@@ -366,7 +366,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_mktsegment, e.event_type,
                count(*)                                          AS n_events,
-               CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+               sum(CAST(floor(e.value * 100) AS BIGINT)) / 100.0 AS total_value
         FROM events e
         JOIN customer c ON c.c_custkey = e.user_id
         GROUP BY c.c_mktsegment, e.event_type

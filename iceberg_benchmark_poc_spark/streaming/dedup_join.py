@@ -106,7 +106,11 @@ def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
         "c_mktsegment",
     )
     joined = events.join(F.broadcast(dims), events.user_id == dims.cust_id)
+    # fold value as exact integer cents (floor(x*100)) and divide at output:
+    # summing a DOUBLE via DECIMAL would hit the double->DECIMAL rounding-tie
+    # divergence (Spark HALF_UP on shortest repr vs DuckDB binary rounding);
+    # the integer fold is the same IEEE chain on both engines
     return joined.groupBy("c_mktsegment", "event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        (F.sum(F.floor(F.col("value") * 100).cast("bigint")) / 100.0).alias("total_value"),
     )

@@ -64,9 +64,11 @@ def key(rows, cols):
 oracles = mod.oracle_sql()
 failures = []
 only = set(sys.argv[1:])  # optional: verify just these query names
+n_checked = 0
 for name, fn in sorted(mod.queries().items()):
     if only and name not in only:
         continue
+    n_checked += 1
     try:
         s_df = fn(spark, SF)
         s_rows = s_df.collect()
@@ -115,4 +117,5 @@ for name, fn in sorted(mod.queries().items()):
 if failures:
     print("FAILURES:", failures)
     sys.exit(1)
-print(f"all {len(mod.queries())} queries verified at sf0.01")
+sf_val = os.environ.get("SPARK_GRAFT_VERIFY_SF", "0.01")
+print(f"{n_checked}/{len(mod.queries())} queries verified at sf{sf_val}")

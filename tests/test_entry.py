@@ -26,9 +26,10 @@ def test_registry_contract(spark):
     assert len(qs) >= 100, f"expected the full operator surface, got {len(qs)}"
     assert set(oracles) <= set(qs)
     missing_oracle = set(qs) - set(oracles)
-    # every op is oracle-gated unless genuinely non-SQL-expressible
-    # (sketch results are engine-specific; driver applies rows-only check)
-    assert missing_oracle <= {"q_approx_stats"}, f"queries lacking oracles: {missing_oracle}"
+    # every op is oracle-gated — even q_approx_stats (engine-specific sketch
+    # values) gates itself via within-10%-of-exact booleans the oracle
+    # asserts as literal TRUE
+    assert not missing_oracle, f"queries lacking oracles: {missing_oracle}"
     for name, fn in qs.items():
         assert callable(fn), name
 

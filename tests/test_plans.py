@@ -220,22 +220,19 @@ def test_pivot_is_single_aggregation(spark):
 
 
 def test_approx_stats_bounded_error(spark):
-    from pyspark.sql import functions as F
-
-    from iceberg_benchmark_poc_spark.core.io import load_table
-
+    # the query now gates itself: every accuracy verdict must be True (the
+    # oracle asserts the same as literals, so a drifting sketch goes red at
+    # the driver, not just here)
     row = all_queries()["q_approx_stats"].fn(spark, SF_DIR).collect()[0]
-    li = load_table(spark, SF_DIR, "lineitem")
-    exact = li.agg(
-        F.countDistinct("l_orderkey").alias("o"), F.countDistinct("l_partkey").alias("p")
-    ).collect()[0]
-    assert abs(row["approx_orders"] - exact["o"]) / exact["o"] < 0.1
-    assert abs(row["approx_parts"] - exact["p"]) / exact["p"] < 0.1
-    # scalar quantile columns (not an array — list cells break the driver's
-    # rows-only canonicalization, r02 red row)
-    assert row["price_q50"] <= row["price_q95"] <= row["price_q99"]
-    for v in (row["price_q50"], row["price_q95"], row["price_q99"]):
-        assert isinstance(v, float)
+    assert row["n_rows"] > 0
+    for col in (
+        "orders_within_10pct",
+        "parts_within_10pct",
+        "q50_within_10pct",
+        "q95_within_10pct",
+        "q99_within_10pct",
+    ):
+        assert row[col] is True, f"{col} failed the in-engine 10% accuracy gate"
 
 
 def test_ivf_assignment_is_map_only(spark):
