@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..core.fixtures import dv_entries, dv_multi, file_meta, with_fixtures
 from ..core.io import load_table
 from ..core.registry import register
+from ..operators.lifecycle import apply_equality_deletes, merge_latest_wins
 
 # ---------------------------------------------------------------------------
 # hash / semi / anti joins on file_path
@@ -391,8 +392,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("src").desc())
-    merged = base.unionByName(updates).withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    merged = merge_latest_wins(base, updates, "o_orderkey")
     return merged.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("total_price"),
@@ -459,11 +459,7 @@ def q_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", (F.col("o_orderkey") % EQ_DATA_SEQ_MOD).alias("data_seq")
     )
-    live = d.join(
-        F.broadcast(eq),
-        (d["o_custkey"] == eq["custkey"]) & (d["data_seq"] < eq["delete_seq"]),
-        "left_anti",
-    )
+    live = apply_equality_deletes(d, eq, "o_custkey", "custkey")
     return (
         live.groupBy("o_orderstatus")
         .agg(F.count("*").alias("n_live"), F.sum("o_orderkey").alias("key_sum"))

@@ -39,6 +39,7 @@ from ..core.fixtures import (
 )
 from ..core.io import load_table
 from ..core.registry import register
+from ..operators.lifecycle import change_events, expiry_cut, visible_at
 
 N_PROBES = 100
 PROBE_STRIDE_DAYS = 18
@@ -650,7 +651,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lin = _lineage(spark, sf_dir)
     return (
-        lin.filter((F.col("added_snap") <= TRAVEL_SNAP) & (F.col("removed_snap") > TRAVEL_SNAP))
+        visible_at(lin, TRAVEL_SNAP)
         .groupBy(F.year("partition_date").alias("part_year"))
         .agg(
             F.count("*").alias("n_files"),
@@ -701,21 +702,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass each, and the aggregate is the only exchange.
     """
     lin = _lineage(spark, sf_dir)
-    adds = lin.filter((F.col("added_snap") > DIFF_LO) & (F.col("added_snap") <= DIFF_HI)).select(
-        F.col("added_snap").alias("snap"),
-        F.lit(1).alias("is_add"),
-        "record_count",
-        "file_size_bytes",
-    )
-    removes = lin.filter(
-        (F.col("removed_snap") > DIFF_LO) & (F.col("removed_snap") <= DIFF_HI)
-    ).select(
-        F.col("removed_snap").alias("snap"),
-        F.lit(0).alias("is_add"),
-        "record_count",
-        "file_size_bytes",
-    )
-    events = adds.unionByName(removes)
+    events = change_events(lin, DIFF_LO, DIFF_HI)
     sign = F.when(F.col("is_add") == 1, F.lit(1)).otherwise(F.lit(-1))
     return events.groupBy("snap").agg(
         F.sum("is_add").alias("n_added"),
@@ -855,16 +842,8 @@ def q_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-exact cutoff, matching the oracle's `// 100` by construction:
     # float `/ 100` + floor was only accidentally equal while magnitudes
     # kept the representation error below 0.01 (the module invariant is
-    # integer arithmetic). (cut - cut % 100) is a multiple of 100, so the
-    # division is exact in double and the bigint cast loses nothing.
-    delta = F.max("snapshot_id").over(Window.partitionBy()) - F.min("snapshot_id").over(
-        Window.partitionBy()
-    )
-    cut = (delta * EXPIRE_PCT).cast("bigint")
-    snap_cut = F.min("snapshot_id").over(Window.partitionBy()) + (
-        (cut - cut % 100) / 100
-    ).cast("bigint")
-    expired = F.col("snapshot_id") <= snap_cut
+    # integer arithmetic). See operators/lifecycle.py expiry_cut.
+    expired = F.col("snapshot_id") <= expiry_cut(EXPIRE_PCT)
     return (
         file_meta(spark, sf_dir)
         .select("partition_date", "file_size_bytes", "snapshot_id")
