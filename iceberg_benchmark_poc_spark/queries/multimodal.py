@@ -1,12 +1,19 @@
-"""Multimodal-column queries: binary payloads through Arrow-batched UDFs.
+"""Multimodal-column queries: real encoded images through Arrow-batched UDFs.
 
 Image/audio/video columns at 100 TB are opaque BINARY payloads with typed
-metadata; decode/resize/frame-sample run as mapInPandas stages (see
-operators/multimodal.py — the codec leaf is stubbed, the Spark plumbing is
-real). Here the payload is the document text utf-8 encoded, so the
-byte-level features have closed-form SQL equivalents and the whole
-Pandas-UDF pipeline — schema contract, Arrow batching, binary transport —
-is verified against the DuckDB oracle like every scalar operator.
+metadata; decode/resize/frame-sample run as mapInPandas stages over a REAL
+dependency-free decoder (operators/multimodal.py — P6/P5 Netpbm + 24-bit
+BMP). Here every document's text is encoded into a genuine P6 PPM image
+(square-ish raster, tail padded by repeating the last byte), the pipeline
+decodes it back executor-side, and every feature is computed from the
+DECODED pixels. Because the encoding geometry is closed-form (width
+ceil(sqrt(n)), clamp padding), the DuckDB oracle reconstructs the exact
+raster with substr/repeat and the whole decode path — header parsing, RGB
+-> luminance, Arrow binary transport — is hash-gated like every scalar
+operator.
+
+The shared oracle CTE: gray == text || repeat(last_char, in_w*in_h - n),
+i.e. raster[i] == text[min(i, n-1)].
 """
 
 from __future__ import annotations
@@ -24,65 +31,101 @@ from ..operators.multimodal import (
     media_features,
     resize_media,
     sample_frames,
+    text_to_ppm,
 )
+
+#: the oracle's reconstruction of the decoded raster (documents are ASCII,
+#: so byte slices == char slices; greatest(..., 1) mirrors square_grid's
+#: 1x1 floor for empty payloads — the fixture has none, but both sides
+#: stay defined)
+_GRAY_CTE = """
+        dims AS (
+          SELECT doc_id, text, length(text) AS n,
+                 GREATEST(CAST(ceil(sqrt(length(text))) AS BIGINT), 1) AS in_w
+          FROM documents
+        ),
+        d2 AS (
+          SELECT *, GREATEST(CAST(ceil(CAST(n AS DOUBLE) / in_w) AS BIGINT), 1) AS in_h
+          FROM dims
+        ),
+        raster AS (
+          SELECT doc_id, n, in_w, in_h,
+                 text || repeat(substr(text, CAST(n AS INTEGER), 1),
+                                CAST(in_w * in_h - n AS INTEGER)) AS gray
+          FROM d2
+        )
+"""
+
+
+def _ppm_payloads(d: DataFrame) -> DataFrame:
+    """Encode each document's text as a real binary P6 PPM payload.
+
+    An Arrow-batched pandas UDF — the encode half of the codec round-trip
+    the queries then decode executor-side. In production the binary column
+    arrives already encoded; this stage is the fixture writer.
+    """
+    enc = F.pandas_udf(
+        lambda s: s.map(lambda t: text_to_ppm(t.encode("utf-8"))), "binary"
+    )
+    return d.select("doc_id", enc(F.col("text")).alias("payload"))
 
 
 @register(
     "q_media_features",
     oracle=f"""
+        WITH {_GRAY_CTE}
         SELECT doc_id,
-               CAST(length(text) AS BIGINT)                 AS n_bytes,
-               CAST(ascii(substr(text, 1, 1)) AS INTEGER)   AS first_byte,
-               CAST(length(text) // {FRAME_BYTES} + 1 AS BIGINT) AS n_frames
-        FROM documents
+               CAST(in_w AS INTEGER)                              AS width,
+               CAST(in_h AS INTEGER)                              AS height,
+               in_w * in_h                                        AS n_pixels,
+               CAST(ascii(substr(gray, 1, 1)) AS INTEGER)         AS first_pixel,
+               in_w * in_h // {FRAME_BYTES} + 1                   AS n_frames
+        FROM raster
         """,
     tags=("multimodal", "pandas-udf"),
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via Arrow-batched mapInPandas.
+    """Decode + feature extraction via Arrow-batched mapInPandas.
 
-    The one deliberately-Python operator in the engine: payload bytes stream
-    executor-side through Arrow (never the driver), one pass, no shuffle —
-    the exact plan shape a real image/audio decoder plugs into. The oracle
-    checks the features in closed form because the test payload is utf-8
-    text (documents are ASCII, so n_bytes == length(text) and first_byte is
-    the first code point).
+    The payload is a real P6 PPM; the operator parses the Netpbm header,
+    reduces RGB to luminance, and reports the TRUE decoded geometry. The
+    oracle recomputes the encoding geometry in closed form — a header
+    parsing or luminance bug breaks width/height/first_pixel immediately.
     """
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return media_features(payloads)
+    return media_features(_ppm_payloads(d))
 
 
 @register(
     "q_frame_sample",
     oracle=f"""
-        WITH frames AS (
-          SELECT doc_id, text,
-                 CAST(unnest(generate_series(0, length(text) // {FRAME_BYTES})) AS INTEGER)
+        WITH {_GRAY_CTE},
+        frames AS (
+          SELECT doc_id, gray,
+                 CAST(unnest(generate_series(0, in_w * in_h // {FRAME_BYTES})) AS INTEGER)
                    AS frame_idx
-          FROM documents
+          FROM raster
         )
         SELECT doc_id,
                frame_idx,
-               CAST(length(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS INTEGER)
+               CAST(length(substr(gray, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS INTEGER)
                  AS frame_len,
-               md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+               md5(substr(gray, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
         FROM frames
         """,
     tags=("multimodal", "pandas-udf", "frames"),
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: the row-expanding mapInPandas stage, per-frame digests.
+    """Frame sampling over the decoded raster: row-expanding mapInPandas.
 
-    Each payload fans out to n//256+1 frames executor-side (the video ->
-    frames / audio -> windows shape); the oracle reconstructs every frame
-    with substr (payloads are ASCII text, so byte slices == char slices) and
-    must agree on both length and md5 — any batching or slicing error in the
-    Arrow path breaks the hash.
+    Each payload decodes to w*h pixels and fans out to w*h//256+1 frames
+    executor-side (the video -> frames / audio -> windows shape); the
+    oracle reconstructs every frame of the padded raster with substr and
+    must agree on both length and md5 — any decode, batching or slicing
+    error in the Arrow path breaks the hash.
     """
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    frames = sample_frames(payloads)
+    frames = sample_frames(_ppm_payloads(d))
     return frames.select(
         "doc_id",
         "frame_idx",
@@ -94,9 +137,10 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_media_embed",
     oracle=f"""
-        WITH chars AS (
-          SELECT doc_id, ascii(c) // 16 AS bucket
-          FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents)
+        WITH {_GRAY_CTE},
+        chars AS (
+          SELECT doc_id, ascii(c) * {EMBED_DIM} // 256 AS bucket
+          FROM (SELECT doc_id, unnest(string_split_regex(gray, '')) AS c FROM raster)
           WHERE c <> ''
         ),
         counts AS (SELECT doc_id, bucket, count(*) AS n FROM chars GROUP BY 1, 2),
@@ -111,17 +155,16 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "pandas-udf", "embeddings"),
 )
 def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media -> vector bridge: byte-histogram embeddings out of mapInPandas.
+    """Media -> vector bridge: luminance-histogram embeddings of decoded pixels.
 
     The handoff from the binary column to the similarity stack: payloads
-    stream through Arrow, the UDF emits an ARRAY column (a real model would
+    decode executor-side, the UDF emits an ARRAY column (a real model would
     emit float activations), and the result joins/kNNs like the embeddings
     table. Serialized to CSV for the oracle comparison only — downstream
     consumers use the array column.
     """
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    emb = media_embedding(payloads)
+    emb = media_embedding(_ppm_payloads(d))
     return emb.select(
         "doc_id", F.array_join("embedding", ",").alias("embedding_csv")
     )
@@ -130,25 +173,17 @@ def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_media_resize",
     oracle=f"""
-        WITH dims AS (
-          SELECT doc_id, text, length(text) AS n,
-                 CAST(ceil(sqrt(length(text))) AS BIGINT) AS in_w
-          FROM documents
-        ),
-        d2 AS (
-          SELECT *, CAST(ceil(CAST(n AS DOUBLE) / in_w) AS BIGINT) AS in_h FROM dims
-        ),
+        WITH {_GRAY_CTE},
         px AS (
-          SELECT doc_id, text, n, p.range AS pix,
-                 least(((p.range // {RESIZE_W}) * in_h // {RESIZE_H}) * in_w
-                         + ((p.range % {RESIZE_W}) * in_w // {RESIZE_W}),
-                       n - 1) AS idx
-          FROM d2, range({RESIZE_W * RESIZE_H}) p
+          SELECT doc_id, gray, p.range AS pix,
+                 ((p.range // {RESIZE_W}) * in_h // {RESIZE_H}) * in_w
+                   + ((p.range % {RESIZE_W}) * in_w // {RESIZE_W}) AS idx
+          FROM raster, range({RESIZE_W * RESIZE_H}) p
         )
         SELECT doc_id,
                CAST({RESIZE_W} AS INTEGER) AS width,
                CAST({RESIZE_H} AS INTEGER) AS height,
-               md5(string_agg(substr(text, CAST(idx + 1 AS INTEGER), 1), '' ORDER BY pix))
+               md5(string_agg(substr(gray, CAST(idx + 1 AS INTEGER), 1), '' ORDER BY pix))
                  AS pixels_md5
         FROM px
         GROUP BY doc_id
@@ -156,15 +191,14 @@ def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "pandas-udf", "resize"),
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-neighbor media resize: fixed 8x8 thumbnail per payload.
+    """Nearest-neighbor resize over the image's true decoded geometry.
 
-    Completes the decode/feature/resize/frame-sample stage set: the oracle
-    recomputes every output pixel's clamped source index with integer
-    arithmetic over the ASCII payload and must agree on the md5 of the
-    resampled bytes — any off-by-one in the resampling or Arrow binary
-    round-trip breaks the hash.
+    Completes the decode/feature/resize/frame-sample stage set: every
+    output pixel picks source (x * in_w // 8, y * in_h // 8) of the decoded
+    raster, and the oracle recomputes each source index with integer
+    arithmetic over the reconstructed padded raster — any off-by-one in
+    the header parse, resampling, or Arrow binary round-trip breaks the md5.
     """
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    thumbs = resize_media(payloads)
+    thumbs = resize_media(_ppm_payloads(d))
     return thumbs.select("doc_id", "width", "height", F.md5("pixels").alias("pixels_md5"))

@@ -1,42 +1,128 @@
-"""Multimodal plumbing: batch-shape contracts and the media -> ANN bridge."""
+"""Multimodal: real codec round-trips, batch-shape contracts, the ANN bridge."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from iceberg_benchmark_poc_spark.core.io import load_table
 from iceberg_benchmark_poc_spark.operators.multimodal import (
     EMBED_DIM,
     FRAME_BYTES,
+    decode_media,
+    encode_bmp,
+    encode_pgm,
+    encode_ppm,
     media_embedding,
     sample_frames,
+    square_grid,
+    text_to_ppm,
 )
 from iceberg_benchmark_poc_spark.operators.vectors import cosine_topk
+from iceberg_benchmark_poc_spark.queries.multimodal import _ppm_payloads
 
 from .conftest import SF_DIR
 
 
+# ---------------------------------------------------------------------------
+# codec unit tests (no Spark): every format round-trips bit-exactly
+# ---------------------------------------------------------------------------
+
+RASTER = bytes(range(20)) * 3  # 60 bytes
+W, H = 10, 6
+
+
+def test_ppm_roundtrip():
+    w, h, gray = decode_media(encode_ppm(RASTER, W, H))
+    assert (w, h, gray) == (W, H, RASTER)
+
+
+def test_pgm_roundtrip():
+    w, h, gray = decode_media(encode_pgm(RASTER, W, H))
+    assert (w, h, gray) == (W, H, RASTER)
+
+
+def test_bmp_roundtrip_bottom_up():
+    # width 10 -> 30-byte rows pad to 32: exercises the 4-byte row stride
+    w, h, gray = decode_media(encode_bmp(RASTER, W, H))
+    assert (w, h, gray) == (W, H, RASTER)
+
+
+def test_bmp_top_down():
+    # negative height = top-down row order per the BMP spec
+    import struct
+
+    b = bytearray(encode_bmp(RASTER, W, H))
+    # flip height sign and reverse the stored row order
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    struct.pack_into("<i", b, 22, -H)
+    stride = (W * 3 + 3) & ~3
+    rows = [bytes(b[data_off + y * stride : data_off + (y + 1) * stride]) for y in range(H)]
+    b[data_off:] = b"".join(reversed(rows))
+    w, h, gray = decode_media(bytes(b))
+    assert (w, h, gray) == (W, H, RASTER)
+
+
+def test_pnm_header_comments_and_whitespace():
+    # the Netpbm spec allows # comments and arbitrary whitespace in the header
+    payload = b"P5\n# a comment\n  10\t6 # trailing\n255\n" + RASTER
+    assert decode_media(payload) == (W, H, RASTER)
+
+
+def test_rgb_luminance_is_bt601():
+    # a non-gray pixel reduces with the integer (299, 587, 114)/1000 weights
+    ppm = b"P6\n1 1\n255\n" + bytes((200, 100, 50))
+    _, _, gray = decode_media(ppm)
+    assert gray == bytes([(299 * 200 + 587 * 100 + 114 * 50) // 1000])
+
+
+def test_unsupported_magic_raises():
+    with pytest.raises(ValueError, match="unsupported media payload"):
+        decode_media(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_text_to_ppm_pads_with_last_byte():
+    t = b"hello world"  # n=11 -> 4x3 grid, one pad byte
+    w, h = square_grid(len(t))
+    got_w, got_h, gray = decode_media(text_to_ppm(t))
+    assert (got_w, got_h) == (w, h)
+    assert gray[: len(t)] == t
+    assert gray[len(t) :] == t[-1:] * (w * h - len(t))
+
+
+# ---------------------------------------------------------------------------
+# pipeline contracts over the real fixture payloads
+# ---------------------------------------------------------------------------
+
+
 def _payloads(spark):
-    d = load_table(spark, SF_DIR, "documents")
-    return d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return _ppm_payloads(load_table(spark, SF_DIR, "documents"))
 
 
 def test_sample_frames_expands_rows(spark):
-    p = _payloads(spark)
-    expected = p.select(
-        F.sum(F.floor(F.length("payload") / FRAME_BYTES) + 1).cast("bigint")
-    ).collect()[0][0]
-    frames = sample_frames(p)
-    assert frames.count() == expected
-    # frames reassemble to the original payload
-    rebuilt = (
-        frames.groupBy("doc_id")
-        .agg(F.sum(F.length("frame")).alias("n"))
-        .join(p.select("doc_id", F.length("payload").alias("expected_n")), "doc_id")
-        .filter(F.col("n") != F.col("expected_n"))
-        .count()
-    )
-    assert rebuilt == 0
+    p = _payloads(spark).cache()
+    try:
+        # expected frames per doc: decoded pixels (w*h) // stride + 1
+        n_pix = F.pandas_udf(
+            lambda s: s.map(lambda b: len(decode_media(bytes(b))[2])), "long"
+        )
+        sized = p.select("doc_id", n_pix("payload").alias("n"))
+        expected = sized.select(
+            F.sum(F.floor(F.col("n") / FRAME_BYTES) + 1).cast("bigint")
+        ).collect()[0][0]
+        frames = sample_frames(p)
+        assert frames.count() == expected
+        # frames reassemble to the full decoded raster
+        bad = (
+            frames.groupBy("doc_id")
+            .agg(F.sum(F.length("frame")).alias("got"))
+            .join(sized, "doc_id")
+            .filter(F.col("got") != F.col("n"))
+            .count()
+        )
+        assert bad == 0
+    finally:
+        p.unpersist()
 
 
 def test_media_embedding_feeds_similarity_stack(spark):
@@ -56,16 +142,20 @@ def test_embedding_dim_and_total(spark):
     p = {r["doc_id"]: r for r in _payloads(spark).collect()}
     for r in rows[:50]:
         assert len(r["embedding"]) == EMBED_DIM
-        assert sum(r["embedding"]) == len(bytes(p[r["doc_id"]]["payload"]))
+        # histogram mass == decoded pixel count (w*h, including clamp padding)
+        _, _, gray = decode_media(bytes(p[r["doc_id"]]["payload"]))
+        assert sum(r["embedding"]) == len(gray)
 
 
 def test_resize_identity_on_square_input(spark):
-    """Resizing an exactly 8x8 byte raster to 8x8 must return it unchanged
+    """Resizing an exactly 8x8 image to 8x8 must return it unchanged
     (nearest-neighbor with matching grids is the identity)."""
     from iceberg_benchmark_poc_spark.operators.multimodal import resize_media
 
-    payload = bytes(range(64))
-    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    raster = bytes(range(64))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(raster, 8, 8)))], "doc_id long, payload binary"
+    )
     [row] = resize_media(df).collect()
     assert (row["width"], row["height"]) == (8, 8)
-    assert bytes(row["pixels"]) == payload
+    assert bytes(row["pixels"]) == raster
