@@ -155,11 +155,6 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     operationally as the migration path: warehouses arriving from
     Hive/Trino are ORC, and "switch the reader call" is the whole story.
 
-    Avro, the remaining interchange format, is NOT registered: pyspark
-    ships avro-core but not the spark-avro datasource module, so
-    ``spark.read.format("avro")`` raises AnalysisException in this
-    container (same absent-dependency policy as the Iceberg runtime jar —
-    see README "Iceberg note").
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", _spark_payload(True).alias("payload"), "n_chars"
@@ -167,6 +162,82 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "docs_orc")
     d.write.mode("overwrite").orc(path)
     back = spark.read.schema(_READ_SCHEMA).orc(path)
+    return _roundtrip_agg(back)
+
+
+#: avro record schema for the round-trip documents slice
+_AVRO_FIELDS = [
+    ("doc_id", "long"),
+    ("lang", "string"),
+    ("payload", "string"),
+    ("n_chars", "long"),
+]
+
+
+@register(
+    "q_avro_roundtrip", oracle=_oracle(_duck_payload(True)), tags=("source", "sink", "avro")
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink -> Avro source -> per-language content fingerprint.
+
+    pyspark bundles avro-core (the Java library) but NOT the spark-avro
+    datasource module, so ``spark.read.format("avro")`` raises here. The
+    interchange format still has to work, so the engine carries its own
+    spec-conforming Object Container File codec (operators/avro.py —
+    deflate blocks, zigzag varints, sync markers) certified against the
+    bundled JAVA avro-core in tests/test_avro.py. Execution shape: the
+    encode runs in a mapInPandas leaf (one .avro container per input
+    partition, written executor-side — the same per-task file layout every
+    Spark sink uses), the decode in another (one file per task), so both
+    directions parallelize with no shuffle and the only driver-side step
+    is the directory listing any file source performs. The payload carries
+    the full newline/tab/backslash torture tail; Avro strings are
+    length-prefixed so it must survive byte-identically for the
+    fingerprint sum to match the parquet-side oracle.
+    """
+    import pandas as pd
+
+    from ..operators.avro import read_ocf, write_ocf
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", _spark_payload(True).alias("payload"), "n_chars"
+    )
+    path = _scratch(sf_dir, "docs_avro")
+    os.makedirs(path, exist_ok=True)
+    for leaf in os.listdir(path):  # overwrite semantics, like every sink here
+        os.unlink(os.path.join(path, leaf))
+
+    def write_part(batches):
+        from pyspark import TaskContext
+
+        rows: list[tuple] = []
+        for pdf in batches:
+            rows.extend(zip(pdf["doc_id"], pdf["lang"], pdf["payload"], pdf["n_chars"]))
+        if rows:
+            pid = TaskContext.get().partitionId()
+            write_ocf(
+                os.path.join(path, f"part-{pid:05d}.avro"),
+                _AVRO_FIELDS,
+                [(int(a), str(b), str(c), int(e)) for a, b, c, e in rows],
+            )
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    # materialize the sink (noop sink: the files are written in the tasks,
+    # nothing returns to the driver)
+    d.mapInPandas(write_part, "n long").write.format("noop").mode("overwrite").save()
+
+    files = sorted(os.path.join(path, f) for f in os.listdir(path))
+
+    def read_part(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                _, rows = read_ocf(p)
+                yield pd.DataFrame(rows, columns=[n for n, _ in _AVRO_FIELDS])
+
+    files_df = spark.createDataFrame([(f,) for f in files], "path string")
+    back = files_df.repartition(max(len(files), 1)).mapInPandas(
+        read_part, "doc_id bigint, lang string, payload string, n_chars bigint"
+    )
     return _roundtrip_agg(back)
 
 

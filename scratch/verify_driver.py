@@ -41,7 +41,13 @@ n = len(mod.entry(spark).collect())
 assert n > 0, "t1 smoke: entry() returned no rows"
 print(f"t1 smoke OK ({n} rows)")
 
-SF = f"/root/testdata/sf{os.environ.get('SPARK_GRAFT_VERIFY_SF', '0.01')}"
+# SPARK_GRAFT_VERIFY_DIR points at any table directory (e.g. the /tmp/sf1
+# scale-up from scratch/make_sf1.py); SPARK_GRAFT_VERIFY_SF picks a stock
+# testdata scale
+SF = os.environ.get(
+    "SPARK_GRAFT_VERIFY_DIR",
+    f"/root/testdata/sf{os.environ.get('SPARK_GRAFT_VERIFY_SF', '0.01')}",
+)
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
           "events", "documents", "embeddings"]:
@@ -117,5 +123,4 @@ for name, fn in sorted(mod.queries().items()):
 if failures:
     print("FAILURES:", failures)
     sys.exit(1)
-sf_val = os.environ.get("SPARK_GRAFT_VERIFY_SF", "0.01")
-print(f"{n_checked}/{len(mod.queries())} queries verified at sf{sf_val}")
+print(f"{n_checked}/{len(mod.queries())} queries verified at {SF}")

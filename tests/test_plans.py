@@ -335,6 +335,7 @@ ARROW_PYTHON_ALLOWED = {
     "q_media_embed",
     "q_media_features",
     "q_media_resize",
+    "q_avro_roundtrip",  # pure-python OCF codec in mapInPandas leaves
 }
 
 #: BroadcastNestedLoopJoin is acceptable only when the broadcast side is

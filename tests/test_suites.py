@@ -150,7 +150,10 @@ def test_bench_headline_fits_driver_tail():
     suites = {
         "writer_org": {"bytes_reduction_x": 12345.6},
         "delete_storm": {"modeled_speedup_x": 123456.7},
-        "parallel_fetch": {"parallel_vs_inline_x": 123.45},
+        "parallel_fetch": {
+            "parallel_vs_inline_x": 123.45,
+            "metadata_requests_external": 100000,
+        },
         "manifest_parse": {"parse_ms_32mb": 12345.67},
         "density_policy": {"decision_wall_ms": 123456.78},
         "dv_resolution": {"100000": {"hash_join_ms": 12345.6, "positional_join_ms": 12345.6}},
