@@ -148,7 +148,7 @@ def test_time_travel_matches_replay(spark, log):
 @settings(**SETTINGS)
 def test_change_events_match_replay_diffs(spark, log, data):
     n = len(log.commits)
-    lo = data.draw(st.integers(-1, n - 1), label="lo")
+    lo = data.draw(st.integers(-1, n - 2), label="lo")
     hi = data.draw(st.integers(lo + 1, n - 1), label="hi")
     states = log.snapshots()
     # brute force: per-commit adds/removes from consecutive set differences
