@@ -16,10 +16,10 @@ Record encoding is the spec's binary encoding: fields in schema order, no
 tags — long/int as zigzag varints, string/bytes length-prefixed, double as
 little-endian IEEE 754. "deflate" is RFC 1951 raw deflate per the spec.
 
-Interop is certified two ways (tests/test_avro.py): a python round-trip
-property test, and the bundled JAVA avro-core reading files this writer
-produced (and vice versa is unnecessary — the reader is exercised against
-the writer the Java library validated). The Spark integration
+Interop is certified three ways (tests/test_avro.py): a python round-trip
+property test, the bundled JAVA avro-core reading files this writer
+produced, and this reader decoding files Java's DataFileWriter produced
+(both codecs in both directions). The Spark integration
 (queries/sources.py q_avro_roundtrip) runs the codec in mapInPandas leaves
 so encode/decode parallelize per-partition with no shuffle.
 """
