@@ -1389,57 +1389,92 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 32) AS prefix
           FROM documents
         ),
-        blocked AS (
-          SELECT doc_id, lang, prefix, substr(prefix, 1, 8) AS blk FROM norm
+        classes AS (
+          SELECT lang, prefix, substr(prefix, 1, 8) AS blk,
+                 count(*) AS n, min(doc_id) AS rep
+          FROM norm GROUP BY lang, prefix
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
-        FROM blocked a
-        JOIN blocked b ON a.blk = b.blk AND a.lang = b.lang AND a.doc_id < b.doc_id
+        SELECT rep AS rep_a, rep AS rep_b,
+               CAST(0 AS INTEGER)         AS edit_dist,
+               (n * (n - 1)) // 2         AS n_pairs
+        FROM classes WHERE n >= 2
+        UNION ALL
+        SELECT least(a.rep, b.rep)    AS rep_a,
+               greatest(a.rep, b.rep) AS rep_b,
+               CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist,
+               a.n * b.n              AS n_pairs
+        FROM classes a
+        JOIN classes b ON a.blk = b.blk AND a.lang = b.lang AND a.prefix < b.prefix
         WHERE levenshtein(a.prefix, b.prefix) <= 4
         """,
     tags=("text", "dedup", "fuzzy"),
 )
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairing: blocked levenshtein over normalized
-    prefixes — the fuzzy-match leg of the dedup family.
+    """Edit-distance near-dup pairing: blocked levenshtein over DISTINCT
+    normalized prefixes — the fuzzy-match leg of the dedup family.
 
     Documents normalize (casefold, whitespace-collapse) to a fixed 32-char
-    prefix fingerprint; candidates come from an equi-join on (lang, 8-char
-    block key), so the quadratic levenshtein verify only ever runs inside a
-    block, never across the corpus. Unlike the token-set members (minhash/
-    ngram-jaccard), edit distance catches character-level mutations —
-    typos, OCR noise — that leave most shingles broken.
+    prefix fingerprint, then collapse to (lang, prefix) equivalence classes
+    BEFORE any pairing: each class carries its size and a representative
+    doc_id (min). Candidates come from an equi-join on (lang, 8-char block
+    key) over the classes, so the quadratic levenshtein verify only ever
+    runs between distinct fingerprints; identical-prefix duplicates
+    contribute one edit_dist=0 row per class with the pair count n*(n-1)/2
+    in closed form. Unlike the token-set members (minhash/ngram-jaccard),
+    edit distance catches character-level mutations — typos, OCR noise —
+    that leave most shingles broken.
 
-    Scale: the block key is the classic record-linkage blocking scheme; the
+    Scale: collapsing before pairing is what survives duplication depth —
+    the sf0.1->sf1 scale-up (10-deep exact-dup classes, distinct prefixes
+    CONSTANT at ~4.9K while docs went 5K->50K) made the earlier all-pairs
+    form's candidate set grow 128x (8.1K->1.04M) and its output 2,948x
+    (79->232,900 rows) for 10x data: quadratic in dup depth, the shape that
+    melts down on web-scale corpora where popular pages repeat millions of
+    times. Class-level pairing is invariant to depth — candidates and
+    output are a function of DISTINCT content only — and the doc-level pair
+    list stays recoverable by joining each side back to class members. The
+    8-char block key is the classic record-linkage blocking scheme; the
     fingerprint is fixed-width so the verify is O(32^2) per candidate
-    regardless of document length, inside codegen (no UDF — levenshtein is
-    a JVM built-in). Block-size skew is the knob: a hotter corpus wants a
-    longer block key or a second pass with Spark's thresholded
-    levenshtein(l, r, max) to short-circuit the DP early.
+    inside codegen (no UDF — levenshtein is a JVM built-in).
     """
     d = _docs(spark, sf_dir)
-    norm = d.select(
-        "doc_id",
-        "lang",
-        F.substring(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 32
-        ).alias("prefix"),
+    classes = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.substring(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 32
+            ).alias("prefix"),
+        )
+        .groupBy("lang", "prefix")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("rep"))
+        .withColumn("blk", F.substring("prefix", 1, 8))
     )
-    blocked = norm.withColumn("blk", F.substring("prefix", 1, 8))
-    a = blocked.select(
-        F.col("doc_id").alias("doc_a"), "lang", F.col("prefix").alias("pa"), "blk"
+    self_pairs = classes.filter(F.col("n") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.lit(0).cast("int").alias("edit_dist"),
+        F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
     )
-    b = blocked.select(
-        F.col("doc_id").alias("doc_b"), "lang", F.col("prefix").alias("pb"), "blk"
+    a = classes.select(
+        "blk", "lang", F.col("prefix").alias("pa"), F.col("n").alias("na"), F.col("rep").alias("ra")
     )
-    return (
+    b = classes.select(
+        "blk", "lang", F.col("prefix").alias("pb"), F.col("n").alias("nb"), F.col("rep").alias("rb")
+    )
+    cross = (
         a.join(b, ["blk", "lang"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("pa") < F.col("pb"))
         .withColumn("edit_dist", F.levenshtein("pa", "pb").cast("int"))
         .filter(F.col("edit_dist") <= 4)
-        .select("doc_a", "doc_b", "edit_dist")
+        .select(
+            F.least("ra", "rb").alias("rep_a"),
+            F.greatest("ra", "rb").alias("rep_b"),
+            "edit_dist",
+            (F.col("na") * F.col("nb")).alias("n_pairs"),
+        )
     )
+    return self_pairs.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------

@@ -253,3 +253,54 @@ def test_containment_exact_on_candidates_and_recall(spark):
             if inter / len(b) >= CONTAINMENT_MIN and (db, da) not in got:
                 missed.append((db, da))
     assert not missed, f"high-jaccard containment pairs missed: {missed[:5]}"
+
+
+def test_fuzzy_pairs_class_form_equals_all_pairs_brute_force(spark):
+    """q_fuzzy_pairs' class-level rows must reproduce the doc-level all-pairs
+    answer exactly: sum(n_pairs) per (class pair) == brute-force count of doc
+    pairs at that edit distance, including the edit_dist=0 within-class pairs
+    the collapsed form carries in closed form (n*(n-1)/2)."""
+    from iceberg_benchmark_poc_spark.queries.textpipe import q_fuzzy_pairs
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang", "text").collect()
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    norm = [
+        (r["doc_id"], r["lang"], re.sub(r"\s+", " ", r["text"].strip().lower())[:32])
+        for r in docs
+    ]
+    # brute force over EVERY doc pair in the same (lang, 8-char block)
+    expect_total = 0
+    expect_by_dist: Counter = Counter()
+    for i in range(len(norm)):
+        for j in range(i + 1, len(norm)):
+            (ia, la, pa), (ib, lb, pb) = norm[i], norm[j]
+            if la != lb or pa[:8] != pb[:8]:
+                continue
+            d = lev(pa, pb)
+            if d <= 4:
+                expect_total += 1
+                expect_by_dist[d] += 1
+
+    rows = q_fuzzy_pairs(spark, SF_DIR).collect()
+    got_total = sum(r["n_pairs"] for r in rows)
+    got_by_dist: Counter = Counter()
+    for r in rows:
+        got_by_dist[r["edit_dist"]] += r["n_pairs"]
+    assert got_total == expect_total
+    assert got_by_dist == expect_by_dist
+    # class invariants: self-pair rows are rep_a == rep_b with >=1 pair,
+    # cross rows carry distinct representatives
+    for r in rows:
+        if r["edit_dist"] == 0 and r["rep_a"] == r["rep_b"]:
+            assert r["n_pairs"] >= 1
+        else:
+            assert r["rep_a"] < r["rep_b"]
