@@ -1309,53 +1309,87 @@ SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
     "q_simhash_pairs",
     oracle=f"""
         WITH {_SIMHASH_CTE.strip()},
+        classes AS (
+          SELECT simhash, count(*) AS n, min(doc_id) AS rep
+          FROM sigs60 GROUP BY simhash
+        ),
         nib AS (
-          SELECT doc_id, simhash, CAST(b.range AS INTEGER) AS band,
+          SELECT simhash, n, rep, CAST(b.range AS INTEGER) AS band,
                  (simhash >> CAST(b.range * {SIMHASH_BAND_BITS} AS INTEGER)) & {SIMHASH_BAND_MASK}
                    AS chunk
-          FROM sigs60, range({N_SIMHASH_BANDS}) b
+          FROM classes, range({N_SIMHASH_BANDS}) b
         ),
         cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
-                          b.doc_id AS doc_b, b.simhash AS sig_b
+          SELECT DISTINCT a.simhash AS sig_a, a.n AS na, a.rep AS ra,
+                          b.simhash AS sig_b, b.n AS nb, b.rep AS rb
           FROM nib a JOIN nib b
-            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+            ON a.band = b.band AND a.chunk = b.chunk AND a.simhash < b.simhash
         )
-        SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        SELECT rep AS rep_a, rep AS rep_b,
+               CAST(0 AS INTEGER) AS hamming,
+               (n * (n - 1)) // 2 AS n_pairs
+        FROM classes WHERE n >= 2
+        UNION ALL
+        SELECT least(ra, rb)    AS rep_a,
+               greatest(ra, rb) AS rep_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming,
+               na * nb          AS n_pairs
         FROM cand
         WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_HAM_MAX}
         """,
     tags=("text", "dedup", "simhash"),
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairing: banded hamming-distance self-join.
+    """SimHash near-dup pairing: banded hamming self-join over DISTINCT
+    signatures.
 
     Completes the SimHash leg (q_simhash builds signatures; this finds the
     pairs): signatures pair when their hamming distance is <= 3 of 60 bits.
-    Candidates come from an equi-join on 15-bit bands — by pigeonhole, <= 3
-    differing bits leave at least one of the 4 bands identical, so banding
-    has EXACTLY recall 1.0 here (verified in tests against the all-pairs
-    baseline), unlike the probabilistic minhash/sign-LSH bands.
+    Documents collapse to signature equivalence classes FIRST — each class
+    carries its size and a representative doc_id (min) — then candidates
+    come from an equi-join on 15-bit bands over the classes: by pigeonhole,
+    <= 3 differing bits leave at least one of the 4 bands identical, so
+    banding has EXACTLY recall 1.0 here (verified in tests against the
+    all-pairs baseline), unlike the probabilistic minhash/sign-LSH bands.
+    Identical-signature duplicates contribute one hamming=0 row per class
+    with the n*(n-1)/2 pair count in closed form; cross-class rows carry
+    the size product, so the doc-level pair list stays recoverable by
+    membership join.
 
-    Scale: the self-join key is (band, chunk) — each signature replicates 4
-    times (vs the corpus-squared all-pairs scan), and the verify is one
-    bit_count(xor) per candidate, integer-only inside codegen. This is the
-    cheapest member of the dedup family: no shingles, no arrays, signatures
-    are one BIGINT of payload per row at rest.
+    Scale: collapsing before banding is what survives duplication depth —
+    before it, the sf1 scale-up's 10-deep dup classes made this query emit
+    27.4M doc pairs (quadratic in depth) and shuffle them through the
+    candidate-dedup; over classes, candidates and output are a function of
+    DISTINCT signatures only. The verify is one bit_count(xor) per
+    candidate, integer-only inside codegen. This is the cheapest member of
+    the dedup family: no shingles, no arrays, signatures are one BIGINT of
+    payload per row at rest.
     """
     from pyspark import StorageLevel
 
     d = _docs(spark, sf_dir)
     # the signature build (tokenize -> 60 per-bit votes) feeds 4 band
-    # branches x 2 join sides — without materialization Spark recomputes the
-    # word-explode pass 8x; persisted, it runs once and the banded join works
-    # on single-BIGINT signatures only
-    sigs = simhash_sig(d).persist(StorageLevel.MEMORY_AND_DISK)
+    # branches x 2 join sides + the self-pair branch — without
+    # materialization Spark recomputes the word-explode pass 9x; persisted,
+    # it runs once and everything downstream works on one BIGINT per CLASS
+    classes = (
+        simhash_sig(d)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    self_pairs = classes.filter(F.col("n") >= 2).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.lit(0).cast("int").alias("hamming"),
+        F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
+    )
     nib = None
     for b in range(N_SIMHASH_BANDS):
-        one = sigs.select(
-            "doc_id",
+        one = classes.select(
             "simhash",
+            "n",
+            "rep",
             F.lit(b).alias("band"),
             F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b)
             .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
@@ -1363,22 +1397,29 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nib = one if nib is None else nib.unionByName(one)
     cand = (
-        nib.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "chunk")
+        nib.select(
+            F.col("simhash").alias("sig_a"), F.col("n").alias("na"), F.col("rep").alias("ra"),
+            "band", "chunk",
+        )
         .join(
             nib.select(
-                F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "chunk"
+                F.col("simhash").alias("sig_b"), F.col("n").alias("nb"), F.col("rep").alias("rb"),
+                "band", "chunk",
             ),
             ["band", "chunk"],
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "sig_a", "doc_b", "sig_b")
+        .filter(F.col("sig_a") < F.col("sig_b"))
+        .select("sig_a", "na", "ra", "sig_b", "nb", "rb")
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.filter(hamming <= SIMHASH_HAM_MAX)
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    cross = cand.filter(hamming <= SIMHASH_HAM_MAX).select(
+        F.least("ra", "rb").alias("rep_a"),
+        F.greatest("ra", "rb").alias("rep_b"),
+        hamming.cast("int").alias("hamming"),
+        (F.col("na") * F.col("nb")).alias("n_pairs"),
     )
+    return self_pairs.unionByName(cross)
 
 
 @register(

@@ -180,16 +180,21 @@ def test_simhash_pairs_exact_all_pairs(spark):
 
     sigs = {r["doc_id"]: r["simhash"] for r in q_simhash(spark, SF_DIR).collect()}
     ids = sorted(sigs)
-    expected = {
-        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
-        for i, a in enumerate(ids)
-        for b in ids[i + 1 :]
-        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_HAM_MAX
-    }
-    got = {
-        (r["doc_a"], r["doc_b"], r["hamming"])
-        for r in q_simhash_pairs(spark, SF_DIR).collect()
-    }
+    # brute-force all doc pairs, then aggregate to the class-representative
+    # form the query emits: (rep_a, rep_b, hamming) -> number of doc pairs
+    rep = {}
+    for d, s in sigs.items():
+        rep[s] = min(rep.get(s, d), d)
+    expected: Counter = Counter()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= SIMHASH_HAM_MAX:
+                ra, rb = sorted((rep[sigs[a]], rep[sigs[b]]))
+                expected[(ra, rb, ham)] += 1
+    got: Counter = Counter()
+    for r in q_simhash_pairs(spark, SF_DIR).collect():
+        got[(r["rep_a"], r["rep_b"], r["hamming"])] += r["n_pairs"]
     assert got == expected
     assert expected, "fixture yields no simhash pairs; banding untested"
 
