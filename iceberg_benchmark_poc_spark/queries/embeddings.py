@@ -240,8 +240,10 @@ NEARDUP_THRESHOLD = 0.35
 #: classic banding amplification (s = per-bit agreement probability).
 N_NEARDUP_BANDS = 3
 
-_BANDS_CTE = "\nUNION ALL\n".join(
-    f"SELECT vec_id, {b} AS band, {_band_bucket_sql(b)} AS bucket FROM embeddings"
+#: sign-LSH banding read from the exact-dup `classes` CTE (one rep per
+#: distinct vector) — q_embed_neardup collapses before banding
+_BANDS_CLASSES_CTE = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {b} AS band, {_band_bucket_sql(b)} AS bucket FROM classes"
     for b in range(N_NEARDUP_BANDS)
 )
 
@@ -249,9 +251,18 @@ _BANDS_CTE = "\nUNION ALL\n".join(
 @register(
     "q_embed_neardup",
     oracle=f"""
-        WITH {_NORMS_CTE.strip()},
+        WITH classes AS (
+          SELECT min(vec_id) AS vec_id, count(*) AS n, embedding
+          FROM embeddings GROUP BY embedding
+        ),
+        norms AS (
+          SELECT vec_id, sqrt(CAST(SUM(xq * xq) AS DOUBLE)) AS norm
+          FROM (SELECT vec_id, CAST(floor(CAST(x AS DOUBLE) * {float(QUANT_SCALE)}) AS BIGINT) AS xq
+                FROM (SELECT vec_id, unnest(embedding) AS x FROM classes))
+          GROUP BY vec_id
+        ),
         bands AS (
-          {_BANDS_CTE}
+          {_BANDS_CLASSES_CTE}
         ),
         cand AS (
           SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
@@ -264,8 +275,8 @@ _BANDS_CTE = "\nUNION ALL\n".join(
             SELECT c.keep_id, c.dup_id,
                    unnest(list_zip(ka.embedding, da.embedding)) AS z
             FROM cand c
-            JOIN embeddings ka ON ka.vec_id = c.keep_id
-            JOIN embeddings da ON da.vec_id = c.dup_id
+            JOIN classes ka ON ka.vec_id = c.keep_id
+            JOIN classes da ON da.vec_id = c.dup_id
           )
           GROUP BY 1, 2
         ),
@@ -276,34 +287,50 @@ _BANDS_CTE = "\nUNION ALL\n".join(
           JOIN norms nk ON nk.vec_id = d.keep_id
           JOIN norms nd ON nd.vec_id = d.dup_id
         )
-        SELECT vec_id, keep_id AS dup_of, cosine
+        SELECT vec_id, vec_id AS dup_of,
+               CAST(1.0 AS DOUBLE) AS cosine, n AS n_copies
+        FROM classes WHERE n >= 2
+        UNION ALL
+        SELECT r.vec_id, r.keep_id AS dup_of, r.cosine, c.n AS n_copies
         FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, keep_id) AS rn
           FROM pairs
           WHERE cosine >= {NEARDUP_THRESHOLD}
-        )
-        WHERE rn = 1
+        ) r
+        JOIN classes c ON c.vec_id = r.vec_id
+        WHERE r.rn = 1
         """,
     tags=("embeddings", "dedup", "similarity", "lsh"),
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate dedup: banded LSH candidates + exact verify.
+    """Embedding-cosine near-duplicate dedup: banded LSH candidates + exact
+    verify, over exact-dup vector classes.
 
     The embedding leg of the dedup family (exact / minhash / simhash /
-    n-gram Jaccard live in textpipe): candidate pairs come from OR-combined
-    sign-LSH bands — a pair qualifies if ANY of the 3 bands' 4-bit buckets
-    collide (1-(1-s^4)^3 amplification, the same banding as
-    q_minhash_dedup) — then exact cosine verifies each candidate, and each
-    duplicate is attributed to its best-matching smaller-id keeper — drop
-    `vec_id IN (SELECT vec_id FROM this)` is the dedup action.
+    n-gram Jaccard live in textpipe): vectors first collapse to
+    identical-content classes (size + min-vec_id representative) — the
+    embedding analog of the class collapse in q_fuzzy_pairs/
+    q_minhash_dedup — then candidate pairs come from OR-combined sign-LSH
+    bands over the DISTINCT vectors — a pair qualifies if ANY of the 3
+    bands' 4-bit buckets collide (1-(1-s^4)^3 amplification, the same
+    banding as q_minhash_dedup) — then exact cosine verifies each
+    candidate, and each duplicate is attributed to its best-matching
+    smaller-id keeper. Classes with n >= 2 emit one (rep, rep, 1.0, n) row
+    — their n-1 copies fold into the representative in closed form — so
+    drop `vec_id IN (SELECT vec_id FROM this WHERE dup_of != vec_id)` plus
+    keep-one-per-class remains the dedup action.
 
-    Scale: the self-join is an equi-join on (band, bucket), shuffling each
-    vector N_BANDS times (the LSH trade: linear replication buys quadratic
-    comparison savings; within a band only 2^-bits of pairs compare).
-    Candidates dedup BEFORE the exact-cosine verify so a pair colliding in
-    all 3 bands scores once, not thrice. Bucket skew is AQE's skew-join
-    case. Precision stays 1.0 by construction (exact verify); recall vs the
-    brute-force pair set is measured in tests.
+    Scale: collapsing first makes candidates a function of DISTINCT
+    vectors — before it, the sf1 scale-up's 10-deep identical-vector
+    classes collided in every band and grew the exact-verify volume ~100x
+    for 10x data. The self-join is an equi-join on (band, bucket),
+    shuffling each distinct vector N_BANDS times (the LSH trade: linear
+    replication buys quadratic comparison savings; within a band only
+    2^-bits of pairs compare). Candidates dedup BEFORE the exact-cosine
+    verify so a pair colliding in all 3 bands scores once, not thrice.
+    Bucket skew is AQE's skew-join case. Precision stays 1.0 by
+    construction (exact verify); recall vs the brute-force pair set is
+    measured in tests.
 
     Tuning (N_HYPERPLANES bits x N_NEARDUP_BANDS bands): candidate noise is
     ~bands * n^2 / 2^bits pairs, recall ~1-(1-s^bits)^bands with s the
@@ -314,8 +341,21 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     should raise to 12-16 bits x 6-10 bands: noise shrinks by ~2^10 while
     recall stays >= 0.9 — same plan, two constants.
     """
+    from pyspark import StorageLevel
+
     emb = load_table(spark, sf_dir, "embeddings")
-    feats = emb.select(
+    classes = (
+        emb.groupBy("embedding")
+        .agg(F.min("vec_id").alias("vec_id"), F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    self_rows = classes.filter(F.col("n") >= 2).select(
+        "vec_id",
+        F.col("vec_id").alias("dup_of"),
+        F.lit(1.0).alias("cosine"),
+        F.col("n").alias("n_copies"),
+    )
+    feats = classes.select(
         "vec_id",
         quantize(F.col("embedding")).alias("qe"),
         *[_bucket_col(b).alias(f"bucket{b}") for b in range(N_NEARDUP_BANDS)],
@@ -359,11 +399,18 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("keep_id"))
-    return (
+    cross = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("keep_id").alias("dup_of"), "cosine")
+        .join(classes.select("vec_id", "n"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("keep_id").alias("dup_of"),
+            "cosine",
+            F.col("n").alias("n_copies"),
+        )
     )
+    return self_rows.unionByName(cross)
 
 
 #: fixed-point scale for centroid accumulation: floor(x * 2^24) is computed

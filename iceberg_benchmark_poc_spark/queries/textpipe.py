@@ -301,7 +301,29 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_minhash_dedup",
     oracle=f"""
-        WITH {_SHINGLES_CTE.strip()},
+        WITH classes AS (
+          SELECT min(doc_id) AS doc_id, count(*) AS n, text
+          FROM documents GROUP BY text
+        ),
+        words AS (
+          SELECT doc_id, trim(text) AS txt,
+                 string_split_regex(trim(text), '\\s+') AS ws
+          FROM classes
+        ),
+        widx AS (
+          SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words
+        ),
+        shingles AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM widx WHERE i <= len(ws) - 2
+          UNION
+          SELECT DISTINCT doc_id, txt AS shingle FROM words WHERE len(ws) < 3
+        ),
+        hashed AS (
+          SELECT doc_id, shingle,
+                 (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {PORTABLE_HASH_PRIME} AS h
+          FROM shingles
+        ),
         sigs AS (
           SELECT doc_id, CAST(k.range AS INTEGER) AS k,
                  MIN(((k.range * 2 + 3) * h + (k.range * 5 + 7)) % {PORTABLE_HASH_PRIME}) AS minhash
@@ -326,36 +348,82 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
           LEFT JOIN hashed sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
           GROUP BY 1, 2
         )
-        SELECT i.doc_a, i.doc_b,
-               i.inter / (za.n + zb.n - i.inter) AS jaccard
+        SELECT doc_id AS rep_a, doc_id AS rep_b,
+               CAST(1.0 AS DOUBLE) AS jaccard,
+               (n * (n - 1)) // 2  AS n_pairs
+        FROM classes WHERE n >= 2
+        UNION ALL
+        SELECT i.doc_a                             AS rep_a,
+               i.doc_b                             AS rep_b,
+               i.inter / (za.n + zb.n - i.inter)   AS jaccard,
+               ca.n * cb.n                         AS n_pairs
         FROM inter i
         JOIN sizes za ON za.doc_id = i.doc_a
         JOIN sizes zb ON zb.doc_id = i.doc_b
+        JOIN classes ca ON ca.doc_id = i.doc_a
+        JOIN classes cb ON cb.doc_id = i.doc_b
         """,
     tags=("text", "dedup", "lsh"),
 )
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate candidates with exact Jaccard verification.
+    """MinHash + LSH near-duplicate candidates with exact Jaccard
+    verification, over exact-dup equivalence classes.
 
-    The full scale pipeline: shingle (word trigrams, packed arrays) -> 8
-    minhashes per doc (array_min over transformed hash arrays — zero
-    shuffles) -> 4 LSH bands -> band-bucket self-join for candidates ->
-    exact shingle Jaccard (array_intersect) only on candidates. Corpus x
+    Documents collapse to identical-text classes FIRST (size + min-doc_id
+    representative); the whole pipeline then runs over one representative
+    per class: shingle (word trigrams, packed arrays) -> 8 minhashes per
+    rep (array_min over transformed hash arrays — zero shuffles) -> 4 LSH
+    bands -> band-bucket self-join for candidates -> exact shingle Jaccard
+    (array_intersect) only on candidates. Within-class duplicates
+    contribute one jaccard=1.0 row per class with the n*(n-1)/2 pair count
+    in closed form; cross rows carry size products, so the doc-level pair
+    list stays recoverable by membership join.
+
+    Scale: collapsing first is doubly load-bearing here — besides making
+    candidates/output a function of DISTINCT content (invariant to
+    duplication depth; see q_fuzzy_pairs for the measured sf1 blow-up the
+    all-pairs form suffers), it also runs the expensive shingle+hash
+    construction once per distinct text instead of once per copy. Corpus x
     corpus comparison cost collapses from O(n^2) to O(collisions), and
     per-shingle rows never hit a shuffle: the only shuffled shapes are
-    n_docs x 4 band strings and the candidate docs' shingle arrays.
+    n_classes x 4 band strings and the candidate reps' shingle arrays.
 
-    The shingled corpus feeds two consumers (signatures and Jaccard verify),
-    so it is persisted MEMORY_AND_DISK — the standard iterative-reuse
-    pattern; without it the tokenize+md5 pass runs twice.
+    The class table feeds three consumers (self-pairs, the rep pipeline,
+    the size joins) and the shingled reps feed two (signatures and Jaccard
+    verify), so both persist MEMORY_AND_DISK — the standard iterative-reuse
+    pattern.
     """
     from pyspark import StorageLevel
 
     d = _docs(spark, sf_dir)
-    docs_arr = shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
+    classes = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    self_pairs = classes.filter(F.col("n") >= 2).select(
+        F.col("doc_id").alias("rep_a"),
+        F.col("doc_id").alias("rep_b"),
+        F.lit(1.0).alias("jaccard"),
+        F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
+    )
+    docs_arr = shingle_arrays(classes.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_from_arrays(docs_arr)
     pairs = lsh_pairs_from_wide(sigs)
-    return jaccard_from_arrays(pairs, docs_arr)
+    jac = jaccard_from_arrays(pairs, docs_arr)
+    cross = (
+        jac.join(classes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(classes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            "jaccard",
+            (F.col("na") * F.col("nb")).alias("n_pairs"),
+        )
+    )
+    return self_pairs.unionByName(cross)
 
 
 #: containment floor for calling one document a near-subset of another

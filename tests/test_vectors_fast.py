@@ -122,3 +122,38 @@ def test_ivf_assignment_and_recall(spark):
     ivf1 = {r["query_id"]: r["neighbor_id"] for r in reported if r["rank"] == 1}
     hits = sum(1 for q, n in brute.items() if ivf1.get(q) == n)
     assert hits / len(brute) >= 0.2
+
+
+def test_neardup_class_rows_under_duplication(spark, tmp_path):
+    """Duplicating every vector d times must not change the cross-class
+    links (candidates are a function of DISTINCT vectors) and must emit one
+    (rep, rep, 1.0, d) self row per class — the closed form for the d-1
+    copies that fold into their representative."""
+    from iceberg_benchmark_poc_spark.queries.embeddings import q_embed_neardup
+
+    base = q_embed_neardup(spark, SF_DIR).collect()
+    assert all(r["n_copies"] == 1 for r in base), "fixture vectors are distinct"
+
+    d = 3
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_vecs = emb.count()
+    copies = emb
+    for i in range(1, d):
+        copies = copies.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+    dup_dir = tmp_path / "dup"
+    copies.write.parquet(str(dup_dir / "embeddings.parquet"))
+
+    rows = q_embed_neardup(spark, str(dup_dir)).collect()
+    self_rows = [r for r in rows if r["vec_id"] == r["dup_of"] and r["cosine"] == 1.0]
+    cross = {(r["vec_id"], r["dup_of"], round(r["cosine"], 9)) for r in rows
+             if not (r["vec_id"] == r["dup_of"] and r["cosine"] == 1.0)}
+    # every one of the n_vecs classes got exactly one self row with size d
+    assert len(self_rows) == n_vecs
+    assert all(r["n_copies"] == d for r in self_rows)
+    # min-id representatives are the original vec_ids, so the cross links
+    # are IDENTICAL to the unduplicated run (just annotated with n_copies=d)
+    expect_cross = {(r["vec_id"], r["dup_of"], round(r["cosine"], 9)) for r in base}
+    assert cross == expect_cross
+    assert all(r["n_copies"] == d for r in rows if (r["vec_id"], r["dup_of"], round(r["cosine"], 9)) in cross)
