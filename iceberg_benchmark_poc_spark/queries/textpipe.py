@@ -433,7 +433,29 @@ CONTAINMENT_MIN = 0.8
 @register(
     "q_containment",
     oracle=f"""
-        WITH {_SHINGLES_CTE.strip()},
+        WITH classes AS (
+          SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text
+          FROM documents GROUP BY text
+        ),
+        words AS (
+          SELECT doc_id, trim(text) AS txt,
+                 string_split_regex(trim(text), '\\s+') AS ws
+          FROM classes
+        ),
+        widx AS (
+          SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words
+        ),
+        shingles AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM widx WHERE i <= len(ws) - 2
+          UNION
+          SELECT DISTINCT doc_id, txt AS shingle FROM words WHERE len(ws) < 3
+        ),
+        hashed AS (
+          SELECT doc_id, shingle,
+                 (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {PORTABLE_HASH_PRIME} AS h
+          FROM shingles
+        ),
         sigs AS (
           SELECT doc_id, CAST(k.range AS INTEGER) AS k,
                  MIN(((k.range * 2 + 3) * h + (k.range * 5 + 7)) % {PORTABLE_HASH_PRIME}) AS minhash
@@ -465,11 +487,21 @@ CONTAINMENT_MIN = 0.8
           SELECT i.doc_b, i.doc_a, i.inter, zb.n
           FROM inter i JOIN sizes zb ON zb.doc_id = i.doc_b
         )
-        SELECT doc_id, within_id,
-               inter / n            AS containment,
-               CAST(n AS BIGINT)    AS n_shingles
-        FROM dirs
-        WHERE inter / n >= CAST({CONTAINMENT_MIN} AS DOUBLE)
+        SELECT c.doc_id, c.doc_id AS within_id,
+               CAST(1.0 AS DOUBLE)  AS containment,
+               CAST(s.n AS BIGINT)  AS n_shingles,
+               c.n_copies * (c.n_copies - 1) AS n_pairs
+        FROM classes c JOIN sizes s ON s.doc_id = c.doc_id
+        WHERE c.n_copies >= 2
+        UNION ALL
+        SELECT d.doc_id, d.within_id,
+               d.inter / d.n        AS containment,
+               CAST(d.n AS BIGINT)  AS n_shingles,
+               ca.n_copies * cb.n_copies AS n_pairs
+        FROM dirs d
+        JOIN classes ca ON ca.doc_id = d.doc_id
+        JOIN classes cb ON cb.doc_id = d.within_id
+        WHERE d.inter / d.n >= CAST({CONTAINMENT_MIN} AS DOUBLE)
         """,
     tags=("text", "dedup", "lsh", "containment"),
 )
@@ -483,19 +515,42 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication; the drop action is `doc_id` (the contained side), keeping
     `within_id` (the container).
 
-    Both directions of every LSH band-collision candidate pair are scored,
-    so a pair contributes up to two rows. Scale shape is identical to
-    q_minhash_dedup (same banded candidate generation, same array_intersect
-    verify on candidates only); recall is bounded by the Jaccard-band
-    collision probability, the standard limitation of reusing a symmetric
-    index for asymmetric search — at production scale the band index is
-    rebuilt over suffix-anchored shingle samples to recover low-Jaccard
-    containment pairs.
+    Documents collapse to identical-text classes first (the family-wide
+    duplication-depth guard — see q_fuzzy_pairs for the measured sf1
+    blow-up); both directions of every LSH band-collision candidate pair
+    OF REPRESENTATIVES are then scored, so a class pair contributes up to
+    two rows carrying the n_copies product, and classes with n >= 2 emit
+    one containment=1.0 self row with the n*(n-1) ordered-pair count in
+    closed form. Scale shape is otherwise identical to q_minhash_dedup
+    (same banded candidate generation, same array_intersect verify on
+    candidates only); recall is bounded by the Jaccard-band collision
+    probability, the standard limitation of reusing a symmetric index for
+    asymmetric search — at production scale the band index is rebuilt over
+    suffix-anchored shingle samples to recover low-Jaccard containment
+    pairs.
     """
     from pyspark import StorageLevel
 
     d = _docs(spark, sf_dir)
-    docs_arr = shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
+    classes = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs_arr = shingle_arrays(classes.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    self_rows = (
+        classes.filter(F.col("n_copies") >= 2)
+        .join(docs_arr.select("doc_id", F.size("sh_arr").alias("n_sh")), "doc_id")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("within_id"),
+            F.lit(1.0).alias("containment"),
+            F.col("n_sh").cast("bigint").alias("n_shingles"),
+            (F.col("n_copies") * (F.col("n_copies") - 1)).alias("n_pairs"),
+        )
+    )
     pairs = lsh_pairs_from_wide(minhash_from_arrays(docs_arr))
     a = docs_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("sh_a"))
     b = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("sh_b"))
@@ -531,7 +586,26 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("d")
     ).select("d.doc_id", "d.within_id", "d.containment", "d.n_shingles")
-    return both.filter(F.col("containment") >= CONTAINMENT_MIN)
+    cross = (
+        both.filter(F.col("containment") >= CONTAINMENT_MIN)
+        .join(
+            classes.select(F.col("doc_id"), F.col("n_copies").alias("nc_a")), "doc_id"
+        )
+        .join(
+            classes.select(
+                F.col("doc_id").alias("within_id"), F.col("n_copies").alias("nc_b")
+            ),
+            "within_id",
+        )
+        .select(
+            "doc_id",
+            "within_id",
+            "containment",
+            "n_shingles",
+            (F.col("nc_a") * F.col("nc_b")).alias("n_pairs"),
+        )
+    )
+    return self_rows.unionByName(cross)
 
 
 @register(
@@ -776,8 +850,38 @@ NEAR_JACCARD = 0.5  # band candidates at/above this are near-duplicates
 @register(
     "q_incremental_dedup",
     oracle=f"""
-        WITH {_SHINGLES_CTE.strip()},
-        sides AS (SELECT doc_id, source FROM documents),
+        WITH corp_classes AS (
+          SELECT min(doc_id) AS doc_id, count(*) AS nc, text
+          FROM documents WHERE source <> '{INCOMING_SOURCE}' GROUP BY text
+        ),
+        inc_classes AS (
+          SELECT min(doc_id) AS doc_id, text
+          FROM documents WHERE source = '{INCOMING_SOURCE}' GROUP BY text
+        ),
+        reps AS (
+          SELECT doc_id, text FROM corp_classes
+          UNION ALL
+          SELECT doc_id, text FROM inc_classes
+        ),
+        words AS (
+          SELECT doc_id, trim(text) AS txt,
+                 string_split_regex(trim(text), '\\s+') AS ws
+          FROM reps
+        ),
+        widx AS (
+          SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words
+        ),
+        shingles AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM widx WHERE i <= len(ws) - 2
+          UNION
+          SELECT DISTINCT doc_id, txt AS shingle FROM words WHERE len(ws) < 3
+        ),
+        hashed AS (
+          SELECT doc_id, shingle,
+                 (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {PORTABLE_HASH_PRIME} AS h
+          FROM shingles
+        ),
         sigs AS (
           SELECT doc_id, CAST(k.range AS INTEGER) AS k,
                  MIN(((k.range * 2 + 3) * h + (k.range * 5 + 7)) % {PORTABLE_HASH_PRIME}) AS minhash
@@ -792,9 +896,9 @@ NEAR_JACCARD = 0.5  # band candidates at/above this are near-duplicates
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a
-          JOIN sides sa ON sa.doc_id = a.doc_id AND sa.source = '{INCOMING_SOURCE}'
+          JOIN inc_classes ia ON ia.doc_id = a.doc_id
           JOIN bands b ON b.band = a.band AND b.band_sig = a.band_sig
-          JOIN sides sb ON sb.doc_id = b.doc_id AND sb.source <> '{INCOMING_SOURCE}'
+          JOIN corp_classes cb ON cb.doc_id = b.doc_id
         ),
         sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY 1),
         inter AS (
@@ -805,20 +909,21 @@ NEAR_JACCARD = 0.5  # band candidates at/above this are near-duplicates
           GROUP BY 1, 2
         ),
         jac AS (
-          SELECT i.doc_a, i.inter / (za.n + zb.n - i.inter) AS j
+          SELECT i.doc_a, i.doc_b, i.inter / (za.n + zb.n - i.inter) AS j
           FROM inter i
           JOIN sizes za ON za.doc_id = i.doc_a
           JOIN sizes zb ON zb.doc_id = i.doc_b
         ),
         cand AS (
-          SELECT doc_a AS doc_id, count(*) AS n_band_candidates, max(j) AS max_jaccard
-          FROM jac GROUP BY 1
+          SELECT j.doc_a AS doc_id,
+                 CAST(SUM(cb.nc) AS BIGINT) AS n_band_candidates,
+                 max(j.j) AS max_jaccard
+          FROM jac j JOIN corp_classes cb ON cb.doc_id = j.doc_b
+          GROUP BY 1
         ),
         exact AS (
-          SELECT DISTINCT i.doc_id
-          FROM documents i JOIN documents c
-            ON i.source = '{INCOMING_SOURCE}' AND c.source <> '{INCOMING_SOURCE}'
-           AND md5(i.text) = md5(c.text)
+          SELECT ic.doc_id
+          FROM inc_classes ic JOIN corp_classes cc ON cc.text = ic.text
         )
         SELECT i.doc_id,
                (e.doc_id IS NOT NULL)                          AS exact_dup,
@@ -829,8 +934,9 @@ NEAR_JACCARD = 0.5  # band candidates at/above this are near-duplicates
                       THEN 'drop_near'
                     ELSE 'keep' END                            AS verdict
         FROM documents i
-        LEFT JOIN exact e ON e.doc_id = i.doc_id
-        LEFT JOIN cand c ON c.doc_id = i.doc_id
+        JOIN inc_classes m ON m.text = i.text
+        LEFT JOIN exact e ON e.doc_id = m.doc_id
+        LEFT JOIN cand c ON c.doc_id = m.doc_id
         WHERE i.source = '{INCOMING_SOURCE}'
         """,
     tags=("text", "dedup", "lsh", "incremental"),
@@ -848,32 +954,58 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing index (bucketed by hash/band at rest), and the incoming batch
     joins into it, shuffling only the batch's own hashes and band strings.
     Jaccard verification touches only colliding pairs' shingle arrays.
+    Both sides collapse to identical-text classes before shingling (the
+    family-wide duplication-depth guard): band collisions and Jaccard run
+    once per distinct text, and the per-document output is recovered by
+    membership join — bit-identical to the uncollapsed form, because
+    identical corpus copies all collide exactly when their representative
+    does (n_band_candidates is the sum of candidate class sizes) and
+    identical incoming docs score identically.
     """
     d = _docs(spark, sf_dir)
     incoming = d.filter(F.col("source") == INCOMING_SOURCE)
     corpus = d.filter(F.col("source") != INCOMING_SOURCE)
 
-    exact = (
-        incoming.select("doc_id", F.md5("text").alias("text_hash"))
-        .join(corpus.select(F.md5("text").alias("text_hash")).distinct(), "text_hash", "left_semi")
-        .select("doc_id", F.lit(True).alias("exact_flag"))
+    from pyspark import StorageLevel
+
+    corp_classes = (
+        corpus.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("nc"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    inc_classes = (
+        incoming.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    exact = inc_classes.join(
+        corp_classes.select("text"), "text", "left_semi"
+    ).select(F.col("doc_id").alias("rep"), F.lit(True).alias("exact_flag"))
 
     # persisted: each side feeds two consumers (minhash signatures and the
     # Jaccard verify) — without this the dominant-cost tokenize+trigram+md5
     # pass runs twice per side (same pattern as q_minhash_dedup)
-    from pyspark import StorageLevel
-
-    inc_arr = shingle_arrays(incoming).persist(StorageLevel.MEMORY_AND_DISK)
-    corp_arr = shingle_arrays(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    inc_arr = shingle_arrays(inc_classes.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    corp_arr = shingle_arrays(corp_classes.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_pairs_between(minhash_from_arrays(inc_arr), minhash_from_arrays(corp_arr))
     jac = jaccard_from_arrays(pairs, inc_arr.unionByName(corp_arr))
-    cand = jac.groupBy(F.col("doc_a").alias("doc_id")).agg(
-        F.count("*").alias("n_band_candidates"),
-        F.max("jaccard").alias("max_jaccard"),
+    cand = (
+        jac.join(corp_classes.select(F.col("doc_id").alias("doc_b"), "nc"), "doc_b")
+        .groupBy(F.col("doc_a").alias("rep"))
+        .agg(
+            F.sum("nc").alias("n_band_candidates"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
     )
 
-    base = incoming.select("doc_id").join(exact, "doc_id", "left").join(cand, "doc_id", "left")
+    membership = incoming.select("doc_id", "text").join(
+        inc_classes.select("text", F.col("doc_id").alias("rep")), "text"
+    )
+    base = membership.join(exact, "rep", "left").join(cand, "rep", "left")
     max_jac = F.coalesce(F.col("max_jaccard"), F.lit(0.0))
     return base.select(
         "doc_id",
@@ -999,7 +1131,28 @@ MAX_CC_ITERS = 15  # label-propagation safety cap (graph diameter bound)
 #: graph shape) when the iteration cap is hit — output is identical either
 #: way, which is exactly what this recursive-CTE twin checks.
 _DUP_CLUSTERS_ORACLE = f"""
-        WITH RECURSIVE {_SHINGLES_CTE.strip()},
+        WITH RECURSIVE classes AS (
+          SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        ),
+        words AS (
+          SELECT doc_id, trim(text) AS txt,
+                 string_split_regex(trim(text), '\\s+') AS ws
+          FROM classes
+        ),
+        widx AS (
+          SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words
+        ),
+        shingles AS (
+          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+          FROM widx WHERE i <= len(ws) - 2
+          UNION
+          SELECT DISTINCT doc_id, txt AS shingle FROM words WHERE len(ws) < 3
+        ),
+        hashed AS (
+          SELECT doc_id, shingle,
+                 (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {PORTABLE_HASH_PRIME} AS h
+          FROM shingles
+        ),
         sigs AS (
           SELECT doc_id, CAST(k.range AS INTEGER) AS k,
                  MIN(((k.range * 2 + 3) * h + (k.range * 5 + 7)) % {PORTABLE_HASH_PRIME}) AS minhash
@@ -1037,15 +1190,19 @@ _DUP_CLUSTERS_ORACLE = f"""
           SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges
         ),
         reach(src, dst) AS (
-          SELECT doc_id, doc_id FROM documents
+          SELECT doc_id, doc_id FROM classes
           UNION
           SELECT r.src, e.b FROM reach r JOIN sym e ON e.a = r.dst
         ),
-        comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
-        SELECT doc_id, cluster_id,
-               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-               doc_id = cluster_id AS is_keeper
-        FROM comp
+        comp AS (SELECT src AS rep, MIN(dst) AS cluster_id FROM reach GROUP BY 1),
+        membership AS (
+          SELECT d.doc_id, c.doc_id AS rep
+          FROM documents d JOIN classes c ON c.text = d.text
+        )
+        SELECT m.doc_id, cm.cluster_id,
+               count(*) OVER (PARTITION BY cm.cluster_id) AS cluster_size,
+               m.doc_id = cm.cluster_id AS is_keeper
+        FROM membership m JOIN comp cm ON cm.rep = m.rep
         """
 
 
@@ -1059,10 +1216,15 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pairwise dedup (q_minhash_dedup) under-deletes: if A~B and B~C but A!~C,
     pair logic keeps A and C even though all three are one duplicated
-    lineage. The fix is graph connectivity — documents are nodes, verified
-    near-dup pairs (band collision + exact Jaccard >= 0.5) are edges, and
-    every document gets its component's min doc_id as cluster_id; keep one
-    keeper per cluster.
+    lineage. The fix is graph connectivity — nodes are exact-dup CLASS
+    representatives (one per distinct text; identical texts are fully
+    connected at jaccard 1.0 by definition, so collapsing them first
+    provably preserves the components while making the edge set and every
+    CC round invariant to duplication depth), verified near-dup pairs
+    (band collision + exact Jaccard >= 0.5) are edges, and every document
+    inherits its rep's component min as cluster_id — which is the true
+    min doc_id of the full component, since each rep is its class's min
+    member; keep one keeper per cluster.
 
     Components are computed with iterative min-label propagation (the
     DataFrame form of Pregel/GraphX cc): each round every node takes the min
@@ -1092,7 +1254,19 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = _docs(spark, sf_dir)
-    docs_arr = shingle_arrays(d).persist(StorageLevel.MEMORY_AND_DISK)
+    # exact-dup classes first (one rep per distinct text): identical texts
+    # are always fully connected at jaccard 1.0, so components over the
+    # REP graph expanded by class membership are provably the same
+    # components — and the shingle pipeline, the edge set, and every CC
+    # round become invariant to duplication depth
+    classes = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs_arr = shingle_arrays(classes.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     jac = jaccard_from_arrays(lsh_pairs_from_wide(minhash_from_arrays(docs_arr)), docs_arr)
     edges = jac.filter(F.col("jaccard") >= NEAR_JACCARD).select("doc_a", "doc_b")
     sym = edges.unionByName(
@@ -1155,10 +1329,20 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.unpersist()
     docs_arr.unpersist()
 
-    singletons = d.select("doc_id").join(labels.select("doc_id"), "doc_id", "left_anti")
-    full = labels.unionByName(
-        singletons.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    # expand rep components to documents: every doc inherits its class
+    # rep's cluster (min rep in a component IS the min doc_id of the full
+    # component, since each rep is its class's min member)
+    rep_labels = labels.select(F.col("doc_id").alias("rep"), "cluster_id")
+    singleton_reps = (
+        classes.select(F.col("doc_id").alias("rep"))
+        .join(rep_labels.select("rep"), "rep", "left_anti")
+        .select("rep", F.col("rep").alias("cluster_id"))
     )
+    all_reps = rep_labels.unionByName(singleton_reps)
+    membership = d.select("doc_id", "text").join(
+        classes.select("text", F.col("doc_id").alias("rep")), "text"
+    )
+    full = membership.join(all_reps, "rep").select("doc_id", "cluster_id")
     w = Window.partitionBy("cluster_id")
     return full.select(
         "doc_id",
