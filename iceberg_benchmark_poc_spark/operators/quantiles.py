@@ -19,9 +19,17 @@ This operator computes the identical result as a distributed plan:
    k-th order statistic is the smallest value whose cumulative count
    covers k;
 4. linear interpolation with the same IEEE expression builtin
-   ``percentile`` (and DuckDB ``quantile_cont``) evaluates: position
-   ``p*(n-1)``, weights ``hi-pos`` / ``pos-lo`` (Sterbenz-exact), products
-   summed in the same order — bit-equal output.
+   ``percentile`` evaluates: position ``p*(n-1)``, weights ``hi-pos`` /
+   ``pos-lo`` (Sterbenz-exact), products summed in the same order, AND the
+   builtin's equal-keys short-circuit (Percentile.scala returns the key
+   directly when the two order statistics it would interpolate between are
+   equal) — bit-equal output. The short-circuit is observable: when the
+   fractional position's mantissa bits plus the value's bits exceed 52, the
+   weighted sum of two equal keys rounds one ulp off the key (hypothesis
+   found v=-15, p=1.19e-07 -> -14.999999999999998). DuckDB's
+   ``quantile_cont`` does NOT short-circuit, so an oracle gated against
+   this operator must spell out the same CASE over explicit order
+   statistics instead of calling ``quantile_cont`` (see q_equidepth_hist).
 
 The only driver-side value is ``n_rows`` (one scalar count) because the
 rank targets are literals in the final aggregation.
@@ -74,8 +82,14 @@ def exact_quantiles(
         if lo_k == hi_k:
             exprs.append(F.col(f"__v{lo_k}").cast("double"))
         else:
+            v_lo = F.col(f"__v{lo_k}").cast("double")
+            v_hi = F.col(f"__v{hi_k}").cast("double")
             exprs.append(
-                F.lit(hi_k - p) * F.col(f"__v{lo_k}").cast("double")
-                + F.lit(p - lo_k) * F.col(f"__v{hi_k}").cast("double")
+                # builtin percentile's equal-keys short-circuit: interpolating
+                # between equal order statistics returns the key itself, never
+                # the (possibly 1-ulp-off) weighted sum
+                F.when(v_lo == v_hi, v_lo).otherwise(
+                    F.lit(hi_k - p) * v_lo + F.lit(p - lo_k) * v_hi
+                )
             )
     return picked.select(F.array(*exprs).alias(out_col))

@@ -187,8 +187,32 @@ _DECILES = [round(i / N_HIST_BUCKETS, 1) for i in range(1, N_HIST_BUCKETS)]
         WITH cents AS (
           SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
         ),
+        nn AS (SELECT count(*) AS cnt FROM cents),
+        ord AS (
+          SELECT c, row_number() OVER (ORDER BY c) - 1 AS rk FROM cents
+        ),
+        tgt AS (
+          SELECT d, d * (cnt - 1) AS pos,
+                 CAST(floor(d * (cnt - 1)) AS BIGINT) AS lo_k,
+                 CAST(ceil(d * (cnt - 1))  AS BIGINT) AS hi_k
+          FROM (SELECT unnest({_DECILES}) AS d) dl, nn
+        ),
+        bv AS (
+          SELECT t.d, t.pos, t.lo_k, t.hi_k,
+                 max(CASE WHEN o.rk = t.lo_k THEN o.c END) AS vlo,
+                 max(CASE WHEN o.rk = t.hi_k THEN o.c END) AS vhi
+          FROM tgt t JOIN ord o ON o.rk = t.lo_k OR o.rk = t.hi_k
+          GROUP BY 1, 2, 3, 4
+        ),
+        -- explicit interpolation INCLUDING builtin percentile's equal-keys
+        -- short-circuit (quantile_cont lacks it and can land 1 ulp off the
+        -- key when frac(pos) mantissa bits + value bits > 52 — see
+        -- operators/quantiles.py); same IEEE chain as exact_quantiles
         b AS (
-          SELECT quantile_cont(c, {_DECILES}) AS bs FROM cents
+          SELECT list(CASE WHEN lo_k = hi_k OR vlo = vhi THEN CAST(vlo AS DOUBLE)
+                           ELSE (hi_k - pos) * vlo + (pos - lo_k) * vhi END
+                      ORDER BY d) AS bs
+          FROM bv
         )
         SELECT bucket,
                count(*)               AS n_rows,
@@ -213,8 +237,10 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     first so the percentile interpolation is engine-exact at half-steps
     (same rule as q_percentiles' integral ttfb).
 
-    Boundaries are EXACT order statistics so the DuckDB quantile_cont
-    oracle hash-matches, but computed distributed: builtin percentile()
+    Boundaries are EXACT order statistics so the DuckDB oracle (explicit
+    order-statistic interpolation — quantile_cont lacks builtin
+    percentile's equal-keys short-circuit, so the oracle spells out the
+    same CASE) hash-matches, but computed distributed: builtin percentile()
     funnels every (value, count) pair through ONE boxed-hashmap merge
     (3.5 s of this query's wall at sf0.1, O(distinct) memory on one
     thread). Instead: groupBy-count per distinct cent value (bounded
@@ -222,10 +248,11 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative ranks, then one conditional-agg pass picks the <=18
     order statistics the 9 deciles interpolate between. The single
     row count feeding the literal rank targets is a scalar fold, the
-    one driver-side value this plan needs. Interpolation reproduces the
-    identical IEEE expression quantile_cont evaluates — weights
-    (hi-p)/(p-lo) are Sterbenz-exact, products and sum in the same
-    order — so the result is bit-equal to builtin percentile too.
+    one driver-side value this plan needs. Interpolation reproduces
+    builtin percentile's exact IEEE chain — weights (hi-p)/(p-lo) are
+    Sterbenz-exact, products and sum in the same order, equal order
+    statistics short-circuit to the key — so the result is bit-equal to
+    builtin percentile, and the oracle mirrors that chain verbatim.
     """
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..core.fixtures import hash60, hash60_sql
 from ..core.io import load_table
 from ..core.registry import register
+from ..operators.quantiles import exact_quantiles
 from ..operators.skew import salted_count, salted_join
 
 
@@ -94,20 +95,32 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific (HLL register layout, KLL compaction), so the raw
     estimates can't be hash-gated against DuckDB — instead the query emits
     in-engine accuracy verdicts: |approx - exact| / exact < 0.1 booleans,
-    each computed against an exact twin inside the same single-pass agg.
-    The oracle asserts all five booleans as literal TRUE, which converts
-    the former rows-only row into a hard hash gate: if a sketch ever drifts
-    past 10%, the driver goes red. The exact twins (count distinct, exact
-    percentile) exist only to power the gate — the production profile at
-    100 TB runs the sketch columns alone.
+    each computed against an exact twin. The oracle asserts all five
+    booleans as literal TRUE, which converts the former rows-only row into
+    a hard hash gate: if a sketch ever drifts past 10%, the driver goes
+    red. The exact twins (count distinct, exact percentile) exist only to
+    power the gate — the production profile at 100 TB runs the sketch
+    columns alone.
+
+    The exact-quantile twin runs through :func:`exact_quantiles`
+    (groupBy-count + two-phase prefix sum + conditional agg — bit-equal to
+    builtin ``percentile``), NOT the builtin: the builtin's boxed value-map
+    merge funnels every distinct price through one thread and was >half of
+    this query's wall (7.1 s at sf0.1) besides being a driver-memory hazard
+    at real cardinalities. The one-row bounds table broadcast-joins the
+    sketch agg.
 
     Quantile verdicts are scalar booleans (q50/q95/q99) rather than one
     array column: the driver's canonicalization sorts cell values and list
     cells are unhashable (r02 red row).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
     aq = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
-    eq = F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+    eq_bounds = exact_quantiles(
+        li, F.col("l_extendedprice"), [0.5, 0.95, 0.99], out_col="ebs"
+    )
 
     def within(approx, exact):
         return F.abs(approx - exact) / exact < F.lit(0.1)
@@ -121,9 +134,12 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(aq, 1).alias("a_q50"),
         F.element_at(aq, 2).alias("a_q95"),
         F.element_at(aq, 3).alias("a_q99"),
-        F.element_at(eq, 1).alias("e_q50"),
-        F.element_at(eq, 2).alias("e_q95"),
-        F.element_at(eq, 3).alias("e_q99"),
+    )
+    agg = agg.join(F.broadcast(eq_bounds)).select(
+        "*",
+        F.element_at("ebs", 1).alias("e_q50"),
+        F.element_at("ebs", 2).alias("e_q95"),
+        F.element_at("ebs", 3).alias("e_q99"),
     )
     return agg.select(
         "n_rows",

@@ -137,6 +137,7 @@ def test_no_cartesian_in_similarity_path(spark):
 #: forbidden — q_corpus_select/q_shard_pack route theirs through
 #: operators/prefix.py and appear here only for that totals table.
 GLOBAL_SORT_ALLOWLIST = {
+    "q_approx_stats": "prefix-sum totals table: one row per range partition",
     "q_corpus_select": "prefix-sum totals table: one row per range partition",
     "q_equidepth_hist": "prefix-sum totals table: one row per range partition",
     "q_shard_pack": "prefix-sum totals table: one row per range partition",
@@ -343,6 +344,7 @@ ARROW_PYTHON_ALLOWED = {
 #: centroid table, a generated sequence. Each name here was checked by hand;
 #: a new appearance means a join lost its equi-condition and must be fixed.
 BNLJ_ALLOWED = {
+    "q_approx_stats",    # one-row exact-quantile bounds fold joined to the sketch agg
     "q_asof_join",       # per-key scalar "latest before" bound
     "q_dv_coalesce",     # scalar manifest-count bound
     "q_embed_topk",      # broadcast query set vs corpus (the exact baseline)
