@@ -125,17 +125,24 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     def within(approx, exact):
         return F.abs(approx - exact) / exact < F.lit(0.1)
 
+    # sketches and exact distinct counts aggregate in SEPARATE one-row
+    # passes: two countDistinct columns plan an Expand (3x the input), and
+    # pushing 1.8M expanded rows through the object-based sketch
+    # aggregates (QuantileSummaries + 2 HLL) was ~6 s of the old 7.1 s
+    # wall — split, the sketch pass and the distinct pass each run <1 s
     agg = li.agg(
         F.count("*").alias("n_rows"),
         F.approx_count_distinct("l_orderkey").alias("a_orders"),
-        F.countDistinct("l_orderkey").alias("e_orders"),
         F.approx_count_distinct("l_partkey").alias("a_parts"),
-        F.countDistinct("l_partkey").alias("e_parts"),
         F.element_at(aq, 1).alias("a_q50"),
         F.element_at(aq, 2).alias("a_q95"),
         F.element_at(aq, 3).alias("a_q99"),
     )
-    agg = agg.join(F.broadcast(eq_bounds)).select(
+    exact_cd = li.agg(
+        F.countDistinct("l_orderkey").alias("e_orders"),
+        F.countDistinct("l_partkey").alias("e_parts"),
+    )
+    agg = agg.join(F.broadcast(exact_cd)).join(F.broadcast(eq_bounds)).select(
         "*",
         F.element_at("ebs", 1).alias("e_q50"),
         F.element_at("ebs", 2).alias("e_q95"),
