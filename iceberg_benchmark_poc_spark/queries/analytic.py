@@ -85,12 +85,32 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentiles",
     oracle=with_fixtures(
         """
-        SELECT
-          quantile_cont(ttfb_ms, 0.5)  AS p50_ttfb,
-          quantile_cont(ttfb_ms, 0.95) AS p95_ttfb,
-          quantile_cont(ttfb_ms, 0.99) AS p99_ttfb,
-          CAST(max(ttfb_ms) AS BIGINT) AS max_ttfb
-        FROM read_log
+        WITH base AS (SELECT ttfb_ms AS v FROM read_log),
+        nn AS (SELECT count(*) AS cnt, CAST(max(v) AS BIGINT) AS mx FROM base),
+        ord AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM base),
+        tgt AS (
+          SELECT d, d * (cnt - 1) AS pos,
+                 CAST(floor(d * (cnt - 1)) AS BIGINT) AS lo_k,
+                 CAST(ceil(d * (cnt - 1))  AS BIGINT) AS hi_k
+          FROM (SELECT unnest([0.5, 0.95, 0.99]) AS d) dl, nn
+        ),
+        bv AS (
+          SELECT t.d, t.pos, t.lo_k, t.hi_k,
+                 max(CASE WHEN o.rk = t.lo_k THEN o.v END) AS vlo,
+                 max(CASE WHEN o.rk = t.hi_k THEN o.v END) AS vhi
+          FROM tgt t JOIN ord o ON o.rk = t.lo_k OR o.rk = t.hi_k
+          GROUP BY 1, 2, 3, 4
+        ),
+        q AS (
+          SELECT d, CASE WHEN lo_k = hi_k OR vlo = vhi THEN CAST(vlo AS DOUBLE)
+                         ELSE (hi_k - pos) * vlo + (pos - lo_k) * vhi END AS qv
+          FROM bv
+        )
+        SELECT max(CASE WHEN d = 0.5  THEN qv END) AS p50_ttfb,
+               max(CASE WHEN d = 0.95 THEN qv END) AS p95_ttfb,
+               max(CASE WHEN d = 0.99 THEN qv END) AS p99_ttfb,
+               (SELECT mx FROM nn)                  AS max_ttfb
+        FROM q
         """,
         "read_log",
     ),
@@ -101,8 +121,11 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     percentile() is the exact (sort-based) path — fine on metadata-scale
     logs; for data-scale columns use q_approx_stats' sketch percentiles.
-    ttfb_ms is integral so the linear interpolation is exact in both
-    engines (halves of integers).
+    The oracle interpolates explicit order statistics with builtin
+    percentile's exact IEEE chain including its equal-keys short-circuit —
+    quantile_cont lacks the short-circuit and can land 1 ulp off the key
+    when frac(pos) mantissa bits + value bits exceed 52 (see
+    operators/quantiles.py).
     """
     rl = read_log(spark, sf_dir)
     return rl.agg(
@@ -347,14 +370,40 @@ def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_group_percentiles",
     oracle="""
-        SELECT l_returnflag,
-               quantile_cont(l_quantity, 0.25) AS q25,
-               quantile_cont(l_quantity, 0.5)  AS q50,
-               quantile_cont(l_quantity, 0.75) AS q75,
-               quantile_cont(l_quantity, 0.9)  AS q90,
-               count(*)                        AS n_items
-        FROM lineitem
-        GROUP BY l_returnflag
+        WITH base AS (SELECT l_returnflag AS g, l_quantity AS v FROM lineitem),
+        nn AS (SELECT g, count(*) AS cnt FROM base GROUP BY g),
+        ord AS (
+          SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rk
+          FROM base
+        ),
+        tgt AS (
+          SELECT nn.g, d, d * (cnt - 1) AS pos,
+                 CAST(floor(d * (cnt - 1)) AS BIGINT) AS lo_k,
+                 CAST(ceil(d * (cnt - 1))  AS BIGINT) AS hi_k
+          FROM nn, (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS d) dl
+        ),
+        bv AS (
+          SELECT t.g, t.d, t.pos, t.lo_k, t.hi_k,
+                 max(CASE WHEN o.rk = t.lo_k THEN o.v END) AS vlo,
+                 max(CASE WHEN o.rk = t.hi_k THEN o.v END) AS vhi
+          FROM tgt t JOIN ord o ON o.g = t.g AND (o.rk = t.lo_k OR o.rk = t.hi_k)
+          GROUP BY 1, 2, 3, 4, 5
+        ),
+        -- builtin percentile's IEEE chain incl. the equal-keys short-circuit
+        -- (quantile_cont lacks it — see operators/quantiles.py)
+        q AS (
+          SELECT g, d, CASE WHEN lo_k = hi_k OR vlo = vhi THEN CAST(vlo AS DOUBLE)
+                            ELSE (hi_k - pos) * vlo + (pos - lo_k) * vhi END AS qv
+          FROM bv
+        )
+        SELECT q.g AS l_returnflag,
+               max(CASE WHEN d = 0.25 THEN qv END) AS q25,
+               max(CASE WHEN d = 0.5  THEN qv END) AS q50,
+               max(CASE WHEN d = 0.75 THEN qv END) AS q75,
+               max(CASE WHEN d = 0.9  THEN qv END) AS q90,
+               max(nn.cnt)                         AS n_items
+        FROM q JOIN nn ON nn.g = q.g
+        GROUP BY 1
         """,
     tags=("agg", "percentile", "group"),
 )
@@ -364,10 +413,12 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The grouped form of q_percentiles: order statistics as a GROUPED
     aggregate — each group sorts independently inside the percentile
     aggregator, so the shuffle carries (group, value) pairs and no global
-    sort exists. Quantities are integral, and both engines interpolate at
-    position p*(n-1) with the same double arithmetic, so the interpolated
-    values match bit-for-bit (q_percentiles established the formula
-    parity; this adds the per-group path). For data-scale high-cardinality
+    sort exists. Quantities are integral, and the oracle reproduces builtin
+    percentile's per-group IEEE chain over explicit order statistics —
+    including the equal-keys short-circuit quantile_cont lacks (see
+    operators/quantiles.py) — so the interpolated values match bit-for-bit
+    (q_percentiles established the formula parity; this adds the
+    per-group path). For data-scale high-cardinality
     groups the sketch variant (q_approx_stats) is the scale path; exact
     grouped percentiles are for bounded per-group volumes like these 3
     flags.
