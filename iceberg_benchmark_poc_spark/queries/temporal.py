@@ -4,25 +4,32 @@ set-operation coverage.
 The reference has no temporal join surface (SURVEY.md §2.3 marks
 theta/range/as-of joins absent), but a complete engine needs them — they are
 the canonical "operator Spark lacks as a single primitive" case the engine
-composes from existing ops: broadcast + argmax for as-of against a compact
-build side, interval predicates for range joins. Every query keeps its DuckDB
-oracle twin.
+composes from existing ops: both joins bucket time at the interval length so
+candidates meet in a HASH join on the bucket key and the range predicate
+only ever evaluates on bucket-equal pairs (as-of additionally turns each
+snapshot into a [rate_ts, next_rate_ts) validity interval via lead(), so
+every probe row matches exactly once — no argmax pass). Every query keeps
+its DuckDB oracle twin.
 
-Scale notes: the as-of build side here (hourly rate snapshots) is
-dimension-sized and broadcast, so the probe side streams with no shuffle. For
-fact×fact as-of at 100 TB, the engine pattern is union-tag + last_value
-window partitioned by entity key (see q_stream_session's per-user windows) —
-never a global sort.
+Scale notes: the build sides here (90-minute rate snapshots) are
+dimension-sized and broadcast, so the probe side streams with no shuffle.
+For fact×fact at 100 TB the same bucket key becomes the shuffle key —
+co-partitioned theta evaluation, never a cartesian and never a global sort.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..core.io import load_table
+from ..core.io import epoch_micros, load_table
 from ..core.registry import register
 
 RATE_EVERY_MIN = 90  # snapshot cadence of the derived rate table
+
+#: bucket widths for the bucketed interval joins (micros); each equals the
+#: interval length it buckets, so every interval explodes to at most 2 buckets
+RANGE_WIN_MICROS = 30 * 60 * 1_000_000
+ASOF_BUCKET_MICROS = RATE_EVERY_MIN * 60 * 1_000_000
 
 
 def _rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,19 +88,60 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the latest rate snapshot at-or-before
     its timestamp.
 
-    Composed as broadcast inequality join + max/max_by argmax — the right
-    pattern when the build side is a compact snapshot dimension (the common
-    case: prices, configs, exchange rates). The probe side never shuffles.
+    Each rate snapshot becomes a validity interval [rate_ts, next_rate_ts)
+    via lead() over the dimension (a ~|span|/90min-row sort — dimension
+    scale, not data scale), clamped at the probe's max timestamp and
+    exploded to the 90-minute epoch buckets it covers. Events compute their
+    bucket in-task and broadcast-HASH-join on bucket equality; the interval
+    predicate then selects EXACTLY ONE rate per event. That replaces the
+    naive broadcast inequality join + argmax, whose intermediate grows as
+    |events| x |rates ≤ ts| — quadratic in the time span — with O(|events|)
+    work; the probe side still never shuffles, and at 100 TB the broadcast
+    swaps for a shuffle on the bucket key.
     """
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0).select(
         "event_id", "ts", "value"
     )
+    bw = F.lit(float(ASOF_BUCKET_MICROS))
     r = _rates(spark, sf_dir)
-    joined = e.join(F.broadcast(r), r.rate_ts <= e.ts)
-    return joined.groupBy("event_id", "ts", "value").agg(
-        F.max("rate_ts").alias("rate_ts"),
-        F.expr("max_by(rate_value, rate_ts)").alias("rate_value"),
+    r2 = r.select(
+        "rate_ts",
+        "rate_value",
+        F.lead("rate_ts").over(Window.orderBy("rate_ts")).alias("next_ts"),
     )
+    hi = e.agg(F.max("ts").alias("hi"))
+    r3 = r2.crossJoin(F.broadcast(hi)).select(
+        "rate_ts",
+        "rate_value",
+        "next_ts",
+        F.explode(
+            F.sequence(
+                F.floor(epoch_micros(F.col("rate_ts")) / bw).cast("long"),
+                # greatest(): a trailing snapshot past the probe's max ts
+                # would otherwise clamp to end < start, and sequence() would
+                # DESCEND rather than return empty; one harmless bucket row
+                # (its interval predicate can never match) is the safe form
+                F.floor(
+                    F.greatest(
+                        F.coalesce(
+                            epoch_micros(F.col("next_ts")) - 1,
+                            epoch_micros(F.col("hi")),
+                        ),
+                        epoch_micros(F.col("rate_ts")),
+                    )
+                    / bw
+                ).cast("long"),
+            )
+        ).alias("__rb"),
+    )
+    eb = e.withColumn("__eb", F.floor(epoch_micros(F.col("ts")) / bw).cast("long"))
+    joined = eb.join(
+        F.broadcast(r3),
+        (F.col("__eb") == F.col("__rb"))
+        & (F.col("rate_ts") <= F.col("ts"))
+        & (F.col("next_ts").isNull() | (F.col("ts") < F.col("next_ts"))),
+    )
+    return joined.select("event_id", "ts", "value", "rate_ts", "rate_value")
 
 
 @register(
@@ -119,12 +167,17 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join: events falling inside derived maintenance windows.
 
-    Interval containment against a broadcast window table — each event tests
-    the predicate in-task, no shuffle of the event side. (On two large sides
-    the engine buckets both by coarse time range first so the theta join is
-    confined within co-partitioned buckets.)
+    Bucketed interval join, not a nested-loop theta join: windows explode to
+    the 30-minute epoch buckets they overlap (1-2 rows each), events compute
+    their bucket in-task, and the containment predicate evaluates only on
+    bucket-equal pairs inside a broadcast HASH join — O(|events|) predicate
+    work instead of O(|events| x |windows|). The same shape co-partitions
+    two LARGE sides at 100 TB (swap the broadcast for a shuffle on the
+    bucket key); bucket width = the max interval length keeps the per-window
+    explosion at <=2.
     """
     e = load_table(spark, sf_dir, "events")
+    bw = F.lit(float(RANGE_WIN_MICROS))
     w = (
         _rates(spark, sf_dir)
         .filter(F.col("rate_value") % 3 == 0)
@@ -134,7 +187,23 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.unix_timestamp("rate_ts") / 60).cast("bigint") % 7).alias("win_id"),
         )
     )
-    joined = e.join(F.broadcast(w), (e.ts >= w.win_start) & (e.ts < w.win_end))
+    wb = w.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(epoch_micros(F.col("win_start")) / bw).cast("long"),
+                # end-exclusive: the last covered bucket holds win_end - 1us
+                F.floor((epoch_micros(F.col("win_end")) - 1) / bw).cast("long"),
+            )
+        ).alias("__wb"),
+    )
+    eb = e.withColumn("__eb", F.floor(epoch_micros(F.col("ts")) / bw).cast("long"))
+    joined = eb.join(
+        F.broadcast(wb),
+        (F.col("__eb") == F.col("__wb"))
+        & (F.col("ts") >= F.col("win_start"))
+        & (F.col("ts") < F.col("win_end")),
+    )
     return joined.groupBy("win_start", "win_id").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),

@@ -138,6 +138,7 @@ def test_no_cartesian_in_similarity_path(spark):
 #: operators/prefix.py and appear here only for that totals table.
 GLOBAL_SORT_ALLOWLIST = {
     "q_approx_stats": "prefix-sum totals table: one row per range partition",
+    "q_asof_join": "rate-snapshot dimension (one row per 90min of span): lead() validity intervals",
     "q_corpus_select": "prefix-sum totals table: one row per range partition",
     "q_equidepth_hist": "prefix-sum totals table: one row per range partition",
     "q_shard_pack": "prefix-sum totals table: one row per range partition",
@@ -345,7 +346,7 @@ ARROW_PYTHON_ALLOWED = {
 #: a new appearance means a join lost its equi-condition and must be fixed.
 BNLJ_ALLOWED = {
     "q_approx_stats",    # one-row exact-quantile bounds fold joined to the sketch agg
-    "q_asof_join",       # per-key scalar "latest before" bound
+    "q_asof_join",       # one-row probe-max-ts bound clamping the last rate interval
     "q_dv_coalesce",     # scalar manifest-count bound
     "q_embed_topk",      # broadcast query set vs corpus (the exact baseline)
     "q_equidepth_hist",  # one-row decile-boundaries fold (9-element array)
@@ -356,7 +357,6 @@ BNLJ_ALLOWED = {
     "q_tfidf_terms",     # one-row corpus-count fold (lazy N, no eager count())
     "q_ivf_topk",        # broadcast centroids (|cells| rows)
     "q_ngram_jaccard",   # broadcast sampled probe set
-    "q_range_join",      # interval predicate vs broadcast bounds
     "q_scan_tree",       # scalar per-level manifest counts
     "q_skip_rate",       # scalar predicate-date bound
     "q_spill_policy",    # scalar cap remaining after must-inline
