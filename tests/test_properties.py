@@ -960,3 +960,78 @@ def test_countmin_matches_bruteforce(spark, tmp_path_factory, docs):
     }
     assert got == want
     assert all(est >= n for n, est in got.values())
+
+
+# ---------------------------------------------------------------------------
+# temporal bucketed-join boundary exactness
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+def _write_boundary_events(tmp_path_factory):
+    """events.parquet whose timestamps sit EXACTLY on every interval edge the
+    bucketed temporal joins care about: window starts, end-exclusive window
+    ends, rate snapshots, 30/90-minute bucket boundaries — each with +-1us
+    neighbors — plus one far-future NON-sampled event so the rate dimension
+    extends past the as-of probe's max ts (exercising q_asof_join's
+    greatest() clamp: without it, sequence() would descend)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 2024-03-01 08:00:00 UTC: hour-aligned AND epoch/60 % 1000 == 0, so the
+    # derived maintenance windows (rate_value % 3 == 0 filter) actually fire
+    base_us = 1_709_280_000_000_000
+    half_hour = 30 * 60 * 1_000_000
+    stamps = []
+    for k in range(13):  # every 30-min edge over 6 hours
+        edge = base_us + k * half_hour
+        stamps += [edge, edge + 1, edge - 1] if k else [edge, edge + 1]
+    rows = []
+    for i, ts in enumerate(sorted(set(stamps))):
+        rows.append((i * 10, ts, i % 7, "click", round(i * 1.25, 2), "{}"))
+    # far-future max with event_id NOT divisible by 10: rates extend ~2
+    # snapshots past the as-of sample's max ts
+    rows.append((1, base_us + 20 * half_hour, 3, "click", 9.5, "{}"))
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("temporal_edges"))
+    pq.write_table(table, f"{d}/events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", ["q_asof_join", "q_range_join"])
+def test_temporal_joins_exact_on_interval_edges(spark, tmp_path_factory, name):
+    import duckdb
+
+    from iceberg_benchmark_poc_spark.core.registry import all_queries
+    from tests.conftest import assert_oracle_types_match, rows_to_key
+
+    d = _write_boundary_events(tmp_path_factory)
+    q = all_queries()[name]
+    sdf = q.fn(spark, d)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    rel = con.sql(q.oracle)
+    d_rows = rel.fetchall()
+    assert sorted(sdf.columns) == sorted(rel.columns)
+    assert_oracle_types_match(name, sdf, rel)
+    assert len(s_rows) > 0, "boundary fixture produced no rows"
+    assert len(s_rows) == len(d_rows)
+    assert rows_to_key(s_rows, sdf.columns) == rows_to_key(d_rows, list(rel.columns))
+    if name == "q_asof_join":
+        # exactly one rate per sampled event: the interval decomposition must
+        # neither drop boundary events nor double-match bucket-straddlers
+        n_sampled = sum(1 for r in con.sql(
+            "SELECT event_id FROM events WHERE event_id % 10 = 0"
+        ).fetchall())
+        assert len(s_rows) == n_sampled
