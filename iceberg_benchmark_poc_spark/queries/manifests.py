@@ -31,10 +31,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..core.fixtures import (
+    DATE_DOMAIN_DAYS,
     ENTRY_BYTES,
     EPOCH_DATE,
+    FILE_ID_PAD,
+    FILE_PATH_SQL,
     ROW_GROUP_ENTRIES,
+    SIZE_BASE,
+    SIZE_MOD,
     file_meta,
+    file_path_col,
     with_fixtures,
 )
 from ..core.io import load_table
@@ -855,6 +861,139 @@ def q_expire_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bytes_reclaimed"
             ),
             F.count(F.when(~F.col("expired"), 1)).alias("n_live_files"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# orphan-file cleanup planning (remove_orphan_files)
+# ---------------------------------------------------------------------------
+
+#: fraction of commits that left behind an uncommitted write attempt
+#: (integer gate: (file_id * 13) % 10 < 2 -> 20% of files)
+ORPHAN_ATTEMPT_MOD, ORPHAN_ATTEMPT_LT = 10, 2
+#: staging blobs abandoned by failed commit coordination (4% of commits)
+STAGING_MOD = 25
+#: only orphans older than this share of the mtime domain are deletable —
+#: Iceberg's `older_than` guard against deleting in-flight writes
+ORPHAN_AGE_PCT = 70
+_ORPHAN_CUT_DAYS = (DATE_DOMAIN_DAYS * ORPHAN_AGE_PCT) // 100
+
+_ATTEMPT_PATH_SQL = (
+    "'s3://bucket/table/data/file_' || "
+    f"lpad(CAST(o_orderkey AS VARCHAR), {FILE_ID_PAD}, '0') || '-attempt-0.parquet'"
+)
+_STAGING_PATH_SQL = "'s3://bucket/table/_staging/commit_' || CAST(o_orderkey AS VARCHAR) || '.avro'"
+_MTIME_SQL = f"DATE '{EPOCH_DATE}' + CAST((o_orderkey * 7919) % {DATE_DOMAIN_DAYS} AS INTEGER)"
+
+
+def _storage_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store listing of the table location: every committed data file
+    plus the deterministic debris a real table accumulates — orphaned write
+    attempts (task retries whose commit lost) and abandoned staging blobs.
+    Sizes/mtimes use the same integer generators as ``file_meta`` so the
+    committed rows describe the same physical files."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    fid = F.col("o_orderkey")
+    mtime = F.date_add(
+        F.to_date(F.lit(EPOCH_DATE)), ((fid * 7919) % DATE_DOMAIN_DAYS).cast("int")
+    ).alias("mtime")
+    committed = o.select(
+        file_path_col(fid).alias("path"),
+        (F.lit(SIZE_BASE) + (fid * 104729) % SIZE_MOD).alias("size_bytes"),
+        mtime,
+    )
+    attempts = o.where((fid * 13) % ORPHAN_ATTEMPT_MOD < ORPHAN_ATTEMPT_LT).select(
+        F.concat(
+            F.lit("s3://bucket/table/data/file_"),
+            F.lpad(fid.cast("string"), FILE_ID_PAD, "0"),
+            F.lit("-attempt-0.parquet"),
+        ).alias("path"),
+        (F.lit(1000) + (fid * 37) % 500_000).alias("size_bytes"),
+        mtime,
+    )
+    staging = o.where((fid * 7) % STAGING_MOD == 0).select(
+        F.concat(
+            F.lit("s3://bucket/table/_staging/commit_"), fid.cast("string"), F.lit(".avro")
+        ).alias("path"),
+        (F.lit(200) + (fid * 11) % 4000).alias("size_bytes"),
+        mtime,
+    )
+    return committed.unionByName(attempts).unionByName(staging)
+
+
+@register(
+    "q_orphan_files",
+    oracle=with_fixtures(
+        f"""
+        WITH listing AS (
+          SELECT {FILE_PATH_SQL} AS path,
+                 {SIZE_BASE} + (o_orderkey * 104729) % {SIZE_MOD} AS size_bytes,
+                 {_MTIME_SQL} AS mtime
+          FROM orders
+          UNION ALL
+          SELECT {_ATTEMPT_PATH_SQL},
+                 1000 + (o_orderkey * 37) % 500000,
+                 {_MTIME_SQL}
+          FROM orders WHERE (o_orderkey * 13) % {ORPHAN_ATTEMPT_MOD} < {ORPHAN_ATTEMPT_LT}
+          UNION ALL
+          SELECT {_STAGING_PATH_SQL},
+                 200 + (o_orderkey * 11) % 4000,
+                 {_MTIME_SQL}
+          FROM orders WHERE (o_orderkey * 7) % {STAGING_MOD} = 0
+        ),
+        orphans AS (
+          SELECT l.* FROM listing l
+          WHERE NOT EXISTS (SELECT 1 FROM file_meta m WHERE m.file_path = l.path)
+        )
+        SELECT substr(CAST(mtime AS VARCHAR), 1, 7) AS month,
+               count(*) AS n_orphans,
+               CAST(SUM(size_bytes) AS BIGINT) AS orphan_bytes,
+               count(*) FILTER (WHERE mtime < DATE '{EPOCH_DATE}' + {_ORPHAN_CUT_DAYS})
+                 AS n_deletable,
+               CAST(COALESCE(SUM(size_bytes) FILTER (
+                 WHERE mtime < DATE '{EPOCH_DATE}' + {_ORPHAN_CUT_DAYS}), 0) AS BIGINT)
+                 AS bytes_deletable
+        FROM orphans
+        GROUP BY month
+        ORDER BY month
+        """,
+        "file_meta",
+    ),
+    tags=("maintenance", "gc", "anti-join"),
+)
+def q_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file cleanup planning: Iceberg's ``remove_orphan_files``.
+
+    Completes the maintenance quartet next to q_compaction (manifest
+    rewrite), q_binpack_plan (data-file rewrite) and q_expire_snapshots
+    (snapshot GC): list the table's storage location, anti-join the paths
+    every live snapshot references, and report — per mtime month — how
+    much unreferenced debris exists and how much is old enough to delete
+    under the ``older_than`` safety horizon (in-flight writes younger than
+    the horizon are listed but not deletable, exactly Iceberg's guard).
+
+    Scale: both sides of the anti-join are file-inventory-scale (one row
+    per object, not per record) and it is a pure path-equality join, so it
+    shuffles on `path` and never broadcasts an assumption about which side
+    is small — a 100 TB table's listing and manifest set are both in the
+    millions of rows and AQE picks the strategy. One map-side-combined
+    aggregation after the join; no windows, no driver-side listing loop.
+    """
+    listing = _storage_listing(spark, sf_dir)
+    refs = file_meta(spark, sf_dir).select(F.col("file_path").alias("path"))
+    orphans = listing.join(refs, "path", "left_anti")
+    cutoff = F.date_add(F.to_date(F.lit(EPOCH_DATE)), _ORPHAN_CUT_DAYS)
+    return (
+        orphans.groupBy(F.substring(F.col("mtime").cast("string"), 1, 7).alias("month"))
+        .agg(
+            F.count("*").alias("n_orphans"),
+            F.sum("size_bytes").cast("bigint").alias("orphan_bytes"),
+            F.count(F.when(F.col("mtime") < cutoff, 1)).alias("n_deletable"),
+            F.coalesce(F.sum(F.when(F.col("mtime") < cutoff, F.col("size_bytes"))), F.lit(0))
+            .cast("bigint")
+            .alias("bytes_deletable"),
         )
         .orderBy("month")
     )
