@@ -1122,6 +1122,104 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mixture-sampling knobs: temperature 0.5 (sqrt weights — upweights rare
+#: sources, the GPT-3/LLaMA data-mixture shape), a 50% corpus budget, and a
+#: 1/10,000 gate granularity. WEIGHT_SCALE folds sqrt(n) to an integer so
+#: the cross-source weight sum is order-independent (a float sum over
+#: sources would round differently under different aggregation orders).
+MIX_BUDGET_DIV = 2
+MIX_GATE_M = 10_000
+WEIGHT_SCALE = 1_000
+
+
+@register(
+    "q_mixture_sample",
+    oracle=f"""
+        WITH counts AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {WEIGHT_SCALE}) AS BIGINT) AS weight
+          FROM counts
+        ),
+        tot AS (
+          SELECT CAST(SUM(weight) AS BIGINT) AS sum_w,
+                 CAST(SUM(n_docs) AS BIGINT) AS total_docs
+          FROM w
+        ),
+        thr AS (
+          SELECT source, n_docs, weight,
+                 CAST(LEAST({MIX_GATE_M},
+                   ((total_docs // {MIX_BUDGET_DIV}) * weight * {MIX_GATE_M})
+                     // (sum_w * n_docs)) AS BIGINT) AS keep_per_10k
+          FROM w, tot
+        )
+        SELECT t.source, t.n_docs, t.weight, t.keep_per_10k,
+               count(*) FILTER (
+                 WHERE {hash60_sql("CAST(d.doc_id AS VARCHAR)")} % {MIX_GATE_M} < t.keep_per_10k
+               ) AS n_sampled
+        FROM documents d JOIN thr t ON d.source = t.source
+        GROUP BY t.source, t.n_docs, t.weight, t.keep_per_10k
+        ORDER BY t.source
+        """,
+    tags=("text", "sampling", "mixture"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling across corpus sources.
+
+    The training-mix rebalance every large-scale pipeline runs before
+    tokenization: per-source keep rates proportional to n_s^T (T=0.5 —
+    sqrt weights upweight rare sources) under a global document budget,
+    then a deterministic hash gate applies the rates so re-runs never flip
+    a decision on an old row. Reports, per source, the plan (weight, keep
+    rate) and the realized sample count.
+
+    Exactness: sqrt is IEEE-correctly-rounded in both engines and is folded
+    to an integer weight immediately (floor(sqrt(n)*1000)), so the
+    cross-source weight SUM is integer — order-independent — and the
+    threshold arithmetic is pure BIGINT (LEAST/div). The widest product,
+    (total/2) * weight * 10^4, stays under 2^63 through ~SF 100k; past that
+    the fold moves to DECIMAL(38,0) unchanged.
+
+    Scale: two aggregations over the corpus (per-source count, per-source
+    gated count) and one broadcast of the per-source threshold table —
+    sources are a bounded dimension (thousands at most), so the broadcast
+    holds at 100 TB while the corpus itself never shuffles: both counts are
+    map-side-combined aggs on the same grouping key.
+    """
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    weight = F.floor(F.sqrt(F.col("n_docs").cast("double")) * WEIGHT_SCALE).cast("bigint")
+    w = counts.withColumn("weight", weight)
+    # totals over the per-source table: metadata-scale (one row per source),
+    # the documented empty-frame-window exception
+    win = Window.partitionBy()
+    w = w.withColumn("sum_w", F.sum("weight").over(win)).withColumn(
+        "total_docs", F.sum("n_docs").over(win)
+    )
+    thr = w.select(
+        "source",
+        "n_docs",
+        "weight",
+        F.least(
+            F.lit(MIX_GATE_M).cast("bigint"),
+            F.expr(
+                f"((total_docs div {MIX_BUDGET_DIV}) * weight * {MIX_GATE_M})"
+                f" div (sum_w * n_docs)"
+            ),
+        ).alias("keep_per_10k"),
+    )
+    gate = hash60(F.col("doc_id").cast("string")) % MIX_GATE_M
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(thr), "source")
+        .groupBy("source", "n_docs", "weight", "keep_per_10k")
+        .agg(F.count(F.when(gate < F.col("keep_per_10k"), 1)).alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
 MAX_CC_ITERS = 15  # label-propagation safety cap (graph diameter bound)
 
 

@@ -23,12 +23,16 @@ from iceberg_benchmark_poc_spark.queries.textpipe import (
     DECON_GRAM_N,
     EVAL_MOD,
     EVAL_REM,
+    MIX_BUDGET_DIV,
+    MIX_GATE_M,
     NEAR_JACCARD,
     SAMPLE_RATES,
     TOP_TOKENS,
+    WEIGHT_SCALE,
     q_decontaminate,
     q_dup_clusters,
     q_heavy_hitters,
+    q_mixture_sample,
     q_stratified_sample,
 )
 
@@ -117,6 +121,48 @@ def test_stratified_sample_deterministic_and_rated(spark):
     for doc_id, r in first.items():
         assert r["keep_pct"] == SAMPLE_RATES.get(docs[doc_id], 100)
         assert 0 <= r["sample_bucket"] < 100
+
+
+def test_mixture_sample_matches_bruteforce(spark):
+    """The temperature-mixture plan and its realized sample equal a plain
+    Python recomputation: integer sqrt-weights, BIGINT threshold arithmetic,
+    md5 hash gate — and the keep rate is monotone-decreasing in source size
+    (rare sources upweighted), which is the point of T=0.5."""
+    import hashlib
+    import math
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source").collect()
+    counts = Counter(r["source"] for r in docs)
+    weights = {s: math.floor(math.sqrt(n) * WEIGHT_SCALE) for s, n in counts.items()}
+    sum_w = sum(weights.values())
+    total = sum(counts.values())
+    thr = {
+        s: min(
+            MIX_GATE_M,
+            ((total // MIX_BUDGET_DIV) * weights[s] * MIX_GATE_M) // (sum_w * counts[s]),
+        )
+        for s in counts
+    }
+    sampled: Counter = Counter({s: 0 for s in counts})
+    for r in docs:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16) % MIX_GATE_M
+        if h < thr[r["source"]]:
+            sampled[r["source"]] += 1
+
+    rows = {r["source"]: r for r in q_mixture_sample(spark, SF_DIR).collect()}
+    assert set(rows) == set(counts)
+    for s in counts:
+        r = rows[s]
+        assert (r["n_docs"], r["weight"], r["keep_per_10k"], r["n_sampled"]) == (
+            counts[s],
+            weights[s],
+            thr[s],
+            sampled[s],
+        )
+    by_size = sorted(counts, key=lambda s: counts[s])
+    for a, b in zip(by_size, by_size[1:]):
+        if counts[a] < counts[b]:
+            assert thr[a] >= thr[b]
 
 
 def test_heavy_hitters_match_counter(spark):
