@@ -189,6 +189,42 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_join(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "q_stream_attribution_outer",
+    oracle="""
+        SELECT c.user_id,
+               c.event_id                           AS click_id,
+               make_timestamp(epoch_ns(c.ts) // 1000) AS click_ts,
+               p.event_id                           AS buy_id,
+               make_timestamp(epoch_ns(p.ts) // 1000) AS buy_ts,
+               p.value                              AS buy_value
+        FROM events c
+        LEFT JOIN events p
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase'
+         AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+         AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
+        WHERE c.event_type = 'click'
+        """,
+    tags=("streaming", "interval-join", "outer"),
+)
+def q_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with unconverted clicks: the LEFT OUTER interval join's
+    batch twin.
+
+    Same code as the streaming operator
+    (streaming/dedup_join.py::attribution_join_outer) on the static events
+    table: clicks with no purchase within the hour survive with NULL
+    purchase columns — conversion AND abandonment in one result. The
+    streaming variant's null rows are watermark-gated (emitted only once no
+    future purchase can match); on the static frame the twin is an ordinary
+    left-outer join, which is exactly the backfill path.
+    """
+    from ..streaming.dedup_join import attribution_join_outer
+
+    return attribution_join_outer(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator, batch twin — oracle-gated
 # ---------------------------------------------------------------------------

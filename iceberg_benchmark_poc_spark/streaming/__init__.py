@@ -14,7 +14,7 @@ provides both halves natively:
   guarantee is part of the engine contract).
 """
 
-from .dedup_join import attribution_join, dedup_events, enrich_events
+from .dedup_join import attribution_join, attribution_join_outer, dedup_events, enrich_events
 from .ingest import micro_batch_commit_metrics, split_events_for_streaming, stream_events
 from .stateful import value_threshold_monitor
 from .windows import session_totals, sliding_totals, tumbling_counts
@@ -29,5 +29,6 @@ __all__ = [
     "value_threshold_monitor",
     "dedup_events",
     "attribution_join",
+    "attribution_join_outer",
     "enrich_events",
 ]

@@ -85,6 +85,57 @@ def attribution_join(
     )
 
 
+def attribution_join_outer(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Attribution including unconverted clicks: stream-stream LEFT OUTER join.
+
+    Same legs and interval bound as ``attribution_join``, but clicks with no
+    purchase inside the horizon survive with NULL purchase columns — the
+    shape every funnel/abandonment pipeline needs. In streaming mode Spark
+    emits the matched rows as they join and holds each unmatched click in
+    state until the watermark passes ``click_ts + horizon``; only then can
+    no future purchase match, so only then is the NULL row emitted and the
+    state evicted. Both watermarks plus the interval bound make that state
+    bounded by (click rate x (horizon + watermark)) — without them a
+    streaming outer join is unrunnable, which is why Spark rejects it.
+
+    Batch twin: the identical plan on static frames is a plain left-outer
+    interval join (q_stream_attribution_outer, oracle-gated).
+    """
+    purchases_src = clicks_src if purchases_src is None else purchases_src
+    wm = watermark or DEDUP_WATERMARK
+
+    clicks = clicks_src.filter(F.col("event_type") == "click")
+    purchases = purchases_src.filter(F.col("event_type") == "purchase")
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", wm)
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark("ts", wm)
+
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("buy_user"),
+        F.col("event_id").alias("buy_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"),
+    )
+    cond = (
+        (c["user_id"] == p["buy_user"])
+        & (p["buy_ts"] >= c["click_ts"])
+        & (p["buy_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {ATTRIBUTION_HORIZON_MIN} MINUTES"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        "user_id", "click_id", "click_ts", "buy_id", "buy_ts", "buy_value"
+    )
+
+
 def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Enrich the event stream with customer attributes: stream-static join.
 

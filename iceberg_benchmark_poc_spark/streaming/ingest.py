@@ -32,16 +32,44 @@ EVENTS_SCHEMA = (
 )
 
 
-def split_events_for_streaming(spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 20) -> str:
+def split_events_for_streaming(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 20, time_ordered: bool = False
+) -> str:
     """Materialize the events fixture as n parquet files (one per micro-batch).
 
     The ts column is normalized to microseconds here so the streaming schema
     is a plain TIMESTAMP (streaming readers need an explicit schema).
+
+    ``time_ordered=False`` (default) round-robins rows, so every file spans
+    the full time range — a redelivery/out-of-order torture feed. With
+    ``time_ordered=True`` the files are contiguous time slices in listing
+    order (repartitionByRange on ts), modeling an in-order source such as a
+    time-bucketed Kafka ingest; this is the feed watermark-eviction
+    semantics (outer-join null emission, state GC) need to behave — under
+    the round-robin feed a multi-batch run's watermark makes everything
+    after the first batch late by construction.
     """
     from ..core.io import load_table
 
     src = os.path.join(out_dir, "stream_src")
-    load_table(spark, sf_dir, "events").repartition(n_files).write.mode("overwrite").parquet(src)
+    ev = load_table(spark, sf_dir, "events")
+    if time_ordered:
+        ev = ev.repartitionByRange(n_files, "ts").sortWithinPartitions("ts")
+    else:
+        ev = ev.repartition(n_files)
+    ev.write.mode("overwrite").parquet(src)
+    if time_ordered:
+        # the file source orders batches by MODIFICATION TIME, and one write
+        # job finishes its part files in arbitrary task order — stamp
+        # strictly increasing mtimes in part-index order (part index = range
+        # partition id = time order) so maxFilesPerTrigger=1 replays the
+        # slices chronologically
+        parts = sorted(
+            f for f in os.listdir(src) if f.startswith("part-") and not f.endswith(".crc")
+        )
+        base_t = int(os.path.getmtime(os.path.join(src, parts[0])))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (base_t + 2 * i, base_t + 2 * i))
     return src
 
 

@@ -176,6 +176,45 @@ def test_attribution_stream_matches_batch(spark, stream_src):
     _assert_same(batch, stream)
 
 
+def test_attribution_outer_stream_sound_and_nonvacuous(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join over an in-order feed: matched
+    rows equal the batch twin exactly (time-sliced batches can never evict a
+    click while a matching purchase is still upstream — eviction needs
+    wm > click_ts + horizon, and any later purchase within the horizon
+    implies wm <= click_ts + horizon + delay at its arrival); NULL
+    (unconverted-click) rows are emitted only for clicks the batch twin also
+    leaves unmatched — never for a click that has a purchase in the horizon
+    — and at least some are emitted (the watermark advances across the 10
+    file-batches). Exact null-row equality is deliberately NOT asserted:
+    clicks whose horizon the final watermark never passes legitimately stay
+    in state at end-of-stream."""
+    from iceberg_benchmark_poc_spark.streaming import attribution_join_outer
+
+    src = split_events_for_streaming(
+        spark, SF_DIR, str(tmp_path), n_files=10, time_ordered=True
+    )
+    batch = attribution_join_outer(load_table(spark, SF_DIR, "events"))
+    stream = _run_stream(
+        spark,
+        attribution_join_outer(
+            stream_events(spark, src),
+            stream_events(spark, src),
+            watermark="1 minute",
+        ),
+        "append",
+    )
+    cols = stream.columns
+    b_matched = batch.filter("buy_id IS NOT NULL")
+    s_matched = stream.filter("buy_id IS NOT NULL")
+    _assert_same(b_matched, s_matched)
+
+    b_null = {tuple(r) for r in batch.filter("buy_id IS NULL").collect()}
+    s_null = {tuple(r) for r in stream.filter("buy_id IS NULL").collect()}
+    assert s_null, "no unconverted clicks emitted — watermark never fired"
+    assert s_null <= b_null, f"stream emitted false nulls: {sorted(s_null - b_null)[:3]}"
+    assert cols == batch.columns
+
+
 def test_streaming_dedup_drops_redelivered(spark, tmp_path):
     """dropDuplicatesWithinWatermark: an event_id redelivered in a later
     micro-batch (inside the watermark horizon) is emitted exactly once, and
