@@ -315,3 +315,127 @@ def resize_media(docs_with_payload: DataFrame, out_w: int = RESIZE_W, out_h: int
             )
 
     return docs_with_payload.mapInPandas(rs, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM16 codec + windowed feature extraction
+# ---------------------------------------------------------------------------
+
+AUDIO_RATE = 16_000  # fixture sample rate (Hz)
+AUDIO_WIN = 256  # feature-window stride in samples
+#: samples synthesized per text character in the fixture payloads
+AUDIO_SAMPLES_PER_CHAR = 4
+
+
+def encode_wav(samples: "bytes | memoryview", sample_rate: int = AUDIO_RATE) -> bytes:
+    """Encode little-endian PCM16 mono frames as a canonical RIFF/WAVE file.
+
+    The published WAVE format: RIFF header, ``fmt `` chunk (PCM tag 1,
+    1 channel, 16 bits), then the ``data`` chunk. ``samples`` is the raw
+    little-endian int16 byte stream.
+    """
+    data = bytes(samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:  # RIFF chunks pad to even length
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[int, "object"]:
+    """Parse a RIFF/WAVE file: returns (sample_rate, int16 ndarray).
+
+    A real chunk-walking parser: validates the RIFF/WAVE magic, skips
+    unknown chunks by their declared size (odd sizes padded, per spec),
+    reads the format from ``fmt `` and the frames from ``data``. Raises
+    ValueError on non-WAV bytes or non-PCM16-mono encodings, like any
+    decoder would.
+    """
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate: int | None = None
+    data: bytes | None = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag != 1 or channels != 1 or bits != 16:
+                raise ValueError(f"unsupported WAVE encoding: tag={tag} ch={channels} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # odd chunk sizes pad one byte
+    if rate is None or data is None:
+        raise ValueError("WAVE file missing fmt or data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def text_to_wav(text_bytes: bytes, samples_per_char: int = AUDIO_SAMPLES_PER_CHAR) -> bytes:
+    """Synthesize a deterministic PCM16 waveform from a byte stream and
+    encode it as a real WAV: sample i is
+    ``((stream[i % n] * 523 + i * 7919) % 65536) - 32768`` — pure integer
+    arithmetic, so the SQL oracles reproduce every sample exactly."""
+    import numpy as np
+
+    n = len(text_bytes)
+    if n == 0:
+        return encode_wav(b"")
+    total = n * samples_per_char
+    i = np.arange(total, dtype=np.int64)
+    src = np.frombuffer(text_bytes, dtype=np.uint8).astype(np.int64)
+    samples = ((src[i % n] * 523 + i * 7919) % 65536) - 32768
+    return encode_wav(samples.astype("<i2").tobytes())
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples bigint, energy_sq bigint, "
+    "max_abs int, zero_crossings bigint, loudest_win bigint, n_windows bigint"
+)
+
+
+def audio_features(docs_with_payload: DataFrame, win: int = AUDIO_WIN) -> DataFrame:
+    """Windowed audio features from DECODED WAV payloads, one mapInPandas pass.
+
+    Per document: total energy (sum of squared samples — exact BIGINT,
+    |s| <= 2^15 so a 2^63 budget holds past 2^32 samples), peak amplitude,
+    zero-crossing count (sign change between consecutive samples, sign(0)
+    treated as +), the index of the loudest ``win``-sample window (first on
+    ties, matching np.argmax), and the window count. Everything integer, so
+    the DuckDB oracle replays the synthesis formula and matches hash-exactly.
+    No shuffle; parallelism = input partitions.
+    """
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "energy_sq",
+                "max_abs", "zero_crossings", "loudest_win", "n_windows",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s = s.astype(np.int64)
+                sq = s * s
+                nw = (len(s) + win - 1) // win if len(s) else 0
+                if nw:
+                    wins = np.add.reduceat(sq, np.arange(0, len(s), win))
+                    loudest = int(np.argmax(wins))
+                else:
+                    loudest = -1
+                nonneg = s >= 0
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["energy_sq"].append(int(sq.sum()))
+                out["max_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+                out["zero_crossings"].append(int((nonneg[1:] != nonneg[:-1]).sum()))
+                out["loudest_win"].append(loudest)
+                out["n_windows"].append(nw)
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.mapInPandas(feats, AUDIO_FEATURE_SCHEMA)

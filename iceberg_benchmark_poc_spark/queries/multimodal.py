@@ -23,15 +23,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..core.io import load_table
 from ..core.registry import register
 from ..operators.multimodal import (
+    AUDIO_RATE,
+    AUDIO_SAMPLES_PER_CHAR,
+    AUDIO_WIN,
     EMBED_DIM,
     FRAME_BYTES,
     RESIZE_H,
     RESIZE_W,
+    audio_features,
     media_embedding,
     media_features,
     resize_media,
     sample_frames,
     text_to_ppm,
+    text_to_wav,
 )
 
 #: the oracle's reconstruction of the decoded raster (documents are ASCII,
@@ -202,3 +207,103 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     thumbs = resize_media(_ppm_payloads(d))
     return thumbs.select("doc_id", "width", "height", F.md5("pixels").alias("pixels_md5"))
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV payloads through the decode-first feature pipeline
+# ---------------------------------------------------------------------------
+
+#: oracle-side sample bound: fixture texts top out under 600 chars (x4
+#: samples/char), so 4096 covers them with 40% headroom at every SF (the
+#: scale-up duplicates texts, never lengthens them)
+_AUDIO_MAX_SAMPLES = 4096
+
+
+def _wav_payloads(d: DataFrame) -> DataFrame:
+    """Synthesize each document's deterministic PCM16 waveform and encode it
+    as a real RIFF/WAVE payload (the audio twin of ``_ppm_payloads``)."""
+    enc = F.pandas_udf(lambda s: s.map(lambda t: text_to_wav(t.encode("utf-8"))), "binary")
+    return d.select("doc_id", enc(F.col("text")).alias("payload"))
+
+
+@register(
+    "q_audio_features",
+    oracle=f"""
+        WITH chars AS (
+          SELECT doc_id, text, length(text) AS n,
+                 length(text) * {AUDIO_SAMPLES_PER_CHAR} AS total
+          FROM documents
+        ),
+        samples AS (
+          -- DuckDB's range() cannot take a lateral column bound, so cross
+          -- with a constant range and filter (the q_dv_apply pattern).
+          -- {_AUDIO_MAX_SAMPLES} comfortably bounds the fixture's longest
+          -- text x {AUDIO_SAMPLES_PER_CHAR}; a longer text would truncate
+          -- the oracle and the hash gate would flag it immediately.
+          SELECT c.doc_id, c.total, i.range AS i,
+                 ((ascii(substr(c.text, CAST(i.range % c.n AS INTEGER) + 1, 1)) * 523
+                   + i.range * 7919) % 65536) - 32768 AS s
+          FROM chars c, range({_AUDIO_MAX_SAMPLES}) i
+          WHERE i.range < c.total
+        ),
+        wins AS (
+          SELECT doc_id, i // {AUDIO_WIN} AS w, SUM(s * s) AS we
+          FROM samples GROUP BY doc_id, w
+        ),
+        loudest AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, w,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY we DESC, w ASC) AS rk
+            FROM wins
+          ) WHERE rk = 1
+        ),
+        lagged AS (
+          SELECT doc_id, s,
+                 lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          FROM samples
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(SUM(s * s) AS BIGINT) AS energy_sq,
+                 CAST(MAX(ABS(s)) AS INTEGER) AS max_abs
+          FROM samples GROUP BY doc_id
+        ),
+        zc AS (
+          SELECT doc_id,
+                 count(*) FILTER (WHERE prev IS NOT NULL AND (s >= 0) != (prev >= 0))
+                   AS zero_crossings
+          FROM lagged GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST({AUDIO_RATE} AS INTEGER)                      AS sample_rate,
+               CAST(c.total AS BIGINT)                            AS n_samples,
+               p.energy_sq,
+               p.max_abs,
+               CAST(z.zero_crossings AS BIGINT)                   AS zero_crossings,
+               CAST(l.w AS BIGINT)                                AS loudest_win,
+               (c.total + {AUDIO_WIN} - 1) // {AUDIO_WIN}         AS n_windows
+        FROM chars c
+        JOIN per_doc p USING (doc_id)
+        JOIN zc z USING (doc_id)
+        JOIN loudest l USING (doc_id)
+        """,
+    tags=("multimodal", "audio", "pandas-udf"),
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio features from real RIFF/WAVE payloads.
+
+    Extends the multimodal band from images to audio: the payload is a
+    genuine WAV file (RIFF header, fmt/data chunks) whose PCM16 samples
+    derive from the document text by pure integer arithmetic; the operator
+    walks the chunks with a real parser (operators/multimodal.py decode_wav
+    — skips unknown chunks, validates PCM16 mono) and computes energy,
+    peak, zero crossings, and the loudest 256-sample window from the
+    DECODED frames. The oracle replays the synthesis formula sample by
+    sample in SQL — a header, chunk-walk, or endianness bug breaks every
+    column immediately. All-integer features, so the gate is hash-exact.
+
+    Scale: one Arrow-batched mapInPandas pass, no shuffle; at 100 TB the
+    payload column streams through executors exactly like the image band.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return audio_features(_wav_payloads(d))

@@ -159,3 +159,59 @@ def test_resize_identity_on_square_input(spark):
     [row] = resize_media(df).collect()
     assert (row["width"], row["height"]) == (8, 8)
     assert bytes(row["pixels"]) == raster
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode_wav -> decode_wav is the identity on samples and rate, the
+    parser skips unknown chunks by declared size (odd sizes padded, per
+    RIFF spec), and non-WAV / non-PCM16 payloads raise like any decoder."""
+    import struct
+
+    import numpy as np
+
+    from iceberg_benchmark_poc_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 523], dtype="<i2")
+    blob = encode_wav(samples.tobytes(), sample_rate=8000)
+    rate, out = decode_wav(blob)
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+
+    # splice an unknown odd-sized chunk between fmt and data: still decodes
+    fmt_end = blob.index(b"data")
+    weird = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size -> pad
+    spliced = blob[:fmt_end] + weird + blob[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    rate2, out2 = decode_wav(spliced)
+    assert rate2 == 8000 and np.array_equal(out2, samples)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI " + b"\x00" * 32)  # not WAVE
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(stereo_fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(bad)  # stereo rejected (and data chunk missing)
+
+
+def test_text_to_wav_matches_formula():
+    """The synthesized waveform is the documented closed form — the same
+    integer chain the SQL oracle replays."""
+    import numpy as np
+
+    from iceberg_benchmark_poc_spark.operators.multimodal import (
+        AUDIO_SAMPLES_PER_CHAR,
+        decode_wav,
+        text_to_wav,
+    )
+
+    text = b"spark audio!"
+    rate, s = decode_wav(text_to_wav(text))
+    n = len(text)
+    assert len(s) == n * AUDIO_SAMPLES_PER_CHAR
+    for i, v in enumerate(np.asarray(s, dtype=np.int64)):
+        assert v == ((text[i % n] * 523 + i * 7919) % 65536) - 32768

@@ -338,6 +338,7 @@ ARROW_PYTHON_ALLOWED = {
     "q_media_features",
     "q_media_resize",
     "q_avro_roundtrip",  # pure-python OCF codec in mapInPandas leaves
+    "q_audio_features",  # WAV codec + windowed features in a mapInPandas leaf
 }
 
 #: BroadcastNestedLoopJoin is acceptable only when the broadcast side is
