@@ -879,6 +879,11 @@ STAGING_MOD = 25
 #: Iceberg's `older_than` guard against deleting in-flight writes
 ORPHAN_AGE_PCT = 70
 _ORPHAN_CUT_DAYS = (DATE_DOMAIN_DAYS * ORPHAN_AGE_PCT) // 100
+#: ~0.1% of committed objects vanished from storage (corruption / fat-finger
+#: deletes) — the sliver q_table_fsck exists to find. Excluding them from
+#: the listing leaves q_orphan_files unchanged: a committed path never
+#: survives its anti-join whether or not the object is present.
+LOST_MOD = 997
 
 _ATTEMPT_PATH_SQL = (
     "'s3://bucket/table/data/file_' || "
@@ -890,16 +895,17 @@ _MTIME_SQL = f"DATE '{EPOCH_DATE}' + CAST((o_orderkey * 7919) % {DATE_DOMAIN_DAY
 
 def _storage_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Object-store listing of the table location: every committed data file
-    plus the deterministic debris a real table accumulates — orphaned write
-    attempts (task retries whose commit lost) and abandoned staging blobs.
-    Sizes/mtimes use the same integer generators as ``file_meta`` so the
-    committed rows describe the same physical files."""
+    still present (a {1/LOST_MOD} sliver has vanished — q_table_fsck's
+    quarry) plus the deterministic debris a real table accumulates —
+    orphaned write attempts (task retries whose commit lost) and abandoned
+    staging blobs. Sizes/mtimes use the same integer generators as
+    ``file_meta`` so the committed rows describe the same physical files."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     fid = F.col("o_orderkey")
     mtime = F.date_add(
         F.to_date(F.lit(EPOCH_DATE)), ((fid * 7919) % DATE_DOMAIN_DAYS).cast("int")
     ).alias("mtime")
-    committed = o.select(
+    committed = o.where((fid * 19) % LOST_MOD != 0).select(
         file_path_col(fid).alias("path"),
         (F.lit(SIZE_BASE) + (fid * 104729) % SIZE_MOD).alias("size_bytes"),
         mtime,
@@ -931,7 +937,7 @@ def _storage_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT {FILE_PATH_SQL} AS path,
                  {SIZE_BASE} + (o_orderkey * 104729) % {SIZE_MOD} AS size_bytes,
                  {_MTIME_SQL} AS mtime
-          FROM orders
+          FROM orders WHERE (o_orderkey * 19) % {LOST_MOD} != 0
           UNION ALL
           SELECT {_ATTEMPT_PATH_SQL},
                  1000 + (o_orderkey * 37) % 500000,
@@ -994,6 +1000,71 @@ def q_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(F.col("mtime") < cutoff, F.col("size_bytes"))), F.lit(0))
             .cast("bigint")
             .alias("bytes_deletable"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q_table_fsck",
+    oracle=with_fixtures(
+        f"""
+        WITH listing AS (
+          SELECT {FILE_PATH_SQL} AS path
+          FROM orders WHERE (o_orderkey * 19) % {LOST_MOD} != 0
+          UNION ALL
+          SELECT {_ATTEMPT_PATH_SQL}
+          FROM orders WHERE (o_orderkey * 13) % {ORPHAN_ATTEMPT_MOD} < {ORPHAN_ATTEMPT_LT}
+          UNION ALL
+          SELECT {_STAGING_PATH_SQL}
+          FROM orders WHERE (o_orderkey * 7) % {STAGING_MOD} = 0
+        )
+        SELECT substr(CAST(m.partition_date AS VARCHAR), 1, 7) AS month,
+               count(*) AS n_referenced,
+               count(*) FILTER (WHERE l.path IS NULL) AS n_missing,
+               CAST(COALESCE(SUM(m.file_size_bytes) FILTER (WHERE l.path IS NULL), 0)
+                 AS BIGINT) AS missing_bytes
+        FROM file_meta m
+        LEFT JOIN listing l ON m.file_path = l.path
+        GROUP BY month
+        ORDER BY month
+        """,
+        "file_meta",
+    ),
+    tags=("maintenance", "integrity", "join"),
+)
+def q_table_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table integrity audit: referenced files missing from storage.
+
+    The mirror image of q_orphan_files and the check every migration or
+    disaster-recovery runbook starts with: LEFT JOIN the manifest-referenced
+    paths against the storage listing and report, per partition month, how
+    many referenced objects no longer exist (and how many bytes of data
+    they carried). A read would fail on each — surfacing them from metadata
+    is how the table is declared healthy before a cutover.
+
+    Scale: same file-inventory-scale path-equality join as q_orphan_files
+    (shuffle on `path`, no small-side assumption) into one map-side-combined
+    aggregation keyed by month. Healthy months still report (n_missing = 0)
+    because the aggregation runs over the referenced side, not the missing
+    sliver.
+    """
+    refs = file_meta(spark, sf_dir).select(
+        F.col("file_path").alias("path"), "file_size_bytes", "partition_date"
+    )
+    present = _storage_listing(spark, sf_dir).select("path", F.lit(1).alias("present"))
+    joined = refs.join(present, "path", "left")
+    missing = F.col("present").isNull()
+    return (
+        joined.groupBy(
+            F.substring(F.col("partition_date").cast("string"), 1, 7).alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_referenced"),
+            F.count(F.when(missing, 1)).alias("n_missing"),
+            F.coalesce(F.sum(F.when(missing, F.col("file_size_bytes"))), F.lit(0))
+            .cast("bigint")
+            .alias("missing_bytes"),
         )
         .orderBy("month")
     )
