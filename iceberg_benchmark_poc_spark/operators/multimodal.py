@@ -439,3 +439,171 @@ def audio_features(docs_with_payload: DataFrame, win: int = AUDIO_WIN) -> DataFr
             yield pd.DataFrame(out)
 
     return docs_with_payload.mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video: uncompressed AVI (RIFF) container + motion features
+# ---------------------------------------------------------------------------
+
+VIDEO_W = 10  # 30-byte rows -> 32-byte stride: the 4-byte row padding is real
+VIDEO_H = 6
+VIDEO_FPS = 10
+VIDEO_MAX_FRAMES = 8
+#: a new frame every this many text characters (plus frame 0)
+VIDEO_CHARS_PER_FRAME = 128
+
+
+def _dib_frame(gray: bytes, width: int, height: int) -> bytes:
+    """One uncompressed bottom-up 24-bit DIB frame body (BGR rows padded to
+    4 bytes) — byte-identical to the pixel array of ``encode_bmp``."""
+    row_stride = (width * 3 + 3) & ~3
+    body = bytearray(row_stride * height)
+    for y in range(height):
+        src = gray[(height - 1 - y) * width : (height - y) * width]
+        row = bytearray(row_stride)
+        for x, b in enumerate(src):
+            row[x * 3 : x * 3 + 3] = bytes((b, b, b))
+        body[y * row_stride : (y + 1) * row_stride] = row
+    return bytes(body)
+
+
+def encode_avi(frames: list[bytes], width: int, height: int, fps: int = VIDEO_FPS) -> bytes:
+    """Encode grayscale rasters as a spec-conforming uncompressed AVI:
+    RIFF 'AVI ' -> LIST hdrl (avih + LIST strl (strh 'vids'/'DIB ' + strf
+    BITMAPINFOHEADER)) -> LIST movi ('00db' raw DIB frames)."""
+    row_stride = (width * 3 + 3) & ~3
+    frame_bytes = row_stride * height
+    us_per_frame = 1_000_000 // fps
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, frame_bytes * fps, 0, 0x10, len(frames), 0, 1,
+        frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                        len(frames), frame_bytes, 0, frame_bytes)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", _dib_frame(f, width, height)) for f in frames))
+    return b"RIFF" + struct.pack("<I", len(b"AVI " + hdrl + movi)) + b"AVI " + hdrl + movi
+
+
+def decode_avi(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse an uncompressed AVI: returns (width, height, grayscale frames).
+
+    A real container parser sharing RIFF discipline with ``decode_wav``:
+    validates the 'AVI ' form, walks LIST chunks recursively, reads the
+    geometry from the strf BITMAPINFOHEADER (24-bit BI_RGB only), collects
+    '00db'/'00dc' frame chunks from the movi list, checks the frame count
+    against the avih header, and reduces each bottom-up padded BGR frame to
+    luminance exactly like the BMP decoder. ValueError on anything else.
+    """
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = None
+    declared_frames = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height, declared_frames
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])  # skip the 4-byte list kind
+            elif cid == b"avih":
+                declared_frames = struct.unpack_from("<I", body, 16)[0]
+            elif cid == b"strf":
+                _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", body, 0)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(f"only uncompressed 24-bit AVI supported (bpp={bpp})")
+                width, height = w, abs(h)
+            elif cid in (b"00db", b"00dc"):
+                frames_raw.append(body)
+            pos += 8 + size + (size % 2)
+
+    walk(blob[12:])
+    if width is None or height is None:
+        raise ValueError("AVI missing strf geometry")
+    if declared_frames is not None and declared_frames != len(frames_raw):
+        raise ValueError(f"avih declares {declared_frames} frames, movi has {len(frames_raw)}")
+    row_stride = (width * 3 + 3) & ~3
+    frames: list[bytes] = []
+    for raw in frames_raw:
+        gray = bytearray(width * height)
+        for y in range(height):
+            src_y = height - 1 - y  # bottom-up
+            row = raw[src_y * row_stride : src_y * row_stride + width * 3]
+            for x in range(width):
+                bb, gg, rr = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
+                gray[y * width + x] = _luma(rr, gg, bb)
+        frames.append(bytes(gray))
+    return width, height, frames
+
+
+def text_to_avi(text_bytes: bytes) -> bytes:
+    """Synthesize a deterministic multi-frame video from a byte stream:
+    ``1 + n // VIDEO_CHARS_PER_FRAME`` frames (capped at VIDEO_MAX_FRAMES)
+    of VIDEO_W x VIDEO_H, where frame f's pixel i is
+    ``stream[(i * 3 + f * 7) % n]`` — the closed form the SQL oracles replay."""
+    n = len(text_bytes)
+    if n == 0:
+        return encode_avi([bytes(VIDEO_W * VIDEO_H)], VIDEO_W, VIDEO_H)
+    n_frames = min(1 + n // VIDEO_CHARS_PER_FRAME, VIDEO_MAX_FRAMES)
+    frames = [
+        bytes(text_bytes[(i * 3 + f * 7) % n] for i in range(VIDEO_W * VIDEO_H))
+        for f in range(n_frames)
+    ]
+    return encode_avi(frames, VIDEO_W, VIDEO_H)
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames bigint, total_luma bigint, "
+    "first_pixel int, moving_pixels bigint"
+)
+
+
+def video_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Motion features from DECODED AVI frames, one mapInPandas pass.
+
+    Per video: geometry, frame count, total luminance mass across all
+    frames (exact BIGINT), first pixel of frame 0, and the motion metric —
+    the count of (frame, pixel) pairs that changed value vs the previous
+    frame. All integer, so the oracle replays the synthesis formula and the
+    gate is hash-exact. No shuffle; parallelism = input partitions.
+    """
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height", "n_frames", "total_luma",
+                "first_pixel", "moving_pixels",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_avi(bytes(payload))
+                stack = np.stack([np.frombuffer(f, dtype=np.uint8) for f in frames]).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["total_luma"].append(int(stack.sum()))
+                out["first_pixel"].append(int(stack[0, 0]))
+                out["moving_pixels"].append(int((stack[1:] != stack[:-1]).sum()))
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.mapInPandas(feats, VIDEO_FEATURE_SCHEMA)

@@ -30,6 +30,10 @@ from ..operators.multimodal import (
     FRAME_BYTES,
     RESIZE_H,
     RESIZE_W,
+    VIDEO_CHARS_PER_FRAME,
+    VIDEO_H,
+    VIDEO_MAX_FRAMES,
+    VIDEO_W,
     audio_features,
     media_embedding,
     media_features,
@@ -37,6 +41,8 @@ from ..operators.multimodal import (
     sample_frames,
     text_to_ppm,
     text_to_wav,
+    text_to_avi,
+    video_features,
 )
 
 #: the oracle's reconstruction of the decoded raster (documents are ASCII,
@@ -307,3 +313,73 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     return audio_features(_wav_payloads(d))
+
+
+# ---------------------------------------------------------------------------
+# video: AVI payloads through the decode-first feature pipeline
+# ---------------------------------------------------------------------------
+
+
+def _avi_payloads(d: DataFrame) -> DataFrame:
+    """Synthesize each document's deterministic multi-frame video and encode
+    it as a real uncompressed AVI container (the video twin of
+    ``_ppm_payloads`` / ``_wav_payloads``)."""
+    enc = F.pandas_udf(lambda s: s.map(lambda t: text_to_avi(t.encode("utf-8"))), "binary")
+    return d.select("doc_id", enc(F.col("text")).alias("payload"))
+
+
+_VIDEO_PX = VIDEO_W * VIDEO_H
+#: frame f, pixel i of a video synthesized from ``text`` (1-based substr)
+_VID_SAMPLE = "ascii(substr(text, CAST((i.range * 3 + {f} * 7) % n AS INTEGER) + 1, 1))"
+
+
+@register(
+    "q_video_features",
+    oracle=f"""
+        WITH docs AS (
+          SELECT doc_id, text, length(text) AS n,
+                 LEAST(1 + length(text) // {VIDEO_CHARS_PER_FRAME}, {VIDEO_MAX_FRAMES})
+                   AS n_frames
+          FROM documents
+        ),
+        px AS (
+          SELECT d.doc_id, d.n_frames, f.range AS f, i.range AS i,
+                 {_VID_SAMPLE.format(f="f.range")} AS s,
+                 CASE WHEN f.range > 0
+                      AND {_VID_SAMPLE.format(f="f.range")}
+                        != {_VID_SAMPLE.format(f="(f.range - 1)")}
+                      THEN 1 ELSE 0 END AS moved
+          FROM docs d, range({VIDEO_MAX_FRAMES}) f, range({_VIDEO_PX}) i
+          WHERE f.range < d.n_frames
+        )
+        SELECT p.doc_id,
+               CAST({VIDEO_W} AS INTEGER)             AS width,
+               CAST({VIDEO_H} AS INTEGER)             AS height,
+               CAST(p.n_frames AS BIGINT)             AS n_frames,
+               CAST(SUM(p.s) AS BIGINT)               AS total_luma,
+               CAST(MIN(CASE WHEN p.f = 0 AND p.i = 0 THEN p.s END) AS INTEGER)
+                                                      AS first_pixel,
+               CAST(SUM(p.moved) AS BIGINT)           AS moving_pixels
+        FROM px p
+        GROUP BY p.doc_id, p.n_frames
+        """,
+    tags=("multimodal", "video", "pandas-udf"),
+)
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion features from real AVI containers — the video leg of the band.
+
+    The payload is a genuine uncompressed AVI (RIFF form, hdrl/strl
+    headers, movi frame list, bottom-up padded DIB frames); the operator
+    parses the container with a real recursive chunk walker
+    (operators/multimodal.py decode_avi — geometry from strf, frame-count
+    cross-check against avih), reduces frames to luminance, and computes
+    total luminance mass plus the frame-over-frame motion count from the
+    DECODED pixels. The oracle replays the synthesis formula per (frame,
+    pixel) in SQL — a header, stride-padding, frame-order, or bottom-up
+    bug breaks the hash immediately. All-integer features.
+
+    Scale: one Arrow-batched mapInPandas pass, no shuffle — frame sampling
+    and per-frame work parallelize over the same input partitions.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return video_features(_avi_payloads(d))

@@ -215,3 +215,45 @@ def test_text_to_wav_matches_formula():
     assert len(s) == n * AUDIO_SAMPLES_PER_CHAR
     for i, v in enumerate(np.asarray(s, dtype=np.int64)):
         assert v == ((text[i % n] * 523 + i * 7919) % 65536) - 32768
+
+
+def test_avi_roundtrip_and_header_crosscheck():
+    """encode_avi -> decode_avi recovers geometry and every gray frame; the
+    parser cross-checks avih's declared frame count against the movi list
+    and rejects non-AVI RIFF forms and compressed formats."""
+    import struct
+
+    from iceberg_benchmark_poc_spark.operators.multimodal import decode_avi, encode_avi
+
+    frames = [bytes((f * 40 + i) % 256 for i in range(10 * 6)) for f in range(3)]
+    blob = encode_avi(frames, 10, 6)
+    w, h, out = decode_avi(blob)
+    assert (w, h) == (10, 6)
+    assert out == frames  # luminance of (b,b,b) DIB rows is the identity
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")  # wrong form
+
+    # corrupt the avih frame count: the cross-check must catch it
+    idx = blob.index(b"avih") + 8 + 16
+    bad = blob[:idx] + struct.pack("<I", 99) + blob[idx + 4 :]
+    with pytest.raises(ValueError):
+        decode_avi(bad)
+
+
+def test_text_to_avi_matches_formula():
+    """Frame f, pixel i == text[(i*3 + f*7) % n] — the closed form the SQL
+    oracle replays — and the frame count follows the chars-per-frame cap."""
+    from iceberg_benchmark_poc_spark.operators.multimodal import (
+        VIDEO_CHARS_PER_FRAME,
+        VIDEO_MAX_FRAMES,
+        decode_avi,
+        text_to_avi,
+    )
+
+    for text in (b"x", b"hello world", b"abcdefgh" * 50, b"Z" * 2000):
+        n = len(text)
+        w, h, frames = decode_avi(text_to_avi(text))
+        assert len(frames) == min(1 + n // VIDEO_CHARS_PER_FRAME, VIDEO_MAX_FRAMES)
+        for f, fr in enumerate(frames):
+            assert fr == bytes(text[(i * 3 + f * 7) % n] for i in range(w * h))

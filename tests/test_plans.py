@@ -339,6 +339,7 @@ ARROW_PYTHON_ALLOWED = {
     "q_media_resize",
     "q_avro_roundtrip",  # pure-python OCF codec in mapInPandas leaves
     "q_audio_features",  # WAV codec + windowed features in a mapInPandas leaf
+    "q_video_features",  # AVI container walk + motion features in a mapInPandas leaf
 }
 
 #: BroadcastNestedLoopJoin is acceptable only when the broadcast side is
