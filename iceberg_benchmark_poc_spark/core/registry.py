@@ -73,6 +73,104 @@ def _round_robin(queries: list[Query]) -> list[Query]:
     return out
 
 
+def _module_fingerprint(mod_name: str, _cache: dict = {}) -> str:  # noqa: B006 — intentional process-wide cache
+    """sha256 over a module's source plus its direct first-party deps.
+
+    Covers the defining module and every ``iceberg_benchmark_poc_spark.*``
+    module it imports (directly, one level — e.g. queries/multimodal.py pulls
+    in operators/multimodal.py), so an operator rewrite changes the
+    fingerprint of every query that calls it. One level is enough in this
+    codebase: queries import operators/core helpers, which are leaves.
+    """
+    if mod_name in _cache:
+        return _cache[mod_name]
+    import hashlib
+    import inspect
+    import sys
+
+    pkg = __name__.split(".")[0]
+    parts: list[str] = []
+    mod = sys.modules.get(mod_name)
+    dep_sources: dict[str, str] = {}
+    if mod is not None:
+        try:
+            dep_sources[mod_name] = inspect.getsource(mod)
+        except (OSError, TypeError):
+            pass
+        for val in vars(mod).values():
+            if inspect.ismodule(val):
+                dep = getattr(val, "__name__", "")
+            elif inspect.isclass(val) or callable(val):
+                dep = getattr(val, "__module__", "") or ""
+            else:
+                continue
+            if dep and dep != mod_name and dep.split(".")[0] == pkg and dep not in dep_sources:
+                dep_mod = sys.modules.get(dep)
+                if dep_mod is not None:
+                    try:
+                        dep_sources[dep] = inspect.getsource(dep_mod)
+                    except (OSError, TypeError):
+                        pass
+    parts = [dep_sources[k] for k in sorted(dep_sources)]
+    digest = hashlib.sha256("\x00".join(parts).encode()).hexdigest()
+    _cache[mod_name] = digest
+    return digest
+
+
+def source_fingerprint(q: Query) -> str:
+    """Stable hash of everything that determines ``q``'s behavior: its oracle
+    SQL and the source of its defining module + first-party imports."""
+    import hashlib
+
+    payload = "\x00".join([q.name, q.oracle or "", _module_fingerprint(q.fn.__module__)])
+    return hashlib.sha256(payload.encode()).hexdigest()
+
+
+GREEN_SOURCES_PATH = "GREEN_SOURCES.json"
+
+
+def _green_source_snapshot() -> dict[str, str]:
+    """name -> source fingerprint at the query's last *driver* green.
+
+    Maintained by ``scratch/refresh_green_sources.py`` (run at session start,
+    before any edits, once the new CORRECTNESS_r*.json lands): it stamps the
+    current fingerprint for every query green in the latest round. A green
+    query whose live fingerprint differs — or that was never stamped — has
+    been rewritten since the driver last verified it and must outrank
+    stale-but-unchanged greens in the sweep order.
+    """
+    import json
+    from pathlib import Path
+
+    try:
+        root = Path(__file__).resolve().parents[2]
+        data = json.loads((root / GREEN_SOURCES_PATH).read_text())
+        if isinstance(data, dict):
+            return {k: v for k, v in data.items() if isinstance(v, str)}
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
+def refresh_green_sources(names: list[str] | None = None) -> dict[str, str]:
+    """Stamp current fingerprints into GREEN_SOURCES.json for ``names``
+    (default: every query green in the latest CORRECTNESS round)."""
+    import json
+    from pathlib import Path
+
+    qs = all_queries()
+    if names is None:
+        history = _verification_history()
+        latest = max(history.values(), default=0)
+        names = [n for n, rnd in history.items() if rnd == latest and n in qs]
+    snap = _green_source_snapshot()
+    for n in names:
+        snap[n] = source_fingerprint(qs[n])
+    root = Path(__file__).resolve().parents[2]
+    (root / GREEN_SOURCES_PATH).write_text(json.dumps(dict(sorted(snap.items())), indent=1) + "\n")
+    return snap
+
+
 def _verification_history() -> dict[str, int]:
     """name -> round of the most recent GREEN driver verdict.
 
@@ -127,7 +225,12 @@ def driver_ordered_queries() -> dict[str, Query]:
 
     1. never-green queries first (never swept, or swept and errored) —
        round-robined across modules so the prefix still samples families;
-    2. then green queries, oldest green round first (stalest re-verified
+    2. then green queries REWRITTEN since their last green (live source
+       fingerprint differs from the GREEN_SOURCES.json stamp, or no stamp
+       exists) — a green row for code that no longer exists is debt, not
+       verification (round 4 shipped three media queries re-pointed at a
+       new decoder whose r02 greens predated the rewrite);
+    3. then unchanged greens, oldest green round first (stalest re-verified
        before fresh ones), also round-robined within each round cohort.
 
     This is self-maintaining: each round's results file re-sorts the next
@@ -135,12 +238,16 @@ def driver_ordered_queries() -> dict[str, Query]:
     """
     qs = all_queries()
     last_green = _verification_history()
+    snapshot = _green_source_snapshot()
     never: list[Query] = [q for q in qs.values() if q.name not in last_green]
     greens: list[Query] = [q for q in qs.values() if q.name in last_green]
+    changed: list[Query] = [q for q in greens if snapshot.get(q.name) != source_fingerprint(q)]
+    changed_names = {q.name for q in changed}
     cohorts: dict[int, list[Query]] = {}
     for q in greens:
-        cohorts.setdefault(last_green[q.name], []).append(q)
-    ordered: list[Query] = _round_robin(never)
+        if q.name not in changed_names:
+            cohorts.setdefault(last_green[q.name], []).append(q)
+    ordered: list[Query] = _round_robin(never) + _round_robin(changed)
     for rnd in sorted(cohorts):
         ordered.extend(_round_robin(cohorts[rnd]))
     return {q.name: q for q in ordered}

@@ -5,6 +5,8 @@ from __future__ import annotations
 import importlib.util
 import os
 
+import pytest
+
 spec = importlib.util.spec_from_file_location(
     "__spark_entry__",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"),
@@ -55,15 +57,23 @@ def test_sweep_order_front_loads_verification_debt():
     """The wall-budget sweep (~50/94 per round) must check unverified queries
     first, else a static order re-verifies the same prefix forever."""
     from iceberg_benchmark_poc_spark.core.registry import (
+        _green_source_snapshot,
         _verification_history,
         all_queries,
         driver_ordered_queries,
+        get_query,
+        source_fingerprint,
     )
 
     history = _verification_history()
+    snapshot = _green_source_snapshot()
     order = list(driver_ordered_queries())
     assert set(order) == set(all_queries())
     debt = [n for n in order if n not in history]
+    changed = [
+        n for n in order
+        if n in history and snapshot.get(n) != source_fingerprint(get_query(n))
+    ]
     if history and debt:
         # every never-green query precedes every green one
         last_debt_pos = max(order.index(n) for n in debt)
@@ -72,6 +82,44 @@ def test_sweep_order_front_loads_verification_debt():
             f"verification-debt queries not front-loaded: debt ends at "
             f"{last_debt_pos}, greens start at {first_green_pos}"
         )
-        # stalest greens re-verify before fresh ones
-        green_rounds = [history[n] for n in order if n in history]
-        assert green_rounds == sorted(green_rounds)
+    if history and changed:
+        # greens rewritten since their stamp precede every unchanged green
+        last_changed_pos = max(order.index(n) for n in changed)
+        unchanged = [n for n in order if n in history and n not in changed]
+        if unchanged:
+            assert last_changed_pos < order.index(unchanged[0]), (
+                f"source-changed greens not front-loaded: {changed}"
+            )
+    # stalest unchanged greens re-verify before fresh ones
+    green_rounds = [history[n] for n in order if n in history and n not in changed]
+    assert green_rounds == sorted(green_rounds)
+
+
+def test_sweep_order_reshuffles_on_source_change(monkeypatch):
+    """Editing a query's source (fingerprint != GREEN_SOURCES stamp) must move
+    it ahead of every unchanged green, regardless of how fresh its green is."""
+    from iceberg_benchmark_poc_spark.core import registry
+
+    history = registry._verification_history()
+    if not history:
+        pytest.skip("no CORRECTNESS history committed")
+    # freshest green = lowest priority under the unchanged ordering
+    victim = max(history, key=lambda n: history[n])
+    qs = registry.all_queries()
+    real_snapshot = {n: registry.source_fingerprint(q) for n, q in qs.items()}
+    baseline_order = None
+    with monkeypatch.context() as m:
+        m.setattr(registry, "_green_source_snapshot", lambda: dict(real_snapshot))
+        baseline_order = list(registry.driver_ordered_queries())
+        # all stamped-as-current: ordering is purely by green age
+        assert baseline_order.index(victim) > 0
+        # now simulate an edit to the victim
+        edited = dict(real_snapshot)
+        edited[victim] = "0" * 64
+        m.setattr(registry, "_green_source_snapshot", lambda: dict(edited))
+        reshuffled = list(registry.driver_ordered_queries())
+    unchanged_greens = [n for n in reshuffled if n in history and n != victim]
+    assert reshuffled.index(victim) < reshuffled.index(unchanged_greens[0]), (
+        "rewritten query did not jump ahead of unchanged greens"
+    )
+    assert set(reshuffled) == set(baseline_order)
