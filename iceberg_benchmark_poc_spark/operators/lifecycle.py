@@ -45,8 +45,14 @@ def change_events(lineage: DataFrame, lo, hi) -> DataFrame:
     scan. Two filtered projections of one manifest scan, no shuffle until
     the caller aggregates.
 
+    A file with an EMPTY visibility interval (added and removed in the same
+    commit, ``added_snap == removed_snap``) changes no snapshot's state, so
+    it emits neither event — the stream stays equal to the replay's
+    consecutive set differences (tests/test_lifecycle_model.py).
+
     Emits (snap, is_add, record_count, file_size_bytes).
     """
+    lineage = lineage.filter(F.col("added_snap") < F.col("removed_snap"))
     adds = lineage.filter(
         (F.col("added_snap") > F.lit(lo)) & (F.col("added_snap") <= F.lit(hi))
     ).select(
@@ -78,8 +84,14 @@ def expiry_cut(pct: int) -> Column:
         Window.partitionBy()
     )
     cut = (delta * pct).cast("bigint")
+    # (cut - cut % 100) is an exact multiple of 100; divide it in the DECIMAL
+    # domain, not double (`/` on bigints is IEEE double division — exact only
+    # below 2^53; verified drifting by 1 at 2^60-scale ids). The decimal
+    # quotient is an exact integer, so the scale-6 result round-trips to
+    # bigint losslessly for any id range that fits 32 digits.
+    floored = cut - cut % 100
     return F.min("snapshot_id").over(Window.partitionBy()) + (
-        (cut - cut % 100) / 100
+        floored.cast("decimal(38,0)") / F.lit(100)
     ).cast("bigint")
 
 
@@ -87,15 +99,22 @@ def reclaimable_after_expiry(lineage: DataFrame, cut) -> DataFrame:
     """Files physically deletable once snapshots ``<= cut`` are expired.
 
     A file is needed iff it is visible in at least one RETAINED snapshot
-    (any ``s > cut``); with half-open intervals that reduces to the closed
-    form ``removed_snap > cut + 1`` (the earliest retained snapshot is
-    ``cut + 1``; visibility there requires ``removed_snap > cut + 1``, and
-    visibility at any later retained snapshot requires it a fortiori while
-    ``added_snap`` can only be <= that snapshot). So reclaimable is the
-    complement: ``removed_snap <= cut + 1``. The brute-force ∀-retained
-    check is what the second-engine interpreter verifies this against.
+    (any ``s > cut``). Visibility is the half-open interval
+    ``added_snap <= s < removed_snap``, so needed ⇔ there is a retained
+    ``s`` in ``[max(cut + 1, added_snap), removed_snap)`` ⇔
+    ``removed_snap > cut + 1 AND removed_snap > added_snap``. Reclaimable is
+    the complement: ``removed_snap <= cut + 1 OR removed_snap <=
+    added_snap`` — the second disjunct covers a file added and removed in
+    the SAME commit (empty visibility interval: never live anywhere, so
+    reclaimable no matter how recent the commit). The brute-force
+    ∀-retained check is what the second-engine interpreter verifies this
+    against, including same-commit add+remove logs.
     """
-    return lineage.withColumn("reclaimable", F.col("removed_snap") <= F.lit(cut) + 1)
+    return lineage.withColumn(
+        "reclaimable",
+        (F.col("removed_snap") <= F.lit(cut) + 1)
+        | (F.col("removed_snap") <= F.col("added_snap")),
+    )
 
 
 def merge_latest_wins(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:

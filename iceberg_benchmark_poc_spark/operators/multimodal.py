@@ -131,6 +131,8 @@ def decode_media(payload: bytes, media_type: str = "image") -> tuple[int, int, b
             raise ValueError("truncated PGM raster")
         return w, h, raw
     if b[:2] == b"BM":
+        if len(b) < 30:
+            raise ValueError("truncated BMP header")
         data_off = struct.unpack_from("<I", b, 10)[0]
         hdr_size, w, h_signed = struct.unpack_from("<Iii", b, 14)
         planes, bpp, compression = struct.unpack_from("<HHI", b, 26)
@@ -138,6 +140,10 @@ def decode_media(payload: bytes, media_type: str = "image") -> tuple[int, int, b
             raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
         h = abs(h_signed)
         row_stride = (w * 3 + 3) & ~3
+        if w < 0 or data_off + row_stride * h > len(b):
+            raise ValueError(
+                f"truncated BMP raster ({len(b)} bytes, need {data_off + row_stride * h})"
+            )
         gray = bytearray(w * h)
         for y in range(h):
             src_y = (h - 1 - y) if h_signed > 0 else y  # positive height = bottom-up
@@ -523,11 +529,17 @@ def decode_avi(blob: bytes) -> tuple[int, int, list[bytes]]:
             cid = buf[pos : pos + 4]
             (size,) = struct.unpack_from("<I", buf, pos + 4)
             body = buf[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                raise ValueError(f"truncated AVI chunk {cid!r} ({len(body)}/{size} bytes)")
             if cid == b"LIST":
                 walk(body[4:])  # skip the 4-byte list kind
             elif cid == b"avih":
+                if len(body) < 20:
+                    raise ValueError("truncated avih header")
                 declared_frames = struct.unpack_from("<I", body, 16)[0]
             elif cid == b"strf":
+                if len(body) < 20:
+                    raise ValueError("truncated strf BITMAPINFOHEADER")
                 _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", body, 0)
                 if bpp != 24 or comp != 0:
                     raise ValueError(f"only uncompressed 24-bit AVI supported (bpp={bpp})")
@@ -544,6 +556,10 @@ def decode_avi(blob: bytes) -> tuple[int, int, list[bytes]]:
     row_stride = (width * 3 + 3) & ~3
     frames: list[bytes] = []
     for raw in frames_raw:
+        if len(raw) < row_stride * height:
+            raise ValueError(
+                f"truncated AVI frame ({len(raw)} bytes, need {row_stride * height})"
+            )
         gray = bytearray(width * height)
         for y in range(height):
             src_y = height - 1 - y  # bottom-up

@@ -48,6 +48,13 @@ def test_coverage_md_count_matches_registry():
         head = f.read(400)
     m = re.search(r"(\d+) registered queries; all (\d+) oracle-gated", head)
     assert m, "COVERAGE.md headline count sentence missing or reworded"
+    with open(os.path.join(root, "README.md")) as f:
+        readme = f.read(3000)
+    rm = re.search(r"\*\*(\d+) registered queries", readme)
+    assert rm, "README.md headline count sentence missing or reworded"
+    assert int(rm.group(1)) == len(qs), (
+        f"README.md claims {rm.group(1)} queries but registry has {len(qs)}"
+    )
     assert int(m.group(1)) == len(qs) == int(m.group(2)), (
         f"COVERAGE.md claims {m.group(1)}/{m.group(2)} but registry has {len(qs)}"
     )

@@ -92,8 +92,9 @@ class TableLog:
 @st.composite
 def table_logs(draw):
     """Random commit logs: 2-7 commits, each adding 0-4 files and removing a
-    subset of currently-live files (so removal always targets real files,
-    like a real table)."""
+    subset of currently-live files PLUS, sometimes, files added in the same
+    commit (empty visibility interval — a file that was never live anywhere;
+    the r04 advice case the remove-only-live generator could not reach)."""
     log = TableLog()
     n_commits = draw(st.integers(2, 7))
     live: set[int] = set()
@@ -106,9 +107,15 @@ def table_logs(draw):
             else st.just([])
         )
         before = log._next_fid
-        log.commit(n_add, remove)
-        live |= set(range(before, before + n_add))
-        live -= set(remove)
+        same_commit_fids = list(range(before, before + n_add))
+        same_commit_remove = draw(
+            st.lists(st.sampled_from(same_commit_fids), unique=True, max_size=n_add)
+            if same_commit_fids
+            else st.just([])
+        )
+        log.commit(n_add, remove + same_commit_remove)
+        live |= set(same_commit_fids)
+        live -= set(remove) | set(same_commit_remove)
     return log
 
 

@@ -78,7 +78,50 @@ def test_rgb_luminance_is_bt601():
 
 def test_unsupported_magic_raises():
     with pytest.raises(ValueError, match="unsupported media payload"):
-        decode_media(b"\x89PNG\r\n\x1a\n....")
+        decode_media(b"GIF89a......")
+
+
+def test_truncated_payloads_raise_valueerror_not_indexerror():
+    """Every decoder promises ValueError on malformed input (r04 advice: the
+    BMP/AVI branches used to escape with IndexError/struct.error)."""
+    from iceberg_benchmark_poc_spark.operators.multimodal import decode_avi, encode_avi
+
+    bmp = encode_bmp(RASTER, W, H)
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_media(bmp[:20])  # mid-header
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_media(bmp[:-7])  # short raster
+    avi = encode_avi([RASTER], W, H)
+    with pytest.raises(ValueError, match="truncated AVI"):
+        decode_avi(avi[:-5])  # short final frame chunk
+    with pytest.raises(ValueError, match="truncated PPM"):
+        decode_media(encode_ppm(RASTER, W, H)[:-3])
+
+
+def test_audio_oracle_sample_cap_bounds_every_fixture_sf():
+    """q_audio_features' oracle replays at most _AUDIO_MAX_SAMPLES samples per
+    doc; if a fixture text ever outgrew it the ORACLE side would silently
+    truncate and turn the driver red on a correct engine result (r04 advice).
+    Pin the bound to the DATA at every stock SF — the sf1/sf10 scale-ups
+    duplicate texts without lengthening them, so the stock tables are the
+    worst case."""
+    import os
+
+    import duckdb
+
+    from iceberg_benchmark_poc_spark.operators.multimodal import AUDIO_SAMPLES_PER_CHAR
+    from iceberg_benchmark_poc_spark.queries.multimodal import _AUDIO_MAX_SAMPLES
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        (max_len,) = con.sql(f"SELECT max(length(text)) FROM read_parquet('{path}')").fetchone()
+        assert max_len * AUDIO_SAMPLES_PER_CHAR <= _AUDIO_MAX_SAMPLES, (
+            f"sf{sf}: longest text {max_len} x {AUDIO_SAMPLES_PER_CHAR} samples/char "
+            f"exceeds the oracle cap {_AUDIO_MAX_SAMPLES} — raise _AUDIO_MAX_SAMPLES"
+        )
 
 
 def test_text_to_ppm_pads_with_last_byte():
