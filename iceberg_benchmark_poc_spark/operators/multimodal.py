@@ -72,6 +72,165 @@ def encode_bmp(gray: bytes, width: int, height: int) -> bytes:
     return header + bytes(body)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor per the PNG spec (RFC 2083 §6.6): nearest of left/up/
+    upper-left to p = a + b - c, ties broken a, then b."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(gray: bytes, width: int, height: int) -> bytes:
+    """Encode a grayscale raster as a real PNG (color type 0, bit depth 8).
+
+    The row filter CYCLES through all five spec filters (None/Sub/Up/
+    Average/Paeth, y % 5) so every decoder unfilter path is exercised by
+    round-trip tests and by the fixture payloads — a lazy all-None encoder
+    would leave Sub/Average/Paeth reconstruction untested. Compressed with
+    stdlib zlib (the only codec PNG's IDAT allows).
+    """
+    import zlib
+
+    if len(gray) != width * height:
+        raise ValueError(f"raster is {len(gray)} bytes, expected {width}x{height}")
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        row = gray[y * width : (y + 1) * width]
+        ftype = y % 5
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += row
+        elif ftype == 1:  # Sub
+            raw += bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width))
+        elif ftype == 2:  # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(width))
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (row[x] - (((row[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(width)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (row[x] - _paeth(row[x - 1] if x else 0, prev[x], prev[x - 1] if x else 0))
+                & 0xFF
+                for x in range(width)
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes) -> tuple[int, int, bytes]:
+    """Decode a PNG to (width, height, grayscale raster).
+
+    Spec-conforming for the still-image core: chunk CRC validation,
+    multi-IDAT concatenation, bit depth 8, color types 0 (grayscale) and
+    2 (RGB — reduced via integer BT.601 like the BMP/PPM branches), filter
+    method 0 with all five row filters, no interlace. ValueError on
+    anything malformed or outside that envelope.
+    """
+    import zlib
+
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(b):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    if not seen_iend:
+        raise ValueError("truncated PNG (no IEND)")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit gray/RGB non-interlaced PNG supported "
+            f"(depth={depth} color={color} interlace={interlace})"
+        )
+    bpp = 1 if color == 0 else 3
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = w * bpp
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(f"PNG scanline data is {len(raw)} bytes, expected {(stride + 1) * h}")
+    recon = bytearray(stride * h)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        off = y * stride
+        prev_off = off - stride
+        if ftype == 0:
+            recon[off : off + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = recon[off + x - bpp] if x >= bpp else 0
+                recon[off + x] = (line[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = recon[prev_off + x] if y else 0
+                recon[off + x] = (line[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = recon[off + x - bpp] if x >= bpp else 0
+                up = recon[prev_off + x] if y else 0
+                recon[off + x] = (line[x] + ((a + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = recon[off + x - bpp] if x >= bpp else 0
+                up = recon[prev_off + x] if y else 0
+                c = recon[prev_off + x - bpp] if (y and x >= bpp) else 0
+                recon[off + x] = (line[x] + _paeth(a, up, c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
+    if color == 0:
+        return w, h, bytes(recon)
+    gray = bytes(
+        _luma(recon[i], recon[i + 1], recon[i + 2]) for i in range(0, len(recon), 3)
+    )
+    return w, h, gray
+
+
 def _pnm_header(payload: bytes) -> tuple[int, int, int, int]:
     """Parse a binary Netpbm header: returns (width, height, maxval, offset).
 
@@ -107,12 +266,16 @@ def _luma(r: int, g: int, b: int) -> int:
 def decode_media(payload: bytes, media_type: str = "image") -> tuple[int, int, bytes]:
     """Decode an image payload into (width, height, grayscale raster).
 
-    Real parsers for P6 PPM, P5 PGM (Netpbm spec) and uncompressed 24-bit
-    BI_RGB BMP (bottom-up or top-down per the height sign). RGB inputs
+    Real parsers for P6 PPM, P5 PGM (Netpbm spec), uncompressed 24-bit
+    BI_RGB BMP (bottom-up or top-down per the height sign), and PNG
+    (8-bit gray/RGB, all five row filters, stdlib-zlib inflate — the one
+    compressed real-world format decodable dependency-free). RGB inputs
     reduce to luminance with integer BT.601 weights. Raises ValueError on
-    unsupported magic (compressed codecs need libraries absent here).
+    unsupported magic (other compressed codecs need libraries absent here).
     """
     b = bytes(payload)
+    if b[:2] == _PNG_SIG[:2]:
+        return _decode_png(b)
     if b[:2] == b"P6":
         w, h, maxval, off = _pnm_header(b)
         if maxval > 255:
@@ -182,6 +345,19 @@ def text_to_ppm(text_bytes: bytes) -> bytes:
     w, h = square_grid(n)
     pad = (text_bytes[-1:] or b"\x00") * (w * h - n)
     return encode_ppm(text_bytes + pad, w, h)
+
+
+def text_to_image(text_bytes: bytes, container: int) -> bytes:
+    """text_to_ppm's raster in one of the four containers (0 PPM, 1 PGM,
+    2 BMP, 3 PNG). All four decode back to the identical grayscale raster,
+    so the image-query oracles are container-independent — the fixture
+    mixes them per doc_id to keep every decoder on the hash-gated path."""
+    n = len(text_bytes)
+    w, h = square_grid(n)
+    pad = (text_bytes[-1:] or b"\x00") * (w * h - n)
+    raster = text_bytes + pad
+    enc = (encode_ppm, encode_pgm, encode_bmp, encode_png)[container % 4]
+    return enc(raster, w, h)
 
 
 # ---------------------------------------------------------------------------

@@ -2,8 +2,9 @@
 
 Image/audio/video columns at 100 TB are opaque BINARY payloads with typed
 metadata; decode/resize/frame-sample run as mapInPandas stages over a REAL
-dependency-free decoder (operators/multimodal.py — P6/P5 Netpbm + 24-bit
-BMP). Here every document's text is encoded into a genuine P6 PPM image
+dependency-free decoder (operators/multimodal.py — P6/P5 Netpbm, 24-bit
+BMP, and zlib-compressed PNG). Here every document's text is encoded into a
+genuine image payload, container cycled per doc_id across all four formats
 (square-ish raster, tail padded by repeating the last byte), the pipeline
 decodes it back executor-side, and every feature is computed from the
 DECODED pixels. Because the encoding geometry is closed-form (width
@@ -18,6 +19,7 @@ i.e. raster[i] == text[min(i, n-1)].
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.io import load_table
@@ -39,6 +41,7 @@ from ..operators.multimodal import (
     media_features,
     resize_media,
     sample_frames,
+    text_to_image,
     text_to_ppm,
     text_to_wav,
     text_to_avi,
@@ -69,16 +72,27 @@ _GRAY_CTE = """
 
 
 def _ppm_payloads(d: DataFrame) -> DataFrame:
-    """Encode each document's text as a real binary P6 PPM payload.
+    """Encode each document's text as a real binary image payload, the
+    container chosen by ``doc_id % 4``: P6 PPM, P5 PGM, 24-bit BMP, or PNG
+    (compressed — zlib IDAT, cycled row filters).
 
+    All four containers decode to the identical grayscale raster, so every
+    image oracle stays container-independent while every decoder — including
+    the PNG inflate/unfilter path — runs inside the hash-gated pipeline.
     An Arrow-batched pandas UDF — the encode half of the codec round-trip
     the queries then decode executor-side. In production the binary column
     arrives already encoded; this stage is the fixture writer.
     """
     enc = F.pandas_udf(
-        lambda s: s.map(lambda t: text_to_ppm(t.encode("utf-8"))), "binary"
+        lambda doc_id, s: pd.Series(
+            [
+                text_to_image(t.encode("utf-8"), int(i) % 4)
+                for i, t in zip(doc_id, s)
+            ]
+        ),
+        "binary",
     )
-    return d.select("doc_id", enc(F.col("text")).alias("payload"))
+    return d.select("doc_id", enc(F.col("doc_id"), F.col("text")).alias("payload"))
 
 
 @register(
@@ -98,8 +112,9 @@ def _ppm_payloads(d: DataFrame) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature extraction via Arrow-batched mapInPandas.
 
-    The payload is a real P6 PPM; the operator parses the Netpbm header,
-    reduces RGB to luminance, and reports the TRUE decoded geometry. The
+    The payload is a real image (PPM/PGM/BMP/PNG by doc_id); the operator
+    dispatches on magic bytes, reduces RGB to luminance (PNG additionally
+    inflates + unfilters), and reports the TRUE decoded geometry. The
     oracle recomputes the encoding geometry in closed form — a header
     parsing or luminance bug breaks width/height/first_pixel immediately.
     """

@@ -76,6 +76,51 @@ def test_rgb_luminance_is_bt601():
     assert gray == bytes([(299 * 200 + 587 * 100 + 114 * 50) // 1000])
 
 
+def test_png_roundtrip_all_filters():
+    # H=6 rows cycle filters None/Sub/Up/Average/Paeth + None again
+    from iceberg_benchmark_poc_spark.operators.multimodal import encode_png
+
+    w, h, gray = decode_media(encode_png(RASTER, W, H))
+    assert (w, h, gray) == (W, H, RASTER)
+    # a raster tall enough to hit every filter at least twice, wide enough
+    # for left-neighbor deps (Sub/Paeth) to matter
+    big = bytes((i * 37 + (i * i) % 251) % 256 for i in range(31 * 11))
+    assert decode_media(encode_png(big, 31, 11)) == (31, 11, big)
+
+
+def test_png_rgb_color_type_2_reduces_to_luma():
+    import struct as _struct
+    import zlib
+
+    from iceberg_benchmark_poc_spark.operators.multimodal import _PNG_SIG, _png_chunk
+
+    # hand-build a 2x1 RGB PNG (color type 2, filter 0)
+    px = bytes((200, 100, 50, 10, 20, 30))
+    ihdr = _struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" + px))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, gray = decode_media(blob)
+    assert (w, h) == (2, 1)
+    assert gray == bytes(
+        [(299 * 200 + 587 * 100 + 114 * 50) // 1000, (299 * 10 + 587 * 20 + 114 * 30) // 1000]
+    )
+
+
+def test_png_corruption_raises_valueerror():
+    from iceberg_benchmark_poc_spark.operators.multimodal import encode_png
+
+    blob = bytearray(encode_png(RASTER, W, H))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_media(bytes(blob[:-8]))  # IEND gone
+    blob[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_media(bytes(blob))
+
+
 def test_unsupported_magic_raises():
     with pytest.raises(ValueError, match="unsupported media payload"):
         decode_media(b"GIF89a......")
