@@ -212,7 +212,11 @@ def _suite_headline(suites: dict) -> dict:
         # headline is the MEDIAN over 40 commits: at ~0.1 ms per write the
         # mean is dominated by rare writeback stalls (r03->r04 it wobbled
         # 0.075->0.121 while the p50 held); the mean stays alongside so the
-        # two diverging still flags a systematic shift
+        # two diverging still flags a systematic shift. The p50 key carries
+        # the statistic in its NAME (r05 advice: the bare commit_ms_batch1
+        # key silently changed mean->p50 in r05; the legacy key is kept as
+        # an alias one more round so cross-round diff tooling sees both)
+        "commit_ms_batch1_p50": g("single_file_commits", "manifest_commit", "batch_1", "p50_commit_ms"),
         "commit_ms_batch1": g("single_file_commits", "manifest_commit", "batch_1", "p50_commit_ms"),
         "commit_ms_batch1_avg": g("single_file_commits", "manifest_commit", "batch_1", "avg_commit_ms"),
         "commit_ms_batch1000": g("single_file_commits", "manifest_commit", "batch_1000", "avg_commit_ms"),
@@ -230,7 +234,13 @@ def _suite_headline(suites: dict) -> dict:
         "wide1000_v4_lookup_ms": g("wide_table_1000", "v4_stats_lookup_ms"),
         "writers_commits_per_sec": g("concurrent_writers", "commits_per_sec"),
         "writers_conflict_rate": g("concurrent_writers", "conflict_rate"),
+        # decomposition (r05 verdict): the bytes ratio is the stable physical
+        # quantity; the wall speedup ≈ bytes ratio x (~1 encode-cost ratio),
+        # so wall wobble reads as scheduler noise, not metric re-tuning
         "column_update_speedup_x": g("column_update", "column_update_speedup_x"),
+        "column_update_bytes_ratio_x": g("column_update", "bytes_ratio_x"),
+        "column_update_full_ms": g("column_update", "full_rewrite_ms"),
+        "column_update_col_ms": g("column_update", "column_update_ms"),
     }
     return {k: v for k, v in h.items() if v is not None}
 

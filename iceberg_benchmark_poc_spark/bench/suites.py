@@ -937,12 +937,34 @@ def suite_column_update(spark: SparkSession, tmp_dir: str, n_rows: int = 100_000
     full_walls = sorted(_write_ms(full_df, "full") for _ in range(3))
     col_walls = sorted(_write_ms(col_df, "col") for _ in range(3))
     full_ms, col_ms = full_walls[1], col_walls[1]
+
+    def _dir_bytes(out: str) -> int:
+        d = os.path.join(tmp_dir, out)
+        return sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    # published decomposition (r05 verdict item 4): the wall ratio printed
+    # 2.9/1.9/4.1 across rounds because the measured unit kept shifting.
+    # Pin the two deterministic physical quantities alongside the walls:
+    # output BYTES per side (the I/O the reference's 2.9x rests on — one
+    # 51-wide full row group vs one (id,c0) column file) and the implied
+    # CELLS encoded (51 vs 2 per row). The wall speedup is bracketed by
+    # them — bytes_ratio (I/O-bound floor; the repeated c_i columns
+    # dictionary-encode small, so unique int64 `id` dominates both files)
+    # <= speedup <= cells ratio (encode-bound ceiling) — so a future wall
+    # wobble inside the bracket is scheduler noise, outside it a unit change.
+    full_bytes, col_bytes = _dir_bytes("full"), _dir_bytes("col")
     return {
         "n_rows": n_rows,
         "n_cols": n_cols,
         "reps": 3,
         "full_rewrite_ms": round(full_ms, 1),
         "column_update_ms": round(col_ms, 1),
+        "full_rewrite_bytes": full_bytes,
+        "column_update_bytes": col_bytes,
+        "bytes_ratio_x": round(full_bytes / max(col_bytes, 1), 1),
+        "cells_ratio_x": round((n_cols + 1) / 2, 1),
         "column_update_speedup_x": round(full_ms / max(col_ms, 0.001), 1),
     }
 

@@ -73,14 +73,37 @@ def _round_robin(queries: list[Query]) -> list[Query]:
     return out
 
 
+def _first_party_deps(mod_name: str) -> set[str]:
+    """Module names of every first-party module ``mod_name`` references."""
+    import inspect
+    import sys
+
+    pkg = __name__.split(".")[0]
+    deps: set[str] = set()
+    mod = sys.modules.get(mod_name)
+    if mod is None:
+        return deps
+    for val in vars(mod).values():
+        if inspect.ismodule(val):
+            dep = getattr(val, "__name__", "")
+        elif inspect.isclass(val) or callable(val):
+            dep = getattr(val, "__module__", "") or ""
+        else:
+            continue
+        if dep and dep != mod_name and dep.split(".")[0] == pkg:
+            deps.add(dep)
+    return deps
+
+
 def _module_fingerprint(mod_name: str, _cache: dict = {}) -> str:  # noqa: B006 — intentional process-wide cache
-    """sha256 over a module's source plus its direct first-party deps.
+    """sha256 over a module's source plus its transitive first-party deps.
 
     Covers the defining module and every ``iceberg_benchmark_poc_spark.*``
-    module it imports (directly, one level — e.g. queries/multimodal.py pulls
-    in operators/multimodal.py), so an operator rewrite changes the
-    fingerprint of every query that calls it. One level is enough in this
-    codebase: queries import operators/core helpers, which are leaves.
+    module reachable through its import graph (BFS, not just one level —
+    r05 advice: a helper-of-a-helper edit must still change the fingerprint
+    of every query that transitively calls it), so any first-party rewrite
+    re-prioritizes the affected queries in the driver sweep. The graph is
+    small (a few dozen modules), so the walk is cheap and cached.
     """
     if mod_name in _cache:
         return _cache[mod_name]
@@ -88,29 +111,21 @@ def _module_fingerprint(mod_name: str, _cache: dict = {}) -> str:  # noqa: B006 
     import inspect
     import sys
 
-    pkg = __name__.split(".")[0]
-    parts: list[str] = []
-    mod = sys.modules.get(mod_name)
     dep_sources: dict[str, str] = {}
-    if mod is not None:
-        try:
-            dep_sources[mod_name] = inspect.getsource(mod)
-        except (OSError, TypeError):
-            pass
-        for val in vars(mod).values():
-            if inspect.ismodule(val):
-                dep = getattr(val, "__name__", "")
-            elif inspect.isclass(val) or callable(val):
-                dep = getattr(val, "__module__", "") or ""
-            else:
-                continue
-            if dep and dep != mod_name and dep.split(".")[0] == pkg and dep not in dep_sources:
-                dep_mod = sys.modules.get(dep)
-                if dep_mod is not None:
-                    try:
-                        dep_sources[dep] = inspect.getsource(dep_mod)
-                    except (OSError, TypeError):
-                        pass
+    frontier = [mod_name]
+    seen: set[str] = set()
+    while frontier:
+        cur = frontier.pop()
+        if cur in seen:
+            continue
+        seen.add(cur)
+        mod = sys.modules.get(cur)
+        if mod is not None:
+            try:
+                dep_sources[cur] = inspect.getsource(mod)
+            except (OSError, TypeError):
+                pass
+        frontier.extend(_first_party_deps(cur) - seen)
     parts = [dep_sources[k] for k in sorted(dep_sources)]
     digest = hashlib.sha256("\x00".join(parts).encode()).hexdigest()
     _cache[mod_name] = digest
@@ -163,6 +178,13 @@ def refresh_green_sources(names: list[str] | None = None) -> dict[str, str]:
         history = _verification_history()
         latest = max(history.values(), default=0)
         names = [n for n, rnd in history.items() if rnd == latest and n in qs]
+    else:
+        unknown = sorted(set(names) - set(qs))
+        if unknown:
+            raise ValueError(
+                f"refresh_green_sources: not in the registry: {unknown} "
+                f"(registry has {len(qs)} queries — check for typos or renames)"
+            )
     snap = _green_source_snapshot()
     for n in names:
         snap[n] = source_fingerprint(qs[n])

@@ -671,7 +671,14 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_snapshot_diff",
     oracle=with_fixtures(
         f"""
-        WITH lineage AS ({_LINEAGE_SQL}
+        WITH lineage_all AS ({_LINEAGE_SQL}
+        ),
+        -- empty visibility intervals (added and removed in the same commit)
+        -- change no snapshot's state, so they emit no event — mirrors the
+        -- engine-side filter in operators/lifecycle.py:change_events rather
+        -- than relying on the fixture never producing such rows (r05 advice)
+        lineage AS (
+          SELECT * FROM lineage_all WHERE added_snap < removed_snap
         ),
         events AS (
           SELECT added_snap AS snap, 1 AS is_add, record_count, file_size_bytes

@@ -60,6 +60,24 @@ def test_coverage_md_count_matches_registry():
     )
 
 
+def test_green_sources_stamp_covers_registry():
+    """GREEN_SOURCES.json drives the driver-sweep debt ordering; an entry
+    missing from the stamp permanently outranks genuinely stale greens
+    (r05 verdict: the media trio went unstamped after its PNG rewrite).
+    The stamp's key set must equal the registry — no more, no less."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "GREEN_SOURCES.json")) as f:
+        stamp = json.load(f)
+    qs = set(entry_mod.queries())
+    missing = qs - set(stamp)
+    extra = set(stamp) - qs
+    assert not missing, f"registry queries missing from GREEN_SOURCES.json: {sorted(missing)}"
+    assert not extra, f"GREEN_SOURCES.json entries not in registry: {sorted(extra)}"
+
+
 def test_sweep_order_front_loads_verification_debt():
     """The wall-budget sweep (~50/94 per round) must check unverified queries
     first, else a static order re-verifies the same prefix forever."""
