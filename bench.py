@@ -241,6 +241,14 @@ def _suite_headline(suites: dict) -> dict:
         "column_update_bytes_ratio_x": g("column_update", "bytes_ratio_x"),
         "column_update_full_ms": g("column_update", "full_rewrite_ms"),
         "column_update_col_ms": g("column_update", "column_update_ms"),
+        # per-container decode cost over identical rasters (extension band):
+        # raster MB/s out of the decode stage; PNG pays inflate+unfilter,
+        # PPM/BMP pay the 3x-byte RGB->luma walk, PGM is the raw floor
+        "decode_mb_s_pgm": g("media_decode", "pgm", "raster_mb_per_s"),
+        "decode_mb_s_png": g("media_decode", "png", "raster_mb_per_s"),
+        "decode_mb_s_ppm": g("media_decode", "ppm", "raster_mb_per_s"),
+        "decode_mb_s_bmp": g("media_decode", "bmp", "raster_mb_per_s"),
+        "png_vs_ppm_bytes_x": g("media_decode", "png_vs_ppm_bytes_x"),
     }
     return {k: v for k, v in h.items() if v is not None}
 

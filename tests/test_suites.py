@@ -135,6 +135,27 @@ def test_stream_throughput_processes_all_rows(spark, tmp_path):
     assert r["rows_per_sec"] > 0
 
 
+def test_media_decode_same_rasters_different_bytes(spark, tmp_path):
+    """All four containers must decode the identical corpus (same doc count,
+    same raster volume), PNG+PGM must store ~1 byte/pixel vs PPM/BMP's ~3,
+    and PNG must store fewer bytes than raw PPM (the zlib IDAT actually
+    compresses). Uses reps=2 — this is a shape test, not a measurement."""
+    from iceberg_benchmark_poc_spark.bench.suites import suite_media_decode
+
+    from .conftest import SF_DIR
+
+    r = suite_media_decode(spark, SF_DIR, str(tmp_path), reps=2)
+    assert r["n_docs"] > 0 and r["raster_bytes"] > 0
+    for name in ("ppm", "pgm", "bmp", "png"):
+        assert r[name]["decode_ms"] > 0
+        assert r[name]["raster_mb_per_s"] > 0
+    # PPM/BMP carry 3 bytes per pixel (+headers), PGM ~1, PNG < raw gray+filters
+    assert r["ppm"]["stored_bytes"] > 2.5 * r["pgm"]["stored_bytes"]
+    assert r["bmp"]["stored_bytes"] > 2.5 * r["pgm"]["stored_bytes"]
+    assert r["png"]["stored_bytes"] < r["ppm"]["stored_bytes"]
+    assert r["png_vs_ppm_bytes_x"] < 1.0
+
+
 def test_bench_headline_fits_driver_tail():
     """The driver keeps only ~2KB of stdout; r01's per-query map was lost to
     the truncation. The final headline line must stay under the cap for the
@@ -191,6 +212,13 @@ def test_bench_headline_fits_driver_tail():
             "bytes_ratio_x": 1234.5,
             "full_rewrite_ms": 123456.7,
             "column_update_ms": 123456.7,
+        },
+        "media_decode": {
+            "ppm": {"raster_mb_per_s": 12345.6},
+            "pgm": {"raster_mb_per_s": 12345.6},
+            "bmp": {"raster_mb_per_s": 12345.6},
+            "png": {"raster_mb_per_s": 12345.6},
+            "png_vs_ppm_bytes_x": 123.45,
         },
     }
     cal = {"jvm_fold_50m_ms": 123456.7, "python_loop_2m_ms": 123456.7}
