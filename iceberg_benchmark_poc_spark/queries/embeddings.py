@@ -18,7 +18,16 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..core.io import load_table
 from ..core.registry import register
-from ..operators.vectors import QUANT_SCALE, cosine_topk, dot_quant, quantize
+from ..operators.vectors import (
+    QUANT_SCALE,
+    absmax,
+    cosine_topk,
+    dot_int8,
+    dot_quant,
+    int8_scale,
+    quantize,
+    quantize_int8,
+)
 
 QUERY_MOD = 100  # vec_id % 100 == 0 rows are the query set
 QUERY_K = 32  # q_embed_topk's exact baseline caps its query set at 32 vectors
@@ -641,4 +650,181 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "dim").agg(
         (F.sum(xq).cast("double") / F.lit(float(CENTROID_SCALE)) / F.count("*")).alias("centroid"),
         F.count("*").alias("n_vecs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# int8 embedding quantization: the 100 TB storage/serving path
+# --------------------------------------------------------------------------
+
+#: 2^30 fixed-point scale for double outputs (exact: scaling by a power of
+#: two only adjusts the exponent, so floor(x * 2^30) is portable IEEE)
+_FP30 = float(1 << 30)
+
+#: the int8 quantizer CTE both oracles share: per-vector symmetric absmax
+#: scale, floor(x*scale + 0.5) (round() is engine-dependent on .5 ties;
+#: floor of a double is not)
+_INT8_CTE = """
+        base AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+          FROM embeddings
+        ),
+        scaled AS (
+          SELECT vec_id, embedding, amax,
+                 CASE WHEN amax > 0 THEN CAST(127 AS DOUBLE) / amax
+                      ELSE CAST(0 AS DOUBLE) END AS scale
+          FROM base
+        ),
+        qd AS (
+          SELECT vec_id, embedding, amax, scale,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * scale + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q8
+          FROM scaled
+        )
+"""
+
+
+@register(
+    "q_embed_quantize",
+    oracle=f"""
+        WITH {_INT8_CTE.strip()}
+        SELECT vec_id,
+               CAST(floor(amax * {_FP30}) AS BIGINT)                 AS amax_fp,
+               CAST(list_sum(list_transform(q8, v -> abs(v))) AS BIGINT) AS q_l1,
+               CAST(list_max(list_transform(q8, v -> abs(v))) AS INTEGER) AS q_absmax,
+               CAST(CASE WHEN amax > 0 THEN floor(
+                      list_max(list_transform(list_zip(embedding, q8),
+                        z -> abs(CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE) / scale)))
+                      * {_FP30})
+                    ELSE 0 END AS BIGINT)                            AS err_fp
+        FROM qd
+        """,
+    tags=("embeddings", "quantization"),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column.
+
+    The standard storage scheme for large-scale vector corpora: per-vector
+    scale 127/max|x|, elements floor(x*scale + 0.5) in [-127, 127] — 4x
+    smaller than float32, integer-dot scoreable (q_ann_int8). Output per
+    vector: the scale source (amax), the quantized L1 mass and abs-max
+    (+/-127 exactly at the extreme element by construction), and the worst
+    per-element reconstruction error — all folded at 2^-30 fixed point so
+    the doubles hash identically cross-engine. Map-only: one narrow
+    projection, no shuffle at any scale; at 100 TB the quantized column is
+    what ships to the serving fleet, so err_fp IS the quality audit that
+    gates the rewrite.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = (
+        emb.select("vec_id", "embedding", absmax(F.col("embedding")).alias("amax"))
+        .withColumn("scale", int8_scale(F.col("amax")))
+        .withColumn("q8", quantize_int8(F.col("embedding"), F.col("scale")))
+    )
+    max_err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q8"),
+            lambda x, q: F.abs(x.cast("double") - q.cast("double") / F.col("scale")),
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.floor(F.col("amax") * F.lit(_FP30)).cast("bigint").alias("amax_fp"),
+        F.aggregate(
+            F.transform(F.col("q8"), lambda v: F.abs(v).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("q_l1"),
+        F.array_max(F.transform(F.col("q8"), F.abs)).cast("int").alias("q_absmax"),
+        F.when(F.col("amax") > 0, F.floor(max_err * F.lit(_FP30)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("err_fp"),
+    )
+
+
+@register(
+    "q_ann_int8",
+    oracle=f"""
+        WITH {_INT8_CTE.strip()},
+        qv AS (
+          SELECT vec_id, q8 FROM qd WHERE amax > 0
+        ),
+        norms AS (
+          SELECT vec_id, sqrt(CAST(list_sum(list_transform(q8, v -> v * v)) AS DOUBLE)) AS norm
+          FROM qv
+        ),
+        dots AS (
+          SELECT q_id AS query_id, c_id AS neighbor_id, SUM(z[1] * z[2]) AS dot
+          FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   unnest(list_zip(c.q8, q.q8)) AS z
+            FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id % {QUERY_MOD} = 0 AND q.vec_id < {QUERY_CAP}
+          )
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT d.query_id, d.neighbor_id,
+                 CAST(d.dot AS DOUBLE) / (nc.norm * nq.norm) AS cosine_q8
+          FROM dots d
+          JOIN norms nq ON nq.vec_id = d.query_id
+          JOIN norms nc ON nc.vec_id = d.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_q8, CAST(rank AS INTEGER) AS rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_q8 DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        WHERE rank <= {TOP_K}
+        """,
+    tags=("embeddings", "similarity", "quantization", "topk"),
+)
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors.
+
+    The compressed serving path q_embed_quantize stores: scoring runs on
+    8-bit integers (dot <= dims * 127^2 — bigint-exact, SIMD-friendly, 4x
+    less memory bandwidth than float32), and only the final cosine divides
+    by the quantized norms. Same capped broadcast query set as q_embed_topk
+    (O(32 x corpus) at any scale, corpus scanned once, no shuffle); recall
+    vs the exact float baseline is asserted in tests. Zero vectors are
+    excluded on both sides explicitly (un-normalizable; the fixture has
+    none, but both engines encode the rule).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "embedding", absmax(F.col("embedding")).alias("amax")
+    ).filter(F.col("amax") > 0)
+    qv = base.select(
+        "vec_id", quantize_int8(F.col("embedding"), int8_scale(F.col("amax"))).alias("q8")
+    )
+    with_norm = qv.withColumn(
+        "norm", F.sqrt(dot_int8(F.col("q8"), F.col("q8")).cast("double"))
+    )
+    queries = with_norm.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q8").alias("q_q8"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = with_norm.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot_int8(F.col("q8"), F.col("q_q8")).cast("double")
+            / (F.col("norm") * F.col("q_norm"))
+        ).alias("cosine_q8"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_q8").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_q8", "rank")
     )

@@ -351,6 +351,7 @@ BNLJ_ALLOWED = {
     "q_asof_join",       # one-row probe-max-ts bound clamping the last rate interval
     "q_dv_coalesce",     # scalar manifest-count bound
     "q_embed_topk",      # broadcast query set vs corpus (the exact baseline)
+    "q_ann_int8",        # same capped broadcast query set, int8-quantized scoring
     "q_equidepth_hist",  # one-row decile-boundaries fold (9-element array)
     "q_funnel",          # three 1-row stage counts combined by scalar cross join
     "q_idle_customers",  # 1-row balance-threshold fold broadcast to customers

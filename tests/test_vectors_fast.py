@@ -157,3 +157,39 @@ def test_neardup_class_rows_under_duplication(spark, tmp_path):
     expect_cross = {(r["vec_id"], r["dup_of"], round(r["cosine"], 9)) for r in base}
     assert cross == expect_cross
     assert all(r["n_copies"] == d for r in rows if (r["vec_id"], r["dup_of"], round(r["cosine"], 9)) in cross)
+
+
+def test_int8_quantization_error_bound_and_recall(spark):
+    """Int8 symmetric quantization must (a) bound per-element reconstruction
+    error by amax/254 (half a quantization step), (b) hit +/-127 exactly at
+    the extreme element, and (c) preserve top-k neighbors well enough that
+    rank-1 recall vs the exact float baseline is high on the synthetic
+    corpus — the property that makes the 4x-smaller serving path usable."""
+    from iceberg_benchmark_poc_spark.queries.embeddings import (
+        TOP_K,
+        q_ann_int8,
+        q_embed_quantize,
+        q_embed_topk,
+    )
+
+    FP30 = float(1 << 30)
+    rows = q_embed_quantize(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        amax = r["amax_fp"] / FP30
+        assert r["q_absmax"] == 127  # extreme element quantizes exactly
+        # err <= amax/254 + fixed-point slack
+        assert r["err_fp"] / FP30 <= amax / 254 + 2 / FP30
+
+    exact = q_embed_topk(spark, SF_DIR).collect()
+    q8 = q_ann_int8(spark, SF_DIR).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in exact if r["rank"] == 1}
+    top1_q8 = {r["query_id"]: r["neighbor_id"] for r in q8 if r["rank"] == 1}
+    assert set(top1) == set(top1_q8)
+    hit = sum(top1[q] == top1_q8[q] for q in top1)
+    assert hit / len(top1) >= 0.8, f"rank-1 recall {hit}/{len(top1)}"
+    # every query returns a full, valid top-k
+    per_q = {}
+    for r in q8:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in per_q.values())
