@@ -1973,3 +1973,94 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_ratio").desc(), F.col("bigram").asc())
         .limit(PMI_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-probability quality scoring (the CCNet/perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1_000_000  # per-bigram conditional probability in integer ppm
+
+
+@register(
+    "q_lm_score",
+    oracle=r"""
+        WITH words AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        ),
+        uni AS (SELECT unnest(ws) AS w FROM words),
+        n1 AS (SELECT w, count(*) AS n FROM uni GROUP BY w),
+        bgs AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, ws[i] AS w1
+          FROM (SELECT doc_id, ws, generate_subscripts(ws, 1) AS i FROM words)
+          WHERE i <= len(ws) - 1
+        ),
+        nb AS (SELECT bg, count(*) AS n_xy FROM bgs GROUP BY bg),
+        scored AS (
+          SELECT b.doc_id, (1000000 * nb.n_xy) // n1.n AS s
+          FROM bgs b
+          JOIN nb ON nb.bg = b.bg
+          JOIN n1 ON n1.w = b.w1
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_bigrams, SUM(s) AS lm_sum
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(a.lm_sum, 0) AS BIGINT)    AS lm_sum
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+    tags=("text", "quality", "lm"),
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM-probability quality score (perplexity-filter shape).
+
+    The CCNet-style pipeline stage: train a bigram LM on the corpus, score
+    every document by how probable its own token sequence is, filter the
+    low tail before tokenizer/model training. Scored in integer parts-per-
+    million — each bigram contributes floor(1e6 * C(w1 w2) / C(w1)), the
+    MLE conditional probability as an exact bigint — so no log/exp ever
+    runs (libm log differs in the last ulp across engines; monotone
+    integer sums rank identically) and the result hashes bit-exact. A
+    document's mean ppm is lm_sum / n_bigrams downstream; docs under 2
+    tokens emit (0, 0) explicitly rather than dropping.
+
+    Scale: unigram and bigram counts partial-aggregate map-side before one
+    shuffle each; the per-doc bigram stream joins those count tables on
+    the token keys — natural-language skew ("the") is exactly what AQE
+    skew-split handles — and the final per-doc fold shuffles on doc_id.
+    Nothing is collected, nothing broadcast grows with the corpus: at
+    100 TB the LM tables are themselves distributed, unlike the broadcast
+    stopword/vocab approach of the lighter quality signals.
+    """
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    uni = w.select(F.explode("ws").alias("w"))
+    n1 = uni.groupBy("w").agg(F.count("*").alias("n"))
+    # docs with < 2 tokens contribute no bigrams (same sequence() guard as
+    # q_pmi_bigrams: sequence(1, 0) descends under ANSI mode)
+    bgs = w.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> struct(concat(ws[i-1], ' ', ws[i]) AS bg, ws[i-1] AS w1))")
+        ).alias("p"),
+    ).select("doc_id", F.col("p.bg").alias("bg"), F.col("p.w1").alias("w1"))
+    nb = bgs.groupBy("bg").agg(F.count("*").alias("n_xy"))
+    scored = (
+        bgs.join(nb, "bg")
+        .join(n1.withColumnRenamed("w", "w1"), "w1")
+        .select("doc_id", F.expr(f"({LM_SCALE} * n_xy) div n").alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("s").alias("lm_sum")
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce(F.col("lm_sum"), F.lit(0)).cast("bigint").alias("lm_sum"),
+        )
+    )
