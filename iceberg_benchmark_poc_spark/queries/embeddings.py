@@ -828,3 +828,137 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine_q8", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# iterative Lloyd's k-means, hash-gated cross-engine
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8  # clusters; initial centroids are vectors vec_id < K
+KMEANS_ITERS = 3  # unrolled assign/recompute rounds
+_KM_Q = 1 << 10  # element quantization 2^-10 (vectors AND centroids exact ints)
+_KM_INERTIA_DIV = KMEANS_K << 20  # decode min-encoding and drop 2^20 scale
+
+
+def _km_iter_sql(i: int) -> str:
+    """One assign + recompute round of the oracle (centroids cte c{i-1} -> c{i})."""
+    return f"""
+        a{i} AS (
+          SELECT vec_id, CAST(m % {KMEANS_K} AS INTEGER) AS assign, m // {KMEANS_K} AS d
+          FROM (
+            SELECT vec_id,
+                   min(CAST(list_sum(list_transform(list_zip(v.x2, c.c),
+                         z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)
+                       * {KMEANS_K} + c.k) AS m
+            FROM x2 v CROSS JOIN c{i - 1} c
+            GROUP BY vec_id
+          )
+        ),
+        s{i} AS (
+          SELECT a.assign AS k, e.dim, CAST(SUM(e.val) AS BIGINT) AS s, COUNT(*) AS n
+          FROM (SELECT vec_id, generate_subscripts(xq, 1) AS dim, unnest(xq) AS val
+                FROM xq) e
+          JOIN a{i} a USING (vec_id)
+          GROUP BY 1, 2
+        ),
+        c{i} AS (
+          SELECT k, list((s * {_KM_Q}) // n ORDER BY dim) AS c
+          FROM s{i} GROUP BY k
+        )"""
+
+
+_KMEANS_SQL = (
+    f"""
+        WITH xq AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_KM_Q}) AS BIGINT)) AS xq
+          FROM embeddings
+        ),
+        x2 AS (
+          SELECT vec_id, list_transform(xq, v -> v * {_KM_Q}) AS x2 FROM xq
+        ),
+        c0 AS (SELECT CAST(vec_id AS BIGINT) AS k, x2 AS c FROM x2 WHERE vec_id < {KMEANS_K}),"""
+    + ",".join(_km_iter_sql(i) for i in range(1, KMEANS_ITERS + 1))
+    + f"""
+        SELECT assign AS cluster,
+               CAST(count(*) AS BIGINT)              AS n_vecs,
+               CAST(SUM(d // {1 << 20}) AS BIGINT)   AS inertia_fp
+        FROM a{KMEANS_ITERS}
+        GROUP BY 1
+        """
+)
+
+
+@register("q_kmeans", oracle=_KMEANS_SQL, tags=("embeddings", "clustering", "iterative"))
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, K=8, three unrolled iterations — hash-gated.
+
+    Iterative ML as one lazy Spark plan: no collect, no driver loop — each
+    round is (broadcast 8-row centroid table) x corpus for assignment, then
+    an exploded per-dimension fold for the new centroids, composed
+    KMEANS_ITERS deep and executed as a single job. Everything stays in
+    exact integer arithmetic so the whole trajectory is bit-identical
+    cross-engine: vectors quantize at 2^-10, centroids are stored as
+    truncated-integer fixed point ((sum * 2^10) div n — both engines
+    truncate integer division toward zero), squared distances are exact
+    bigints (<= 64 * 2^44), and the argmin is min(dist * K + k) — the
+    encoded tiebreak makes ties deterministic with no struct-ordering
+    dependence. Output is the K-row cluster census (sizes + truncated
+    inertia), bounded at any scale.
+
+    Scale: per round, the corpus is scanned once (centroids broadcast — 8
+    rows, never grows), the recompute shuffles |K| x |dims| partial sums
+    (map-side combined), and nothing else moves. 100 TB k-means is exactly
+    this plan with more executors; iterations-as-jobs with a driver-side
+    convergence check would only add a scalar fold per round.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(float(_KM_Q))).cast("bigint")
+        ).alias("xq"),
+    )
+    x2 = xq.select(
+        "vec_id", F.transform(F.col("xq"), lambda v: v * F.lit(_KM_Q)).alias("x2")
+    )
+    cents = x2.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("bigint").alias("k"), F.col("x2").alias("c")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("x2"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        pairs = x2.crossJoin(F.broadcast(cents))
+        assign = pairs.groupBy("vec_id").agg(
+            F.min(dist * KMEANS_K + F.col("k")).alias("m")
+        ).select(
+            "vec_id",
+            (F.col("m") % KMEANS_K).cast("int").alias("assign"),
+            F.expr(f"m div {KMEANS_K}").alias("d"),
+        )
+        e = xq.join(assign.select("vec_id", "assign"), "vec_id").select(
+            "assign", F.posexplode("xq").alias("pos", "val")
+        ).select("assign", (F.col("pos") + 1).alias("dim"), "val")
+        s = e.groupBy("assign", "dim").agg(
+            F.sum("val").alias("s"), F.count("*").alias("n")
+        )
+        cents = (
+            s.select("assign", "dim", F.expr(f"(s * {_KM_Q}) div n").alias("ce"))
+            .groupBy("assign")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "ce"))),
+                    lambda t: t["ce"],
+                ).alias("c")
+            )
+            .select(F.col("assign").cast("bigint").alias("k"), "c")
+        )
+    return assign.groupBy(F.col("assign").alias("cluster")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.expr(f"d div {1 << 20}")).cast("bigint").alias("inertia_fp"),
+    )
