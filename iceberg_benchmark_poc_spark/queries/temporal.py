@@ -637,3 +637,97 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# gap filling (the hypertable time_bucket_gapfill + locf shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gap_fill",
+    oracle=f"""
+        WITH e AS (
+          SELECT event_type,
+                 (epoch_ns(ts) // 1000) // {HOUR_US} AS hour_idx,
+                 CAST(floor(value * 100) AS BIGINT)  AS cents
+          FROM events
+        ),
+        actual AS (
+          SELECT event_type, hour_idx,
+                 CAST(SUM(cents) AS BIGINT) AS cents, COUNT(*) AS n
+          FROM e GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM e),
+        grid AS (
+          SELECT t.event_type, g.hour_idx
+          FROM (SELECT DISTINCT event_type FROM e) t
+          CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hour_idx
+                      FROM bounds) g
+        ),
+        j AS (
+          SELECT g.event_type, g.hour_idx, a.cents, a.n
+          FROM grid g LEFT JOIN actual a USING (event_type, hour_idx)
+        )
+        SELECT event_type, hour_idx,
+               COALESCE(last_value(cents IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hour_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+                 AS filled_cents,
+               cents IS NULL                     AS was_gap,
+               CAST(COALESCE(n, 0) AS BIGINT)    AS n_events
+        FROM j
+        """,
+    tags=("temporal", "resample", "gapfill"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with last-observation-carried-forward (LOCF).
+
+    The hypertable ``time_bucket_gapfill`` shape: resample the irregular
+    event stream to an hourly grid per type, materialize EVERY bucket in
+    the observed span (the dense grid a dashboard or forecasting model
+    consumes), and carry the last seen hourly total forward through empty
+    buckets; buckets before the first observation report -1 explicitly.
+    Values fold to integer cents so the filled series hashes exactly.
+
+    Scale: the events table is touched by exactly one map-side-combined
+    aggregation (to hourly partials) and one scalar bounds fold; the dense
+    grid is |types| x |hours| — METADATA-scale, independent of event
+    count — so the LOCF window runs over the small grid, never over raw
+    events, and the grid<->partials equi-join shuffles only the hourly
+    aggregate. At 100 TB of events the plan's big-data side is still just
+    the one aggregation pass.
+    """
+    from ..core.io import epoch_micros
+
+    e = load_table(spark, sf_dir, "events")
+    em = epoch_micros("ts")
+    hour = F.lit(HOUR_US)
+    base = e.select(
+        "event_type",
+        ((em - F.pmod(em, hour)) / hour).cast("bigint").alias("hour_idx"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    actual = base.groupBy("event_type", "hour_idx").agg(
+        F.sum("cents").alias("cents"), F.count("*").alias("n")
+    )
+    bounds = base.agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+    grid = (
+        base.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("hour_idx"))
+    )
+    j = grid.join(actual, ["event_type", "hour_idx"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "hour_idx",
+        F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(-1)).alias("filled_cents"),
+        F.col("cents").isNull().alias("was_gap"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
