@@ -431,3 +431,102 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.9)").alias("q90"),
         F.count("*").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the supplier->customer fulfillment graph (iterative #2)
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000  # rank fixed point (ppm of initial mass)
+PR_ITERS = 3  # unrolled power-iteration rounds
+#: damping as an integer rational: contribution = (85 * r) div (100 * outdeg),
+#: base = (15 * PR_SCALE) div 100 — truncating integer ops match cross-engine
+
+
+def _pr_iter_sql(i: int) -> str:
+    """One PageRank round of the oracle: ranks r{i-1} -> r{i}."""
+    return f"""
+        contrib{i} AS (
+          SELECT e.dst AS node,
+                 CAST(SUM((85 * r.r) // (100 * o.outdeg)) AS BIGINT) AS c
+          FROM edges e
+          JOIN r{i - 1} r ON r.node = e.src
+          JOIN outdeg o ON o.node = e.src
+          GROUP BY e.dst
+        ),
+        r{i} AS (
+          SELECT n.node, {(15 * PR_SCALE) // 100} + COALESCE(c.c, 0) AS r
+          FROM nodes n LEFT JOIN contrib{i} c ON c.node = n.node
+        )"""
+
+
+_PAGERANK_SQL = (
+    f"""
+        WITH edges AS (
+          SELECT DISTINCT (2 * l.l_suppkey + 1) AS src, 2 * o.o_custkey AS dst
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+          UNION
+          SELECT DISTINCT dst AS node FROM edges
+        ),
+        outdeg AS (
+          SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src
+        ),
+        r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),"""
+    + ",".join(_pr_iter_sql(i) for i in range(1, PR_ITERS + 1))
+    + f"""
+        SELECT node, CAST(r AS BIGINT) AS rank_ppm FROM r{PR_ITERS}
+        """
+)
+
+
+@register("q_pagerank", oracle=_PAGERANK_SQL, tags=("graph", "iterative", "analytic"))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled power iterations) over supplier->customer edges.
+
+    The second hash-gated iterative algorithm next to q_kmeans: the edge
+    set is the distinct supplier->customer fulfillment graph (lineitem
+    joined to orders — the fact-scale shuffle join, built once), and each
+    round is contributions-by-outdegree summed per destination. Ranks stay
+    exact bigints (ppm fixed point): base (15*1e6) div 100 plus
+    floor-divided contributions — both engines truncate integer division
+    identically, so the whole trajectory hashes bit-exact. Dangling nodes
+    (customers, which have no out-edges) simply leak their mass, the
+    standard simplified-PR formulation, encoded identically on both sides.
+
+    Scale: per round one shuffle join of edges against the rank table on
+    src (outdeg is a second small join — or a precomputed edge attribute
+    at production scale) and one map-side-combined sum per dst. No
+    collect, no driver loop — 3 rounds compose into one lazy plan; a
+    convergence-checked variant adds one scalar fold per round. Node and
+    rank tables scale with |nodes|, never |edges|.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (2 * F.col("l_suppkey") + 1).alias("src"),
+            (2 * F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
+    base = (15 * PR_SCALE) // 100
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("(85 * r) div (100 * outdeg)")).cast("bigint").alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node", (F.lit(base) + F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppm"))

@@ -2064,3 +2064,63 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("lm_sum"), F.lit(0)).cast("bigint").alias("lm_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# inverted index build (posting lists)
+# ---------------------------------------------------------------------------
+
+POSTINGS_MIN_DF = 5  # drop hapax-ish terms: bounds output rows AND list width
+
+
+@register(
+    "q_inverted_index",
+    oracle=rf"""
+        WITH words AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        ),
+        term_doc AS (
+          SELECT DISTINCT w AS term, doc_id
+          FROM (SELECT doc_id, unnest(ws) AS w FROM words)
+        ),
+        idx AS (
+          SELECT term,
+                 CAST(count(*) AS BIGINT)          AS df,
+                 list(doc_id ORDER BY doc_id)      AS postings
+          FROM term_doc
+          GROUP BY term
+          HAVING count(*) >= {POSTINGS_MIN_DF}
+        )
+        SELECT term, df, postings FROM idx
+        """,
+    tags=("text", "index", "search"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> document-frequency + sorted posting list.
+
+    The search-engine/exact-substring-dedup build step: one exploded scan
+    of the tokenized corpus, distinct (term, doc) pairs, then per-term
+    sorted posting arrays. Ordered arrays make the output a deterministic
+    value (not a bag), so the whole index hashes exactly; the df floor
+    drops the hapax tail, bounding both row count and list width.
+
+    Scale: the explode is narrow (no shuffle), distinct and the grouped
+    collect shuffle on the term key — token skew is AQE's skew-split case —
+    and nothing returns to the driver. At 100 TB the posting list of a
+    stopword-class term is the one unbounded width: production would cap
+    or shard ultra-high-df terms (the df floor here is the complementary
+    low end); everything else is proportional to that term's true df.
+    """
+    d = _docs(spark, sf_dir)
+    term_doc = (
+        d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .distinct()
+    )
+    return (
+        term_doc.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("df") >= POSTINGS_MIN_DF)
+    )
