@@ -226,3 +226,77 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (versioned history with validity intervals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2",
+    oracle="""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 epoch_ns(ts) // 1000               AS em,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        v AS (
+          SELECT user_id, cents, em AS valid_from_us,
+                 CAST(row_number() OVER w AS INTEGER) AS version_n,
+                 lead(em) OVER w - 1                  AS valid_to_us
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY em ASC, event_id ASC)
+        )
+        SELECT user_id, version_n, valid_from_us, valid_to_us,
+               valid_to_us IS NULL AS is_current,
+               cents
+        FROM v
+        """,
+    tags=("behavior", "scd", "window"),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: event stream -> versioned validity history.
+
+    The warehouse dimension-versioning primitive: each user's attribute
+    updates (here, every event's value) become versioned rows with
+    half-open validity intervals — valid_from at the update, valid_to one
+    microsecond before the next update, NULL + is_current on the latest.
+    Downstream point-in-time joins (``BETWEEN valid_from AND valid_to``)
+    read history without ever rewriting it. Ordering ties break on
+    event_id (the established exact composite-order rule), so version
+    numbers are deterministic on both engines; values fold to cents.
+
+    Scale: one window over (user_id) partitions — high cardinality, so the
+    sort is many small per-user runs after a single hash shuffle, the
+    shape AQE handles without a global sort. The build is incremental in
+    production (only keys seen in the new batch re-version), which is this
+    same plan over the delta joined to each key's open tail row.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    em = epoch_micros("ts")
+    base = e.select(
+        "user_id",
+        "event_id",
+        em.alias("em"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("em").asc(), F.col("event_id").asc())
+    v = base.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version_n"),
+        F.col("em").alias("valid_from_us"),
+        (F.lead("em").over(w) - 1).alias("valid_to_us"),
+        "cents",
+    )
+    return v.select(
+        "user_id",
+        "version_n",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+        "cents",
+    )

@@ -2124,3 +2124,102 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= POSTINGS_MIN_DF)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring (probe query over the corpus index)
+# ---------------------------------------------------------------------------
+
+BM25_PROBE_K = 4  # probe query = the top-K terms by document frequency
+#: k1=1.2, b=0.75 folded into the integer-rational tf component:
+#:   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#: with avgdl = L/N (corpus tokens / docs), multiplied through by 20*L:
+#:   num = 44*tf*L,  den = 20*L*tf + 6*L + 18*dl*N
+#: tf_ppm = (1e6 * num) div den — exact bigints end to end; the idf factor
+#: is the ratio form floor(1e6*(2N-2df+1)/(2df+1)) (log is monotone in it,
+#: and libm logs differ in the last ulp across engines)
+
+
+@register(
+    "q_bm25",
+    oracle=rf"""
+        WITH words AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        ),
+        uni AS (SELECT doc_id, unnest(ws) AS w FROM words),
+        dl AS (SELECT doc_id, count(*) AS dl FROM uni GROUP BY doc_id),
+        corpus AS (
+          SELECT (SELECT count(*) FROM uni) AS L,
+                 (SELECT count(*) FROM documents) AS N
+        ),
+        df AS (
+          SELECT w AS term, count(DISTINCT doc_id) AS df FROM uni GROUP BY w
+        ),
+        probe AS (
+          SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {BM25_PROBE_K}
+        ),
+        tf AS (
+          SELECT u.doc_id, u.w AS term, count(*) AS tf
+          FROM uni u JOIN probe p ON p.term = u.w
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT t.doc_id,
+                 ((1000000 * (2 * c.N - 2 * p.df + 1)) // (2 * p.df + 1))
+                   * ((1000000 * (44 * t.tf * c.L))
+                      // (20 * c.L * t.tf + 6 * c.L + 18 * d.dl * c.N)) AS s
+          FROM tf t
+          JOIN probe p ON p.term = t.term
+          JOIN dl d ON d.doc_id = t.doc_id
+          CROSS JOIN corpus c
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_hit_terms,
+               CAST(SUM(s) AS BIGINT)   AS bm25_fp
+        FROM scored GROUP BY doc_id
+        """,
+    tags=("text", "search", "ranking"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a corpus-derived probe query.
+
+    The retrieval-ranking primitive (and the scoring half of
+    quality-by-query corpus curation): the probe query is the K most
+    frequent terms (deterministic ORDER BY df, term LIMIT K — a
+    TakeOrderedAndProject over the metadata-scale vocabulary, never a
+    global data sort), and every document containing a probe term gets the
+    standard BM25 sum. Both factors are integer rationals — the idf RATIO
+    (monotone in log-idf, no libm) and the k1/b tf saturation multiplied
+    through by 20L — so scores are exact bigints and hash cross-engine.
+
+    Scale: one exploded scan feeds doc lengths, corpus totals, and
+    document frequencies (all map-side combined); the probe set (K rows)
+    and the two corpus scalars broadcast; tf shuffles only probe-term
+    postings. Nothing driver-side, no corpus-wide sort anywhere.
+    """
+    d = _docs(spark, sf_dir)
+    uni = d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    dl = uni.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = uni.agg(F.count("*").alias("L")).crossJoin(
+        F.broadcast(d.agg(F.count("*").alias("N")))
+    )
+    df = uni.groupBy(F.col("w").alias("term")).agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    probe = df.orderBy(F.col("df").desc(), F.col("term").asc()).limit(BM25_PROBE_K)
+    tf = (
+        uni.join(F.broadcast(probe.select(F.col("term").alias("w"), "df")), "w")
+        .groupBy("doc_id", F.col("w").alias("term"), "df")
+        .agg(F.count("*").alias("tf"))
+    )
+    scored = tf.join(dl, "doc_id").crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        (
+            F.expr("(1000000 * (2 * N - 2 * df + 1)) div (2 * df + 1)")
+            * F.expr("(1000000 * (44 * tf * L)) div (20 * L * tf + 6 * L + 18 * dl * N)")
+        ).alias("s"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hit_terms"),
+        F.sum("s").cast("bigint").alias("bm25_fp"),
+    )
