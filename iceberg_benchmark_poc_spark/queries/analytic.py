@@ -505,6 +505,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # lazy localCheckpoint (q_dup_clusters pattern): the plan references the
+    # edge set in every round (plus nodes/outdeg), and without truncation
+    # Catalyst re-executes the fact-scale build join ~2x per iteration;
+    # checkpointing materializes it once and iterations reuse the result
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -512,6 +516,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
