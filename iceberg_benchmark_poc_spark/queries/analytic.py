@@ -535,3 +535,195 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", (F.lit(base) + F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("r")
         )
     return ranks.select("node", F.col("r").alias("rank_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# trend estimation: exact-rational OLS slope per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_trend_ols",
+    oracle="""
+        WITH monthly AS (
+          SELECT c.c_mktsegment AS mktsegment,
+                 CAST((date_part('year', o.o_orderdate) - 1995) * 12
+                      + date_part('month', o.o_orderdate) - 1 AS BIGINT) AS x,
+                 CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT mktsegment,
+                 count(*)        AS n,
+                 sum(x)          AS sx,
+                 sum(y)          AS sy,
+                 sum(x * y)      AS sxy,
+                 sum(x * x)      AS sxx
+          FROM monthly GROUP BY 1
+        )
+        SELECT mktsegment,
+               CAST(n AS BIGINT)                 AS n_months,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(sy AS BIGINT)                AS total_cents
+        FROM s
+        """,
+    tags=("analytic", "regression", "trend"),
+)
+def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-trend OLS slope per market segment, as an exact rational.
+
+    Closed-form simple linear regression of monthly revenue against month
+    index, per customer segment — the trend-detection query behind every
+    "is this segment growing?" dashboard. The slope is returned as the
+    exact integer rational (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) in cents per
+    month — the q_bm25 convention: no float division anywhere, so the
+    result hashes bit-exact cross-engine and the slope's SIGN (the
+    decision output) is never at the mercy of summation order.
+
+    Scale: the fact table collapses to |segments| x |months| partials via
+    one map-side-combined aggregation after the orders-customer key join
+    (the one real shuffle); the regression folds run over that metadata-
+    scale table. Month indices are zero-based at the fixture epoch so the
+    moment sums stay far inside BIGINT even at 100 TB of orders; at
+    extreme revenue scale the same fold runs in DECIMAL(38,0) unchanged.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    s = monthly.groupBy("mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "mktsegment",
+        F.col("n").cast("bigint").alias("n_months"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("slope_den"),
+        F.col("sy").cast("bigint").alias("total_cents"),
+    )
+
+
+@register(
+    "q_triangles",
+    oracle="""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT p AS node FROM pairs UNION ALL SELECT q AS node FROM pairs
+          ) GROUP BY 1
+        ),
+        oriented AS (
+          SELECT CASE WHEN dp.d < dq.d OR (dp.d = dq.d AND e.p < e.q)
+                      THEN e.p ELSE e.q END AS u,
+                 CASE WHEN dp.d < dq.d OR (dp.d = dq.d AND e.p < e.q)
+                      THEN e.q ELSE e.p END AS v
+          FROM pairs e
+          JOIN deg dp ON e.p = dp.node
+          JOIN deg dq ON e.q = dq.node
+        ),
+        wedges AS (
+          SELECT o1.u AS u, o1.v AS x, o2.v AS y
+          FROM oriented o1 JOIN oriented o2
+            ON o1.u = o2.u AND o1.v < o2.v
+        ),
+        tri AS (
+          SELECT w.u, w.x, w.y
+          FROM wedges w JOIN pairs e ON w.x = e.p AND w.y = e.q
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT u AS node FROM tri
+              UNION ALL SELECT x AS node FROM tri
+              UNION ALL SELECT y AS node FROM tri)
+        GROUP BY node
+        """,
+    tags=("graph", "triangles"),
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph,
+    degree-ordered.
+
+    Graph: parts are nodes; an undirected edge joins two parts that ever
+    appear in the same order (the co-purchase projection of the
+    order-part bipartite graph). Triangle participation per node is the
+    local clustering signal behind recommendation and community features.
+
+    Algorithm is the MapReduce-classic degree-ordered orientation
+    [Suri & Vassilvitskii, WWW'11]: orient every edge from its lower-
+    degree endpoint (ties by id) — a total order, so the digraph is
+    acyclic and every triangle has EXACTLY one node with out-edges to
+    both others; enumerate wedges as out-neighbor pairs and close them
+    against the canonical edge set with a plain equi-join. Orientation
+    caps any node's out-degree at O(sqrt(|E|)), so the wedge count —
+    the only superlinear term — is bounded even on power-law graphs
+    where naive a<b-by-id orientation explodes at the hubs.
+
+    Scale: three shuffles (edge distinct, wedge self-join on u, closing
+    equi-join on (x,y)) — all equi-joins, no BNLJ anywhere; per-node
+    counts are one map-side-combined aggregation over triangle corners.
+    The orientation degrees are a node-scale table joined twice.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("p").alias("node"))
+        .unionAll(pairs.select(F.col("q").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dp = deg.select(F.col("node").alias("p"), F.col("d").alias("dp"))
+    dq = deg.select(F.col("node").alias("q"), F.col("d").alias("dq"))
+    low_first = (F.col("dp") < F.col("dq")) | (
+        (F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q"))
+    )
+    oriented = (
+        pairs.join(dp, "p")
+        .join(dq, "q")
+        .select(
+            F.when(low_first, F.col("p")).otherwise(F.col("q")).alias("u"),
+            F.when(low_first, F.col("q")).otherwise(F.col("p")).alias("v"),
+        )
+    )
+    o1 = oriented.select("u", F.col("v").alias("x"))
+    o2 = oriented.select("u", F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        pairs, (F.col("x") == F.col("p")) & (F.col("y") == F.col("q"))
+    ).select("u", "x", "y")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

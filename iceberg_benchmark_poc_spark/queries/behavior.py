@@ -300,3 +300,91 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to_us").isNull().alias("is_current"),
         "cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (the gap-rule twin of the streaming session window)
+# ---------------------------------------------------------------------------
+
+#: session gap rule: >30 idle minutes starts a new session — the industry
+#: default (GA/Amplitude) and the same gap q_stream_session uses, so the
+#: batch and streaming definitions of "session" agree
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+        WITH base AS (
+          SELECT user_id, event_id,
+                 epoch_ns(ts) // 1000                  AS em,
+                 CAST(floor(value * 100) AS BIGINT)    AS cents
+          FROM events
+        ),
+        marked AS (
+          SELECT *,
+                 CASE WHEN em - lag(em) OVER w > {SESSION_GAP_US}
+                        OR lag(em) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS is_start
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY em, event_id)
+        ),
+        sess AS (
+          SELECT *,
+                 CAST(SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY em, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS INTEGER) AS session_n
+          FROM marked
+        )
+        SELECT user_id, session_n,
+               count(*)                    AS n_events,
+               min(em)                     AS session_start_us,
+               max(em) - min(em)           AS duration_us,
+               CAST(sum(cents) AS BIGINT)  AS session_cents
+        FROM sess
+        GROUP BY user_id, session_n
+        """,
+    tags=("behavior", "session", "window"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 30-minute-gap sessions per user, with stats.
+
+    The batch twin of q_stream_session, proving the two surfaces agree on
+    what a session is: a lag() gap flag, a running sum to number sessions,
+    and one groupBy for per-session stats. Ties on timestamp break by
+    event_id so the numbering is deterministic on both engines.
+
+    Scale: one shuffle on user_id serves the window AND the final
+    aggregate (the groupBy keys are a superset of the window partition
+    key, so Catalyst reuses the partitioning — no second exchange). Per-
+    user event streams are the only ordering scope; no global sort.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        epoch_micros("ts").alias("em"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("em").asc(), F.col("event_id").asc())
+    marked = base.withColumn(
+        "is_start",
+        F.when(
+            F.lag("em").over(w).isNull()
+            | ((F.col("em") - F.lag("em").over(w)) > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_n",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_n").agg(
+        F.count("*").alias("n_events"),
+        F.min("em").alias("session_start_us"),
+        (F.max("em") - F.min("em")).alias("duration_us"),
+        F.sum("cents").alias("session_cents"),
+    )

@@ -731,3 +731,129 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").isNull().alias("was_gap"),
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "q_interp_linear",
+    oracle=f"""
+        WITH e AS (
+          SELECT event_type,
+                 (epoch_ns(ts) // 1000) // {HOUR_US} AS hour_idx,
+                 CAST(floor(value * 100) AS BIGINT)  AS cents
+          FROM events
+        ),
+        actual AS (
+          SELECT event_type, hour_idx, CAST(SUM(cents) AS BIGINT) AS cents
+          FROM e GROUP BY 1, 2
+        ),
+        bounds AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM e),
+        grid AS (
+          SELECT t.event_type, g.hour_idx
+          FROM (SELECT DISTINCT event_type FROM e) t
+          CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hour_idx
+                      FROM bounds) g
+        ),
+        j AS (
+          SELECT g.event_type, g.hour_idx, a.cents,
+                 last_value(a.cents IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+                 last_value(CASE WHEN a.cents IS NOT NULL THEN g.hour_idx END
+                            IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+                 first_value(a.cents IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour_idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+                 first_value(CASE WHEN a.cents IS NOT NULL THEN g.hour_idx END
+                             IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour_idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+          FROM grid g LEFT JOIN actual a USING (event_type, hour_idx)
+        )
+        SELECT event_type, hour_idx,
+               CASE
+                 WHEN cents IS NOT NULL THEN cents
+                 WHEN prev_c IS NULL OR next_c IS NULL THEN -1
+                 ELSE prev_c + (
+                   ((next_c - prev_c) * (hour_idx - prev_h))
+                   - ((((next_c - prev_c) * (hour_idx - prev_h)) % (next_h - prev_h)
+                       + (next_h - prev_h)) % (next_h - prev_h))
+                 ) // (next_h - prev_h)
+               END            AS interp_cents,
+               cents IS NULL  AS was_gap
+        FROM j
+        """,
+    tags=("temporal", "resample", "gapfill", "interpolate"),
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with LINEAR interpolation (the other gapfill mode).
+
+    The ``interpolate()`` companion to q_gap_fill's LOCF: empty buckets
+    take the straight line between the surrounding observed hourly totals,
+    evaluated in exact integer arithmetic — floor((next-prev)*(t-prev_t)
+    / span) — so the series hashes bit-exact cross-engine. Integer
+    division truncates toward zero on BOTH engines (Spark ``div``, DuckDB
+    ``//`` on BIGINTs — measured, not the floor the docs suggest), and the
+    numerator goes negative on downslopes, so BOTH sides subtract the
+    positive modulus first, making the division exact and the semantics
+    true floor. Buckets outside the observed range of a type (no neighbor
+    on one side) report -1.
+
+    Scale: identical plan shape to q_gap_fill — one map-side-combined
+    aggregation over the raw events, then all windows run over the
+    |types| x |hours| METADATA-scale dense grid; the prev/next scans are
+    two passes over that small grid per type, never over raw events.
+    """
+    from ..core.io import epoch_micros
+
+    e = load_table(spark, sf_dir, "events")
+    em = epoch_micros("ts")
+    hour = F.lit(HOUR_US)
+    base = e.select(
+        "event_type",
+        ((em - F.pmod(em, hour)) / hour).cast("bigint").alias("hour_idx"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    actual = base.groupBy("event_type", "hour_idx").agg(F.sum("cents").alias("cents"))
+    bounds = base.agg(F.min("hour_idx").alias("lo"), F.max("hour_idx").alias("hi"))
+    grid = (
+        base.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("hour_idx"))
+    )
+    j = grid.join(actual, ["event_type", "hour_idx"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("cents").isNotNull(), F.col("hour_idx"))
+    sided = j.select(
+        "event_type",
+        "hour_idx",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("prev_h"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    num = (F.col("next_c") - F.col("prev_c")) * (F.col("hour_idx") - F.col("prev_h"))
+    den = F.col("next_h") - F.col("prev_h")
+    floor_div = (num - F.pmod(num, den)).cast("bigint") / den
+    return sided.select(
+        "event_type",
+        "hour_idx",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(F.col("prev_c").isNull() | F.col("next_c").isNull(), F.lit(-1))
+        .otherwise(F.col("prev_c") + floor_div)
+        .cast("bigint")
+        .alias("interp_cents"),
+        F.col("cents").isNull().alias("was_gap"),
+    )

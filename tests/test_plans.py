@@ -354,6 +354,7 @@ BNLJ_ALLOWED = {
     "q_ann_int8",        # same capped broadcast query set, int8-quantized scoring
     "q_kmeans",          # broadcast K=8 centroid table crossed with the corpus, per iteration
     "q_gap_fill",        # 1-row hour-range bounds crossed with the distinct type set
+    "q_interp_linear",   # same 1-row hour-range bounds cross as q_gap_fill
     "q_bm25",            # two 1-row corpus totals (L, N) broadcast to probe-term postings
     "q_equidepth_hist",  # one-row decile-boundaries fold (9-element array)
     "q_funnel",          # three 1-row stage counts combined by scalar cross join
