@@ -727,3 +727,138 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("y").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+#: association-rule support floor: a part pair must co-occur in at least
+#: this many distinct orders to be reported (prunes the 1-off noise tail
+#: that would otherwise dominate the rule set)
+ASSOC_MIN_SUPPORT = 2
+
+
+@register(
+    "q_assoc_rules",
+    oracle=f"""
+        WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        item AS (SELECT l_partkey AS p, count(*) AS n_p FROM li GROUP BY 1),
+        pair AS (
+          SELECT a.l_partkey AS p, b.l_partkey AS q, count(*) AS n_pq
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING count(*) >= {ASSOC_MIN_SUPPORT}
+        )
+        SELECT pair.p, pair.q,
+               CAST(pair.n_pq AS BIGINT)            AS n_pq,
+               CAST(ip.n_p AS BIGINT)               AS n_p,
+               CAST(iq.n_p AS BIGINT)               AS n_q,
+               CAST(pair.n_pq * n.n_orders AS BIGINT) AS lift_num,
+               CAST(ip.n_p * iq.n_p AS BIGINT)      AS lift_den
+        FROM pair
+        JOIN item ip ON pair.p = ip.p
+        JOIN item iq ON pair.q = iq.p
+        CROSS JOIN n
+        """,
+    tags=("analytic", "basket", "association"),
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over part pairs, exact-rational lift.
+
+    The Apriori-at-depth-2 shape: distinct (order, part) pairs self-join
+    into co-occurrence counts, a support floor prunes the noise tail, and
+    each surviving pair carries its two item supports plus lift as the
+    exact integer rational n_pq*N / (n_p*n_q) — confidence in either
+    direction is n_pq/n_p or n_pq/n_q from the same row. No float
+    division, so ranking rules by lift is a bigint comparison cross-
+    multiplied, never a summation-order artifact.
+
+    Scale: the distinct() collapse bounds the self-join input at one row
+    per (order, item); the pair join shuffles on orderkey (basket-local,
+    so skew equals basket size, bounded in practice); supports are
+    map-side-combined counts; the support floor applies BEFORE the two
+    item-support joins so only surviving pairs shuffle again. The 1-row
+    order-count fold broadcasts.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("n_p"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
+        .agg(F.count("*").alias("n_pq"))
+        .filter(F.col("n_pq") >= ASSOC_MIN_SUPPORT)
+    )
+    ip = item.select(F.col("p"), F.col("n_p"))
+    iq = item.select(F.col("p").alias("q"), F.col("n_p").alias("n_q"))
+    return (
+        pair.join(ip, "p")
+        .join(iq, "q")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p",
+            "q",
+            F.col("n_pq").cast("bigint").alias("n_pq"),
+            F.col("n_p").cast("bigint").alias("n_p"),
+            F.col("n_q").cast("bigint").alias("n_q"),
+            (F.col("n_pq") * F.col("n_orders")).cast("bigint").alias("lift_num"),
+            (F.col("n_p") * F.col("n_q")).cast("bigint").alias("lift_den"),
+        )
+    )
+
+
+@register(
+    "q_degree_dist",
+    oracle="""
+        WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT p AS node FROM pairs UNION ALL SELECT q AS node FROM pairs
+          ) GROUP BY 1
+        )
+        SELECT CAST(d AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY 1
+        """,
+    tags=("graph", "degree"),
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph.
+
+    The first profiling query run on any production graph — its shape
+    (power-law vs flat) decides whether degree-ordered algorithms
+    (q_triangles) and skew mitigations are needed at all. Two map-side-
+    combined aggregations over the canonical edge set; the histogram is
+    |distinct degrees| rows, metadata-scale at any graph size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("p").alias("node"))
+        .unionAll(pairs.select(F.col("q").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
+        F.count("*").alias("n_nodes")
+    )

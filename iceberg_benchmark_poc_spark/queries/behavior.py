@@ -388,3 +388,137 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("em") - F.min("em")).alias("duration_us"),
         F.sum("cents").alias("session_cents"),
     )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+        WITH base AS (
+          SELECT user_id,
+                 (epoch_ns(ts) // 1000) // 86400000000       AS day_idx,
+                 CAST(floor(value * 100) AS BIGINT)          AS cents
+          FROM events
+        ),
+        cohort AS (SELECT user_id, min(day_idx) AS cohort_day FROM base GROUP BY 1),
+        daily AS (
+          SELECT c.cohort_day,
+                 b.day_idx - c.cohort_day AS age_days,
+                 count(DISTINCT b.user_id) AS n_active,
+                 CAST(sum(b.cents) AS BIGINT) AS day_cents
+          FROM base b JOIN cohort c ON b.user_id = c.user_id
+          GROUP BY 1, 2
+        )
+        SELECT cohort_day, age_days, CAST(n_active AS BIGINT) AS n_active,
+               CAST(SUM(day_cents) OVER (
+                 PARTITION BY cohort_day ORDER BY age_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_cents
+        FROM daily
+        """,
+    tags=("behavior", "cohort", "ltv"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative revenue by cohort age.
+
+    The companion to q_retention's activity triangle: users cohort by
+    first-seen day, revenue folds to integer cents per (cohort, age), and
+    a cumulative window turns the daily increments into the LTV curve
+    every growth team plots. The cumulative sum runs over the
+    |cohorts| x |ages| METADATA-scale triangle, never raw events.
+
+    Scale: one shuffle on user_id for the cohort min + the cohort join
+    (same key, partitioning reused), one map-side-combined aggregation to
+    the triangle, one window over it. Raw events are touched twice (min
+    fold, daily fold), both full-scan-combine passes.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        _day_index("ts").alias("day_idx"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cohort = base.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
+    daily = (
+        base.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day_idx") - F.col("cohort_day")).alias("age_days"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.sum("cents").alias("day_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "cohort_day",
+        "age_days",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.sum("day_cents").over(w).cast("bigint").alias("cum_cents"),
+    )
+
+
+@register(
+    "q_seasonality",
+    oracle="""
+        WITH base AS (
+          SELECT event_type,
+                 ((epoch_ns(ts) // 1000) // 86400000000 + 3) % 7 AS dow,
+                 CAST(floor(value * 100) AS BIGINT)              AS cents
+          FROM events
+        ),
+        per_dow AS (
+          SELECT event_type, dow, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+          FROM base GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT event_type, CAST(sum(n) AS BIGINT) AS tn, CAST(sum(c) AS BIGINT) AS tc
+          FROM per_dow GROUP BY 1
+        )
+        SELECT p.event_type, CAST(p.dow AS BIGINT) AS dow,
+               CAST(p.n AS BIGINT)        AS n_events,
+               p.c                        AS dow_cents,
+               CAST(p.c * t.tn AS BIGINT) AS index_num,
+               CAST(t.tc * p.n AS BIGINT) AS index_den
+        FROM per_dow p JOIN tot t USING (event_type)
+        """,
+    tags=("behavior", "seasonality", "temporal"),
+)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type, exact-rational index.
+
+    The weekly-seasonality fingerprint: per (type, weekday) event counts
+    and revenue, plus the seasonality index — mean revenue per event that
+    weekday over the type's overall mean — as the exact integer rational
+    (dow_cents * total_n) / (total_cents * dow_n). Weekday comes from
+    pure epoch-day arithmetic ((day + 3) mod 7, 0 = Monday, anchored on
+    1970-01-01 being a Thursday) so both engines bucket identically with
+    no calendar/locale functions involved.
+
+    Scale: one map-side-combined aggregation to the |types| x 7 profile;
+    the per-type totals re-aggregate THAT table (never the raw events)
+    and join back at metadata scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.pmod(_day_index("ts") + 3, F.lit(7)).alias("dow"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    per_dow = base.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("c")
+    )
+    tot = per_dow.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("c").alias("tc")
+    )
+    return per_dow.join(tot, "event_type").select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("dow_cents"),
+        (F.col("c") * F.col("tn")).cast("bigint").alias("index_num"),
+        (F.col("tc") * F.col("n")).cast("bigint").alias("index_den"),
+    )

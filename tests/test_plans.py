@@ -348,6 +348,7 @@ ARROW_PYTHON_ALLOWED = {
 #: a new appearance means a join lost its equi-condition and must be fixed.
 BNLJ_ALLOWED = {
     "q_approx_stats",    # one-row exact-quantile bounds fold joined to the sketch agg
+    "q_assoc_rules",     # one-row distinct-order-count fold broadcast to surviving pairs
     "q_asof_join",       # one-row probe-max-ts bound clamping the last rate interval
     "q_dv_coalesce",     # scalar manifest-count bound
     "q_embed_topk",      # broadcast query set vs corpus (the exact baseline)
