@@ -629,6 +629,7 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_orderkey % 4 = 0
         ),
         deg AS (
           SELECT node, count(*) AS d FROM (
@@ -683,9 +684,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three shuffles (edge distinct, wedge self-join on u, closing
     equi-join on (x,y)) — all equi-joins, no BNLJ anywhere; per-node
     counts are one map-side-combined aggregation over triangle corners.
-    The orientation degrees are a node-scale table joined twice.
+    The orientation degrees are a node-scale table joined twice. The
+    1-in-4 deterministic order gate (l_orderkey % 4, the capped-input
+    convention of q_embed_topk) bounds graph density so the wedge set
+    stays ~2.4M rows at sf0.1; the ungated graph is 17x denser and the
+    algorithm handles it — drop the gate at cluster scale and the
+    orientation bound is what keeps the wedge join feasible.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
@@ -822,6 +832,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
           FROM lineitem a JOIN lineitem b
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_orderkey % 4 = 0
         ),
         deg AS (
           SELECT node, count(*) AS d FROM (
@@ -839,10 +850,15 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     The first profiling query run on any production graph — its shape
     (power-law vs flat) decides whether degree-ordered algorithms
     (q_triangles) and skew mitigations are needed at all. Two map-side-
-    combined aggregations over the canonical edge set; the histogram is
-    |distinct degrees| rows, metadata-scale at any graph size.
+    combined aggregations over the canonical edge set (same 1-in-4 order
+    gate as q_triangles, so both profile the SAME graph); the histogram
+    is |distinct degrees| rows, metadata-scale at any graph size.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(
