@@ -878,3 +878,136 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
         F.count("*").alias("n_nodes")
     )
+
+
+@register(
+    "q_mad",
+    oracle="""
+        WITH base AS (
+          SELECT l_suppkey,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+        ),
+        ranked AS (
+          SELECT l_suppkey, cents,
+                 row_number() OVER (PARTITION BY l_suppkey ORDER BY cents) AS rn,
+                 count(*)    OVER (PARTITION BY l_suppkey)                 AS n
+          FROM base
+        ),
+        med AS (
+          SELECT l_suppkey, max(n) AS n,
+                 max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS median_cents
+          FROM ranked GROUP BY 1
+        ),
+        dev AS (
+          SELECT b.l_suppkey, abs(b.cents - m.median_cents) AS d, m.n, m.median_cents
+          FROM base b JOIN med m USING (l_suppkey)
+        ),
+        dranked AS (
+          SELECT l_suppkey, n, median_cents, d,
+                 row_number() OVER (PARTITION BY l_suppkey ORDER BY d) AS rn
+          FROM dev
+        )
+        SELECT l_suppkey,
+               CAST(max(n) AS BIGINT)       AS n_items,
+               max(median_cents)            AS median_cents,
+               max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad_cents
+        FROM dranked GROUP BY 1
+        """,
+    tags=("analytic", "robust-stats", "median"),
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust price dispersion per supplier: exact median + MAD.
+
+    Mean/stddev profiles (q_agg_stats, q_anomaly) are outlier-dominated;
+    the median absolute deviation is the robust pair every data-quality
+    monitor wants next to them. Both medians use the lower-median
+    convention — the element at row_number (n+1) div 2 under a plain
+    value sort — so the result is a VALUE FROM THE DATA, deterministic
+    under duplicate values (equal values are interchangeable at any rank)
+    and identical cross-engine with no float averaging of middle pairs.
+
+    Scale: two window passes partitioned on the HIGH-cardinality supplier
+    key (bounded, roughly constant group size — never a low-cardinality
+    funnel), one hash join of the per-supplier median back to the rows.
+    All arithmetic in integer cents.
+    """
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("cents")
+    ranked = base.select(
+        "l_suppkey",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_suppkey")).alias("n"),
+    )
+    med = ranked.groupBy("l_suppkey").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("median_cents"),
+    )
+    dev = base.join(med, "l_suppkey").select(
+        "l_suppkey",
+        "n",
+        "median_cents",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("d"),
+    )
+    wd = Window.partitionBy("l_suppkey").orderBy("d")
+    dranked = dev.select("l_suppkey", "n", "median_cents", "d", F.row_number().over(wd).alias("rn"))
+    return dranked.groupBy("l_suppkey").agg(
+        F.max("n").cast("bigint").alias("n_items"),
+        F.max("median_cents").alias("median_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d"))
+        ).alias("mad_cents"),
+    )
+
+
+#: equi-width histogram bin width: $50 in cents — round enough to read,
+#: fine enough that the lineitem price range (~$900..$105K) yields a
+#: dense multi-thousand-bin profile at scale
+HIST_BIN_CENTS = 5000
+
+
+@register(
+    "q_equiwidth_hist",
+    oracle=f"""
+        SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) // {HIST_BIN_CENTS}
+                 AS bin_idx,
+               count(*) AS n_items,
+               CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS min_cents,
+               CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS max_cents
+        FROM lineitem
+        GROUP BY 1
+        """,
+    tags=("analytic", "histogram"),
+)
+def q_equiwidth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram: fixed $50 bins over extended price.
+
+    The fixed-bin companion to q_equidepth_hist's quantile bins — the
+    profile a column-stats collector or a dashboard bar chart wants. Bin
+    index is pure integer division of cents (prices are positive, so
+    truncation and floor agree); per-bin min/max bound each bar exactly.
+
+    Scale: one map-side-combined aggregation, output is |occupied bins|
+    rows — metadata-scale; no window, no join, no sort. The same plan at
+    100 TB is the textbook single-pass profile.
+    """
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(cents.alias("cents"))
+        .groupBy(F.expr(f"cents div {HIST_BIN_CENTS}").alias("bin_idx"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
