@@ -1011,3 +1011,80 @@ def q_equiwidth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+#: columns profiled by q_column_profile (value -> exact integer cents)
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_column_profile",
+    oracle="""
+        SELECT * FROM (
+        """
+    + "\n        UNION ALL\n        ".join(
+        f"""SELECT '{c}' AS col_name,
+                   count(*)                                            AS n_rows,
+                   count({c})                                          AS n_nonnull,
+                   count(DISTINCT CAST(floor({c} * 100) AS BIGINT))    AS n_distinct,
+                   CAST(min(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+                   CAST(max(CAST(floor({c} * 100) AS BIGINT)) AS BIGINT) AS max_cents
+            FROM lineitem"""
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    + """
+        )
+        """,
+    tags=("analytic", "profiling", "stats"),
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: row/non-null/distinct counts + min/max per column.
+
+    The stats-collection pass every catalog (ANALYZE TABLE), data-quality
+    monitor, and query optimizer runs first. Four numeric lineitem
+    columns profiled in ONE scan: Spark plans the multi-column exact
+    distinct as a single Expand-based aggregation (one pass over the
+    data, 4x expansion map-side, partial-aggregated), and the 1-row
+    result melts to one row per column via an explode over a built
+    struct array — never a second scan. Values fold to integer cents.
+
+    Scale: one full scan regardless of column count (vs the naive
+    one-pass-per-column UNION the oracle runs); output is |columns|
+    rows. At 100 TB swap exact distinct for HLL (q_approx_stats) if the
+    2-3x expand overhead matters more than exactness.
+    """
+    cents = {c: F.floor(F.col(c) * 100).cast("bigint") for c in PROFILE_COLS}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[cents[c].alias(c) for c in PROFILE_COLS]
+    )
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for c in PROFILE_COLS
+            for a in (
+                F.count(F.col(c)).alias(f"{c}__nn"),
+                F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+                F.min(F.col(c)).alias(f"{c}__mn"),
+                F.max(F.col(c)).alias(f"{c}__mx"),
+            )
+        ],
+    )
+    melted = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n_rows").cast("bigint").alias("n_rows"),
+                        F.col(f"{c}__nn").cast("bigint").alias("n_nonnull"),
+                        F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+                        F.col(f"{c}__mn").alias("min_cents"),
+                        F.col(f"{c}__mx").alias("max_cents"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return melted.select("p.*")

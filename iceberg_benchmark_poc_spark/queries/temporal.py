@@ -857,3 +857,105 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("interp_cents"),
         F.col("cents").isNull().alias("was_gap"),
     )
+
+
+#: autocorrelation lags (days) profiled by q_autocorr — 1 day for
+#: persistence, 7 days for weekly seasonality
+AUTOCORR_LAGS = (1, 7)
+
+DAY_US = 24 * HOUR_US
+
+
+@register(
+    "q_autocorr",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type,
+                 (epoch_ns(ts) // 1000) // 86400000000 AS day_idx,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT d.event_type, l.lag_d, d.y AS y0, p.y AS y1
+          FROM daily d
+          JOIN (SELECT unnest([{", ".join(str(x) for x in AUTOCORR_LAGS)}]) AS lag_d) l ON true
+          JOIN daily p ON p.event_type = d.event_type
+                      AND p.day_idx = d.day_idx - l.lag_d
+        ),
+        s AS (
+          SELECT event_type, lag_d, count(*) AS n,
+                 sum(y0) AS s0, sum(y1) AS s1,
+                 sum(y0 * y1) AS s01, sum(y0 * y0) AS s00, sum(y1 * y1) AS s11
+          FROM lagged GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(lag_d AS BIGINT) AS lag_days,
+               CAST(n AS BIGINT)                    AS n_pairs,
+               CAST(n * s01 - s0 * s1 AS BIGINT)    AS corr_num,
+               CAST(n * s00 - s0 * s0 AS BIGINT)    AS var0_x_n,
+               CAST(n * s11 - s1 * s1 AS BIGINT)    AS var1_x_n
+        FROM s
+        """,
+    tags=("temporal", "autocorrelation", "timeseries"),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of daily revenue per type, exact.
+
+    The persistence-and-weekly-seasonality diagnostic a forecaster runs
+    before model choice. Pearson autocorrelation at lag k decomposes into
+    the three integer folds (n*S01 - S0*S1, n*S00 - S0^2, n*S11 - S1^2);
+    r^2 = num^2/(v0*v1) is reconstructible exactly, and the SIGN — the
+    decision bit — is the numerator's sign, never a float artifact (the
+    q_trend_ols / q_corr_stats convention).
+
+    Scale: events collapse to the |types| x |days| daily table in one
+    map-side-combined pass; the lag self-join and moment folds run over
+    that metadata-scale table only. The tiny lag list is broadcast.
+    """
+    from ..core.io import epoch_micros
+
+    e = load_table(spark, sf_dir, "events")
+    em = epoch_micros("ts")
+    day = F.lit(DAY_US)
+    daily = (
+        e.select(
+            "event_type",
+            ((em - F.pmod(em, day)) / day).cast("bigint").alias("day_idx"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents").alias("y"))
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in AUTOCORR_LAGS])).alias("lag_d")
+    )
+    d = daily.alias("d")
+    p = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.col("day_idx").alias("p_day"),
+        F.col("y").alias("y1"),
+    )
+    lagged = (
+        d.crossJoin(F.broadcast(lags))
+        .join(
+            p,
+            (F.col("p_type") == F.col("d.event_type"))
+            & (F.col("p_day") == F.col("d.day_idx") - F.col("lag_d")),
+        )
+        .select("d.event_type", "lag_d", F.col("d.y").alias("y0"), "y1")
+    )
+    s = lagged.groupBy("event_type", "lag_d").agg(
+        F.count("*").alias("n"),
+        F.sum("y0").alias("s0"),
+        F.sum("y1").alias("s1"),
+        F.sum(F.col("y0") * F.col("y1")).alias("s01"),
+        F.sum(F.col("y0") * F.col("y0")).alias("s00"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+    )
+    return s.select(
+        "event_type",
+        F.col("lag_d").cast("bigint").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.col("n") * F.col("s01") - F.col("s0") * F.col("s1")).cast("bigint").alias("corr_num"),
+        (F.col("n") * F.col("s00") - F.col("s0") * F.col("s0")).cast("bigint").alias("var0_x_n"),
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).cast("bigint").alias("var1_x_n"),
+    )
