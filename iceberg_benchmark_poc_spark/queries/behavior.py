@@ -522,3 +522,80 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") * F.col("tn")).cast("bigint").alias("index_num"),
         (F.col("tc") * F.col("n")).cast("bigint").alias("index_den"),
     )
+
+
+@register(
+    "q_reconcile",
+    oracle="""
+        WITH o AS (
+          SELECT (epoch_ns(o_orderdate) // 1000) // 86400000000 AS day_idx,
+                 CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS order_cents,
+                 count(*) AS n_orders
+          FROM orders GROUP BY 1
+        ),
+        e AS (
+          SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day_idx,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS event_cents,
+                 count(*) AS n_events
+          FROM events GROUP BY 1
+        )
+        SELECT COALESCE(o.day_idx, e.day_idx)        AS day_idx,
+               COALESCE(o.order_cents, -1)           AS order_cents,
+               CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+               COALESCE(e.event_cents, -1)           AS event_cents,
+               CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+               CASE WHEN o.day_idx IS NULL THEN 'events_only'
+                    WHEN e.day_idx IS NULL THEN 'orders_only'
+                    ELSE 'both' END                  AS status
+        FROM o FULL OUTER JOIN e ON o.day_idx = e.day_idx
+        """,
+    tags=("behavior", "reconcile", "join"),
+)
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system daily reconciliation: orders ledger vs events stream.
+
+    The audit query every pipeline with two ingestion paths runs — roll
+    both systems to a shared day grain, FULL OUTER join, and classify
+    each day as both / orders_only / events_only with the exact integer
+    cent totals side by side. Missing sides report -1 (amount) and 0
+    (count) so the output schema is dense and hashable.
+
+    Scale: both inputs collapse to |days| rows via map-side-combined
+    aggregation BEFORE the join — the full outer join is metadata-scale
+    regardless of fact volume, the textbook aggregate-then-reconcile
+    plan (never join raw ledgers).
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            _day_index("o_orderdate").alias("day_idx"),
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("cents").alias("order_cents"), F.count("*").alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            _day_index("ts").alias("day_idx"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("cents").alias("event_cents"), F.count("*").alias("n_events"))
+    )
+    oo = o.select(F.col("day_idx").alias("o_day"), "order_cents", "n_orders")
+    ee = e.select(F.col("day_idx").alias("e_day"), "event_cents", "n_events")
+    j = oo.join(ee, oo.o_day == ee.e_day, "full_outer")
+    return j.select(
+        F.coalesce(F.col("o_day"), F.col("e_day")).alias("day_idx"),
+        F.coalesce(F.col("order_cents"), F.lit(-1)).cast("bigint").alias("order_cents"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("bigint").alias("n_orders"),
+        F.coalesce(F.col("event_cents"), F.lit(-1)).cast("bigint").alias("event_cents"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.when(F.col("o_day").isNull(), F.lit("events_only"))
+        .when(F.col("e_day").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+    )

@@ -414,3 +414,33 @@ def test_no_expensive_expr_duplicated_inside_lambdas(spark):
                     f"{name}: {e!r} appears {lam.count(e)}x inside one lambda — "
                     f"bind it as a column before the higher-order function"
                 )
+
+
+def test_sessionize_single_exchange(spark):
+    """q_sessionize's docstring claim: one user_id shuffle serves both the
+    session-numbering window AND the per-session aggregate (the groupBy
+    keys are a superset of the window partition key)."""
+    plan = plan_of(spark, "q_sessionize")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_equiwidth_hist_single_pass(spark):
+    """q_equiwidth_hist is one map-side-combined aggregation: partial
+    HashAggregate before the single Exchange, no join, no window sort."""
+    plan = plan_of(spark, "q_equiwidth_hist")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert plan.index("HashAggregate") < plan.index("Exchange")
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_reconcile_joins_aggregates_not_ledgers(spark):
+    """q_reconcile must aggregate BOTH sides to day grain before the full
+    outer join — two aggregation exchanges only; raw-fact join would add
+    hashpartitioning exchanges on the ungrouped rows."""
+    plan = plan_of(spark, "q_reconcile")
+    assert "FullOuter" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    # both join inputs are aggregated: every exchange carries day_idx keys
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all(k == "day_idx" for k in keys), keys
