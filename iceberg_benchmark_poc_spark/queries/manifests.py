@@ -1075,3 +1075,45 @@ def q_table_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "q_partition_summary",
+    oracle=with_fixtures(
+        """
+        SELECT partition_date,
+               count(*)                                  AS n_files,
+               CAST(sum(record_count) AS BIGINT)         AS total_records,
+               CAST(sum(file_size_bytes) AS BIGINT)      AS total_bytes,
+               CAST(min(sequence_number) AS BIGINT)      AS min_seq,
+               CAST(max(sequence_number) AS BIGINT)      AS max_seq,
+               CAST(max(snapshot_id) AS BIGINT)          AS last_snapshot_id
+        FROM file_meta
+        GROUP BY 1
+        """,
+        "file_meta",
+    ),
+    tags=("manifest", "metadata-table", "partitions"),
+)
+def q_partition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `partitions` metadata table: per-partition file/row/byte rollup.
+
+    Iceberg exposes SELECT * FROM tbl.partitions — file count, record
+    count, byte total, sequence-number span, and last-writing snapshot
+    per partition. That summary is what drives compaction targeting
+    (q_compaction), small-file alerts, and partition-pruning estimates;
+    the reference materializes the same rollup imperatively in its
+    manifest scans (poc/utils/manifest_generator.py:79-126 entries).
+
+    Scale: one map-side-combined aggregation over manifest entries —
+    metadata scale (|files|, not data), output |partitions| rows.
+    """
+    fm = file_meta(spark, sf_dir)
+    return fm.groupBy("partition_date").agg(
+        F.count("*").alias("n_files"),
+        F.sum("record_count").cast("bigint").alias("total_records"),
+        F.sum("file_size_bytes").cast("bigint").alias("total_bytes"),
+        F.min("sequence_number").cast("bigint").alias("min_seq"),
+        F.max("sequence_number").cast("bigint").alias("max_seq"),
+        F.max("snapshot_id").cast("bigint").alias("last_snapshot_id"),
+    )
