@@ -1088,3 +1088,85 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return melted.select("p.*")
+
+
+@register(
+    "q_iqr_outliers",
+    oracle="""
+        WITH base AS (
+          SELECT l_suppkey,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+        ),
+        ranked AS (
+          SELECT l_suppkey, cents,
+                 row_number() OVER (PARTITION BY l_suppkey ORDER BY cents) AS rn,
+                 count(*)    OVER (PARTITION BY l_suppkey)                 AS n
+          FROM base
+        ),
+        q AS (
+          SELECT l_suppkey, max(n) AS n,
+                 max(CASE WHEN rn = (n + 3) // 4     THEN cents END) AS q1_cents,
+                 max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+          FROM ranked GROUP BY 1
+        )
+        SELECT b.l_suppkey,
+               CAST(max(q.n) AS BIGINT)  AS n_items,
+               max(q.q1_cents)           AS q1_cents,
+               max(q.q3_cents)           AS q3_cents,
+               CAST(count(*) FILTER (
+                 WHERE 2 * b.cents > 5 * q.q3_cents - 3 * q.q1_cents
+                    OR 2 * b.cents < 5 * q.q1_cents - 3 * q.q3_cents
+               ) AS BIGINT)              AS n_outliers
+        FROM base b JOIN q USING (l_suppkey)
+        GROUP BY 1
+        """,
+    tags=("analytic", "robust-stats", "outliers"),
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per supplier (1.5 x IQR), exact integers.
+
+    The box-plot rule next to q_anomaly's 3-sigma cut and q_mad's robust
+    dispersion: quartiles are lower-order statistics at ranks ceil(n/4)
+    and ceil(3n/4) (data values, deterministic under duplicates), and the
+    fences x > Q3 + 1.5*IQR / x < Q1 - 1.5*IQR are cross-multiplied to
+    the integer comparisons 2x > 5*Q3 - 3*Q1 and 2x < 5*Q1 - 3*Q3 — no
+    halves, no floats, bit-exact cross-engine.
+
+    Scale: one rank window partitioned on the high-cardinality supplier
+    key, quartiles join back by hash, one conditional-count pass. Group
+    sizes are bounded (~600 rows at any SF), so no skew funnel.
+    """
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("cents")
+    ranked = base.select(
+        "l_suppkey",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_suppkey")).alias("n"),
+    )
+    q = ranked.groupBy("l_suppkey").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("cents"))).alias("q1_cents"),
+        F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("cents"))).alias("q3_cents"),
+    )
+    hi = 5 * F.col("q3_cents") - 3 * F.col("q1_cents")
+    lo = 5 * F.col("q1_cents") - 3 * F.col("q3_cents")
+    return (
+        base.join(q, "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_items"),
+            F.max("q1_cents").alias("q1_cents"),
+            F.max("q3_cents").alias("q3_cents"),
+            F.count(
+                F.when((2 * F.col("cents") > hi) | (2 * F.col("cents") < lo), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -599,3 +599,81 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("both"))
         .alias("status"),
     )
+
+
+@register(
+    "q_churn",
+    oracle="""
+        WITH monthly AS (
+          SELECT DISTINCT user_id,
+                 (epoch_ns(ts) // 1000) // 86400000000 // 7 AS week_idx
+          FROM events
+        ),
+        span AS (SELECT min(week_idx) AS lo, max(week_idx) AS hi FROM monthly)
+        SELECT m.week_idx,
+               count(*)                                       AS n_active,
+               CAST(count(*) FILTER (WHERE nxt.user_id IS NULL) AS BIGINT)
+                                                              AS n_churned,
+               CAST(count(*) FILTER (WHERE prv.user_id IS NULL) AS BIGINT)
+                                                              AS n_new
+        FROM monthly m
+        LEFT JOIN monthly nxt
+          ON nxt.user_id = m.user_id AND nxt.week_idx = m.week_idx + 1
+        LEFT JOIN monthly prv
+          ON prv.user_id = m.user_id AND prv.week_idx = m.week_idx - 1
+        CROSS JOIN span
+        WHERE m.week_idx < span.hi
+        GROUP BY 1
+        """,
+    tags=("behavior", "churn", "retention"),
+)
+def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn and acquisition: active users lost / gained per week.
+
+    The churn ledger next to q_retention's cohort triangle: per activity
+    week, how many active users do NOT appear the following week
+    (churned) and how many had not been active the week before (new).
+    Epoch-week bucketing is pure integer division; the final week is
+    excluded (churn undefined without a successor), encoded identically
+    on both engines via the 1-row span fold.
+
+    Scale: events collapse to distinct (user, week) — one shuffle — and
+    the two adjacency checks are self equi-joins on (user, week±1), never
+    window-over-user sorts of raw events. Counts are map-side-combined.
+    """
+    e = load_table(spark, sf_dir, "events")
+    em = epoch_micros("ts")
+    week = F.lit(7 * 24 * 3600 * 1_000_000)
+    monthly = (
+        e.select(
+            "user_id",
+            ((em - F.pmod(em, week)) / week).cast("bigint").alias("week_idx"),
+        )
+        .distinct()
+    )
+    span = monthly.agg(F.max("week_idx").alias("hi"))
+    nxt = monthly.select(
+        F.col("user_id").alias("n_user"), (F.col("week_idx") - 1).alias("n_week")
+    )
+    prv = monthly.select(
+        F.col("user_id").alias("p_user"), (F.col("week_idx") + 1).alias("p_week")
+    )
+    j = (
+        monthly.join(
+            nxt,
+            (F.col("user_id") == F.col("n_user")) & (F.col("week_idx") == F.col("n_week")),
+            "left",
+        )
+        .join(
+            prv,
+            (F.col("user_id") == F.col("p_user")) & (F.col("week_idx") == F.col("p_week")),
+            "left",
+        )
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("week_idx") < F.col("hi"))
+    )
+    return j.groupBy("week_idx").agg(
+        F.count("*").alias("n_active"),
+        F.count(F.when(F.col("n_user").isNull(), F.lit(1))).cast("bigint").alias("n_churned"),
+        F.count(F.when(F.col("p_user").isNull(), F.lit(1))).cast("bigint").alias("n_new"),
+    )
