@@ -677,3 +677,91 @@ def q_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_user").isNull(), F.lit(1))).cast("bigint").alias("n_churned"),
         F.count(F.when(F.col("p_user").isNull(), F.lit(1))).cast("bigint").alias("n_new"),
     )
+
+
+@register(
+    "q_power_users",
+    oracle="""
+        WITH totals AS (
+          SELECT user_id,
+                 CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS nu, CAST(sum(cents) AS BIGINT) AS tot FROM totals),
+        ranked AS (
+          SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM totals
+        ),
+        thr AS (
+          SELECT min(r.cents) AS thr_cents
+          FROM ranked r CROSS JOIN n
+          WHERE r.rn >= (9 * n.nu + 9) // 10
+        )
+        SELECT CAST(n.nu AS BIGINT)  AS n_users,
+               n.tot                 AS total_cents,
+               thr.thr_cents         AS thr_cents,
+               CAST(count(*) FILTER (WHERE t.cents >= thr.thr_cents) AS BIGINT)
+                                     AS n_power,
+               CAST(COALESCE(sum(t.cents) FILTER (WHERE t.cents >= thr.thr_cents), 0)
+                    AS BIGINT)       AS power_cents
+        FROM totals t CROSS JOIN n CROSS JOIN thr
+        GROUP BY 1, 2, 3
+        """,
+    tags=("behavior", "concentration", "pareto"),
+)
+def q_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: how much do the top-decile users account for?
+
+    The 80/20 diagnostic. The top-decile revenue threshold is the exact
+    order statistic at rank ceil(0.9 * n_users) — computed WITHOUT a
+    global sort of user totals: value-histogram groupBy(cents), the
+    two-phase global_prefix_sum over the bounded cents domain (the
+    q_equidepth_hist machinery), then the smallest value whose cumulative
+    count reaches the rank. Power users are all users at-or-above the
+    threshold (ties included — deterministic under duplicates); output is
+    one row of exact integer folds, concentration = power_cents /
+    total_cents reconstructible exactly.
+
+    Scale: one shuffle to user totals, one to the value histogram
+    (|distinct cents| rows); the only single-partition step is the
+    prefix-sum totals table (|ranges| rows). User totals are never
+    globally sorted — at 1e9 users the rank lookup still runs on the
+    histogram, not the users.
+    """
+    from ..operators.prefix import global_prefix_sum
+
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    n = totals.agg(
+        F.count("*").alias("nu"), F.sum("cents").cast("bigint").alias("tot")
+    )
+    hist = totals.groupBy("cents").agg(F.count("*").alias("cnt"))
+    summed = global_prefix_sum(hist, [F.col("cents")], F.col("cnt"), "cum")
+    thr = (
+        summed.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") >= F.expr("(9 * nu + 9) div 10"))
+        .agg(F.min("cents").alias("thr_cents"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(thr))
+        .groupBy(
+            F.col("nu").cast("bigint").alias("n_users"),
+            F.col("tot").alias("total_cents"),
+            F.col("thr_cents"),
+        )
+        .agg(
+            F.count(F.when(F.col("cents") >= F.col("thr_cents"), F.lit(1)))
+            .cast("bigint")
+            .alias("n_power"),
+            F.coalesce(
+                F.sum(F.when(F.col("cents") >= F.col("thr_cents"), F.col("cents"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("power_cents"),
+        )
+    )

@@ -959,3 +959,43 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("s00") - F.col("s0") * F.col("s0")).cast("bigint").alias("var0_x_n"),
         (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).cast("bigint").alias("var1_x_n"),
     )
+
+
+@register(
+    "q_hist2d",
+    oracle="""
+        SELECT CAST((date_part('year', o_orderdate) - 1995) * 12
+                    + date_part('month', o_orderdate) - 1 AS BIGINT) AS month_idx,
+               CAST(floor(o_totalprice * 100) AS BIGINT) // 5000000  AS price_band,
+               count(*)                                              AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                                                                     AS band_cents
+        FROM orders
+        GROUP BY 1, 2
+        """,
+    tags=("temporal", "histogram", "heatmap"),
+)
+def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram: order volume heat map over (month, $50K price band).
+
+    The month-by-value-band density grid behind every revenue heat map
+    and drift monitor (compare this quarter's surface against last
+    year's). Pure integer bucketing on both axes; counts and cent totals
+    per cell.
+
+    Scale: one map-side-combined aggregation; output is
+    |months| x |occupied bands| cells — metadata-scale. The same plan
+    shape extends to any pair of bucketed axes.
+    """
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("month_idx"),
+            cents.alias("cents"),
+        )
+        .groupBy("month_idx", F.expr("cents div 5000000").alias("price_band"))
+        .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("band_cents"))
+    )

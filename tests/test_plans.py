@@ -141,6 +141,7 @@ GLOBAL_SORT_ALLOWLIST = {
     "q_asof_join": "rate-snapshot dimension (one row per 90min of span): lead() validity intervals",
     "q_corpus_select": "prefix-sum totals table: one row per range partition",
     "q_equidepth_hist": "prefix-sum totals table: one row per range partition",
+    "q_power_users": "prefix-sum totals table: one row per range partition",
     "q_shard_pack": "prefix-sum totals table: one row per range partition",
     "q_dv_positional_join": "manifest entries (reference positional semantics)",
     "q_growth": "commit log",
@@ -361,6 +362,7 @@ BNLJ_ALLOWED = {
     "q_funnel",          # three 1-row stage counts combined by scalar cross join
     "q_idle_customers",  # 1-row balance-threshold fold broadcast to customers
     "q_pmi_bigrams",     # two 1-row corpus-total folds broadcast to the bigram set
+    "q_power_users",     # 1-row user-count and threshold folds broadcast to user totals
     "q_countmin_topk",   # k-row probe set crossed with the D-row lane table (<=K*D rows)
     "q_tfidf_terms",     # one-row corpus-count fold (lazy N, no eager count())
     "q_ivf_topk",        # broadcast centroids (|cells| rows)
@@ -368,6 +370,8 @@ BNLJ_ALLOWED = {
     "q_scan_tree",       # scalar per-level manifest counts
     "q_skip_rate",       # scalar predicate-date bound
     "q_spill_policy",    # scalar cap remaining after must-inline
+    "q_autocorr",        # 2-row lag list crossed with the metadata-scale daily table
+    "q_churn",           # 1-row final-week span fold broadcast to the activity pairs
     "q_stream_sliding",  # slide-offset sequence cross of window starts
     "q_zorder",          # scalar file-count normalizer
 }
