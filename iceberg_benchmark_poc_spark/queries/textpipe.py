@@ -2223,3 +2223,52 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_hit_terms"),
         F.sum("s").cast("bigint").alias("bm25_fp"),
     )
+
+
+@register(
+    "q_dup_depth_hist",
+    oracle="""
+        WITH classes AS (
+          SELECT md5(text) AS h, count(*) AS depth,
+                 CAST(sum(length(text)) AS BIGINT) AS class_chars,
+                 CAST(min(length(text)) AS BIGINT) AS keeper_chars
+          FROM documents GROUP BY 1
+        )
+        SELECT CAST(depth AS BIGINT)                       AS depth,
+               count(*)                                    AS n_classes,
+               CAST(sum(depth) AS BIGINT)                  AS n_docs,
+               CAST(sum(class_chars - keeper_chars) AS BIGINT) AS wasted_chars
+        FROM classes GROUP BY 1
+        """,
+    tags=("text", "dedup", "profiling"),
+)
+def q_dup_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-depth histogram: how deep are the exact-dup classes?
+
+    The corpus-health profile behind every dedup report: per duplication
+    depth (copies per content class), how many classes, how many raw
+    docs, and how many characters deduplication reclaims (class bytes
+    minus one keeper — all copies of an exact class share a length, but
+    min() states the keeper convention explicitly). The shape of this
+    histogram is what decides whether exact dedup alone is worth a pass
+    at 100 TB or near-dup must follow.
+
+    Scale: content-class collapse (one hash shuffle over doc fingerprints,
+    map-side combined) then a histogram over the CLASS table — the second
+    aggregation is metadata-scale. Duplication-depth-invariant by
+    construction: 10x-deeper dup classes grow the first shuffle, never
+    the histogram.
+    """
+    d = _docs(spark, sf_dir)
+    classes = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("depth"),
+        F.sum(F.length("text")).cast("bigint").alias("class_chars"),
+        F.min(F.length("text")).cast("bigint").alias("keeper_chars"),
+    )
+    return classes.groupBy(F.col("depth").cast("bigint").alias("depth")).agg(
+        F.count("*").alias("n_classes"),
+        F.sum("depth").cast("bigint").alias("n_docs"),
+        F.sum(F.col("class_chars") - F.col("keeper_chars"))
+        .cast("bigint")
+        .alias("wasted_chars"),
+    )
