@@ -765,3 +765,109 @@ def q_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("power_cents"),
         )
     )
+
+
+@register(
+    "q_rolling_distinct",
+    oracle="""
+        WITH du AS (
+          SELECT DISTINCT (epoch_ns(ts) // 1000) // 86400000000 AS day_idx,
+                 user_id
+          FROM events
+        ),
+        days AS (SELECT DISTINCT day_idx FROM du)
+        SELECT d.day_idx,
+               count(DISTINCT u.user_id) AS dau7
+        FROM days d
+        JOIN du u ON u.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
+        GROUP BY 1
+        """,
+    tags=("behavior", "rolling-distinct", "wau"),
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve).
+
+    Spark (like every SQL engine) cannot COUNT(DISTINCT) over a sliding
+    window frame — the standard scalable rewrite is: collapse events to
+    distinct (day, user) pairs, EXPLODE each pair to the <=7 trailing
+    report days it contributes to (a 7-element sequence, map-side — the
+    join-free form of the day-grid range join), and count distinct per
+    report day. The active-pair table is metadata-scale relative to raw
+    events, so the 7x expansion is bounded and the one real shuffle is
+    the final distinct count.
+
+    Scale: one shuffle to distinct pairs, one map-only explode, one
+    count-distinct shuffle keyed on report day. Never a per-user window
+    sort of raw events, never an |days| x |pairs| join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("user_id", _day_index("ts").alias("day_idx")).distinct()
+    days = du.select("day_idx").distinct()
+    expanded = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day_idx"), F.col("day_idx") + 6)).alias("report_day"),
+    )
+    return (
+        expanded.join(days, expanded.report_day == days.day_idx)
+        .groupBy(F.col("report_day").alias("day_idx"))
+        .agg(F.countDistinct("user_id").alias("dau7"))
+    )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id
+                 ) AS rn
+          FROM events
+        ),
+        paths AS (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM ranked WHERE rn <= 3 GROUP BY user_id
+        )
+        SELECT path, count(*) AS n_users
+        FROM paths GROUP BY 1
+        """,
+    tags=("behavior", "paths", "sequence"),
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opening-path mining: each user's first three event types, counted.
+
+    The onboarding-flow report (view>view>click vs view>purchase>...):
+    rank each user's events by (timestamp, event_id) — deterministic on
+    ties — keep the first three, string-join them in rank order, and
+    count users per path. The in-order aggregation is the part engines
+    differ on: Spark's array_join(transform(array_sort(collect_list(
+    struct(rn, type))))) pins the order inside the value, matching
+    DuckDB's string_agg(... ORDER BY rn) exactly.
+
+    Scale: one user_id shuffle serves the rank window and the path
+    build (superset grouping keys — the q_sessionize partitioning-reuse
+    property); the rn <= 3 cut bounds every group to 3 rows before the
+    collect, so no per-user skew regardless of activity depth. The path
+    histogram is |distinct paths| rows — metadata-scale.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_micros("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 3)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_users"))
