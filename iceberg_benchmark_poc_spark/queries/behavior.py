@@ -871,3 +871,56 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "q_markov",
+    oracle="""
+        WITH seq AS (
+          SELECT event_type AS src,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id
+                 ) AS dst
+          FROM events
+        ),
+        c AS (
+          SELECT src, dst, count(*) AS n
+          FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+               CAST((n * 1000000) // sum(n) OVER (PARTITION BY src) AS BIGINT) AS ppm
+        FROM c
+        """,
+    tags=("behavior", "markov", "sequence"),
+)
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream.
+
+    The what-happens-next report: pair every event with its successor
+    inside the same user's (timestamp, event_id)-ordered stream via lead(),
+    count each (src, dst) transition, and express each row's share of its
+    source's outgoing mass in exact ppm (truncating integer division —
+    float probabilities would compare at the mercy of the division).
+
+    Scale: one user_id shuffle feeds the lead window; the transition
+    counts partially aggregate map-side into at most |types|^2 rows, so
+    the per-src normalizing window runs on a metadata-scale table. Raw
+    events are never re-shuffled a second time.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_micros("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return (
+        c.withColumn("total", F.sum("n").over(wsrc))
+        .select("src", "dst", "n", F.expr("(n * 1000000) div total").alias("ppm"))
+    )

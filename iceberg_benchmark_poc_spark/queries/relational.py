@@ -919,3 +919,304 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# waiting suppliers (Q21), profit attribution (Q9), first-digit audit
+# ---------------------------------------------------------------------------
+
+#: lateness grid shared with q_late_orders (Q4): a lineitem is late when it
+#: ships more than 90 days after its order date (the fixture's lineitem has
+#: no commit/receipt dates, so Q21's receipt>commit test maps onto the same
+#: ship-lag definition Q4 established)
+_Q21_LATE_DAYS = 90
+
+
+@register(
+    "q_waiting_suppliers",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 (l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY) AS late
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+        )
+        SELECT s.s_name, n.n_name, count(*) AS numwait
+        FROM flagged l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM flagged l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM flagged l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+        GROUP BY 1, 2
+        """,
+    tags=("join", "agg", "tpch-q21"),
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone kept finished orders waiting.
+
+    The textbook form is a self-EXISTS plus a self-NOT-EXISTS over
+    lineitem — two extra shuffled self-joins of the fact table. The
+    engine-side rewrite collapses both quantifiers into ONE grouped pass:
+    per order, count distinct suppliers and distinct LATE suppliers; a
+    late lineitem is "waiting" exactly when its order has >=2 suppliers
+    (the EXISTS) and exactly 1 late supplier (the NOT EXISTS, given this
+    row's own supplier is late). The oracle keeps the faithful
+    EXISTS/NOT-EXISTS text so the two formulations certify each other.
+
+    Scale: lineitem joins orders once on orderkey; the per-order quantifier
+    aggregate and the flag-back join reuse that same key, so AQE reuses the
+    exchange rather than re-shuffling a second and third copy of the fact
+    table (the plan the naive double-self-join would produce). Supplier and
+    nation broadcast; output is one row per supplier — metadata-scale.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flagged = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    qualifying = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    waiting = flagged.filter(F.col("late")).join(qualifying, "l_orderkey")
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+#: modeled supply cost for the Q9 profit decomposition: 60% of the part's
+#: retail price per unit, folded at REV_SCALE like every other money sum
+#: (the fixture has no partsupp table, so ps_supplycost maps to this
+#: deterministic retail fraction)
+_Q9_COST_FP = int(0.6 * REV_SCALE)
+_Q9_PART_WORD = "red"
+
+
+@register(
+    "q_profit_by_nation",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(sum({_rev_fp_sql("l.")}
+                        - CAST(floor(p.p_retailprice * l.l_quantity * {_Q9_COST_FP})
+                               AS HUGEINT)) AS DOUBLE) / {REV_SCALE}.0 AS profit,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%{_Q9_PART_WORD}%'
+        GROUP BY 1, 2
+        """,
+    tags=("join", "agg", "tpch-q9"),
+)
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit attributed to supplier nations.
+
+    Profit per lineitem is discounted revenue minus a modeled supply cost
+    (a fixed fraction of the part's retail price per unit — the fixture
+    carries no partsupp table). Both terms fold at REV_SCALE through the
+    module's fixed-point convention, and the cost product keeps the same
+    left-associated IEEE chain on both engines
+    (p_retailprice * l_quantity * cost-constant) so the floors agree
+    bit-for-bit.
+
+    Scale: the part filter prunes BEFORE its broadcast (only matching
+    partkeys ship to executors); supplier and nation broadcast; the one
+    real shuffle is lineitem<->orders on orderkey. The (nation, year)
+    grouping is 25 x |years| rows.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(_Q9_PART_WORD))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost_fp = F.floor(
+        F.col("p_retailprice") * F.col("l_quantity") * _Q9_COST_FP
+    ).cast("decimal(38,0)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (F.sum(_rev_fp() - cost_fp).cast("double") / REV_SCALE).alias("profit"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_benford",
+    oracle="""
+        WITH d AS (
+          SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                 AS digit
+          FROM orders WHERE o_totalprice >= 1
+        ),
+        c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM c)
+        SELECT c.digit, c.n, CAST((c.n * 1000000) // t.total AS BIGINT) AS ppm
+        FROM c, t
+        """,
+    tags=("quality", "benford", "profile"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile of order totals (Benford audit).
+
+    The fraud/data-quality screen: histogram the leading digit of every
+    order total and report each digit's parts-per-million share. The digit
+    is taken through floor->BIGINT->string on both engines (never through
+    float formatting, which the engines disagree on), and the share uses
+    truncating integer division so the ppm values are exact integers.
+
+    Scale: one map-side-combined groupBy over a single pruned column; the
+    9-row digit table folds against a 1-row total by broadcast. The final
+    cross is a one-row nested-loop broadcast — allowlisted, constant-size.
+    """
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            ).alias("digit")
+        )
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.join(F.broadcast(t)).select(
+        "digit", "n", F.expr("n * 1000000 div total").alias("ppm")
+    )
+
+
+@register(
+    "q_integrity_audit",
+    oracle=f"""
+        SELECT 'orders_pk_dup' AS check_name, count(*) AS violations FROM (
+          SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'customer_pk_dup', count(*) FROM (
+          SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'part_pk_dup', count(*) FROM (
+          SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'supplier_pk_dup', count(*) FROM (
+          SELECT s_suppkey FROM supplier GROUP BY 1 HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'lineitem_fk_orders', count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem_fk_part', count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        UNION ALL
+        SELECT 'lineitem_fk_supplier', count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        UNION ALL
+        SELECT 'orders_fk_customer', count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'orders_total_mismatch', count(*) FROM orders o JOIN (
+          SELECT l_orderkey, sum({_rev_fp_sql()}) AS rev
+          FROM lineitem GROUP BY 1) x ON x.l_orderkey = o.o_orderkey
+        WHERE CAST(floor(o.o_totalprice * {REV_SCALE}) AS HUGEINT) <> x.rev
+        """,
+    tags=("quality", "audit", "anti-join"),
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational integrity audit: the dbt-test battery as one query.
+
+    Nine checks, one row each: primary-key uniqueness on the four dimension
+    /fact heads, referential integrity on the four foreign-key edges
+    (left-anti joins), and a cross-field consistency check that each
+    order's stored total reconciles against the REV_SCALE-folded sum of
+    its lineitems (deliberately NON-zero on the synthetic fixture —
+    o_totalprice is drawn independently — so the audit proves it can
+    actually fire, not just report zeros).
+
+    Scale: every check is an independent aggregate that reduces to one
+    row before the union, so the result is always exactly 9 rows. The
+    dimension-side anti joins broadcast their key columns; the
+    lineitem<->orders checks shuffle on orderkey only after pruning to
+    the key (and the key+price pair for the reconciliation).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("violations")).select(
+            F.lit(name).alias("check_name"), F.col("violations")
+        )
+
+    def pk_dup(name: str, df: DataFrame, key: str) -> DataFrame:
+        dups = df.groupBy(key).agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+        return one(name, dups)
+
+    def fk_orphan(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str,
+                  broadcast_dim: bool = True) -> DataFrame:
+        keys = dim.select(pk)
+        right = F.broadcast(keys) if broadcast_dim else keys
+        return one(name, fact.select(fk).join(right, F.col(fk) == F.col(pk), "left_anti"))
+
+    rev = l.groupBy("l_orderkey").agg(F.sum(_rev_fp()).alias("rev"))
+    mismatch = (
+        o.select("o_orderkey", "o_totalprice")
+        .join(rev, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            F.floor(F.col("o_totalprice") * REV_SCALE).cast("decimal(38,0)")
+            != F.col("rev")
+        )
+    )
+    checks = [
+        pk_dup("orders_pk_dup", o, "o_orderkey"),
+        pk_dup("customer_pk_dup", c, "c_custkey"),
+        pk_dup("part_pk_dup", p, "p_partkey"),
+        pk_dup("supplier_pk_dup", s, "s_suppkey"),
+        fk_orphan("lineitem_fk_orders", l, "l_orderkey", o, "o_orderkey",
+                  broadcast_dim=False),
+        fk_orphan("lineitem_fk_part", l, "l_partkey", p, "p_partkey"),
+        fk_orphan("lineitem_fk_supplier", l, "l_suppkey", s, "s_suppkey"),
+        fk_orphan("orders_fk_customer", o, "o_custkey", c, "c_custkey"),
+        one("orders_total_mismatch", mismatch),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionAll(chk)
+    return out

@@ -374,6 +374,7 @@ BNLJ_ALLOWED = {
     "q_churn",           # 1-row final-week span fold broadcast to the activity pairs
     "q_stream_sliding",  # slide-offset sequence cross of window starts
     "q_zorder",          # scalar file-count normalizer
+    "q_benford",         # one-row grand-total fold broadcast to the 9-digit table
 }
 
 
