@@ -449,3 +449,62 @@ def test_reconcile_joins_aggregates_not_ledgers(spark):
     # both join inputs are aggregated: every exchange carries day_idx keys
     keys = re.findall(r"hashpartitioning\((\w+)", plan)
     assert keys and all(k == "day_idx" for k in keys), keys
+
+
+def test_waiting_suppliers_fact_shuffles_on_orderkey_only(spark):
+    """q_waiting_suppliers' docstring claim: the only big-data shuffles are
+    on orderkey (join + quantifier aggregate + flag-back join) plus the
+    metadata-scale supplier rollup; dimensions broadcast, and the naive
+    double-self-join's extra fact shuffles never appear."""
+    plan = plan_of(spark, "q_waiting_suppliers")
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) <= {"l_orderkey", "s_name"}, keys
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profit_by_nation_pushes_part_filter_before_broadcast(spark):
+    """The part-name predicate must reach the parquet scan (so only
+    matching partkeys ship in the broadcast) and the single aggregation
+    exchange carries the nation grouping."""
+    plan = plan_of(spark, "q_profit_by_nation")
+    assert "StringContains(p_name,red)" in dict(scans(plan))["part"]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(n_name" in plan
+
+
+def test_markov_shuffles_raw_events_once(spark):
+    """Raw events shuffle exactly once (user_id for the lead window); the
+    transition counts and per-src normalizing window run on the
+    |types|^2 metadata-scale table."""
+    plan = plan_of(spark, "q_markov")
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys.count("user_id") == 1, keys
+    assert set(keys) <= {"user_id", "src"}, keys
+
+
+def test_rolling_distinct_broadcasts_day_grid(spark):
+    """The report-day restriction joins against the distinct-days table by
+    broadcast — never a sort-merge range join of the pair table — and
+    every shuffle carries a pair/day key, not raw events."""
+    plan = plan_of(spark, "q_rolling_distinct")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and set(keys) <= {"user_id", "day_idx", "report_day"}, keys
+
+
+def test_event_paths_reuses_user_partitioning(spark):
+    """q_event_paths' docstring claim: one user_id exchange serves both the
+    rank window and the per-user path build (superset grouping keys);
+    the only other exchange is the metadata-scale path histogram."""
+    plan = plan_of(spark, "q_event_paths")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(keys) == {"user_id", "path"}, keys
+
+
+def test_benford_scans_one_column(spark):
+    """The digit profile reads exactly one column from orders — a scan
+    that pulls more than o_totalprice is a projection-pruning regression."""
+    plan = plan_of(spark, "q_benford")
+    assert "ReadSchema: struct<o_totalprice:double>" in plan
