@@ -1170,3 +1170,105 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded BFS reachability over the co-purchase graph (iterative #3)
+# ---------------------------------------------------------------------------
+
+KHOP_HOPS = 3  # BFS radius
+KHOP_SEED_MOD = 50  # seed set: every 50th partkey — deterministic, SF-proportional
+
+_KHOP_SQL = f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 4 = 0
+    ),
+    edges AS (
+      SELECT p AS src, q AS dst FROM pairs
+      UNION ALL
+      SELECT q AS src, p AS dst FROM pairs
+    ),
+    h0 AS (SELECT DISTINCT p_partkey AS node FROM part
+           WHERE p_partkey % {KHOP_SEED_MOD} = 0),
+    h1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN h0 ON h0.node = e.src),
+    h2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON h1.node = e.src),
+    h3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN h2 ON h2.node = e.src),
+    all_d AS (
+      SELECT node, 0 AS dist FROM h0
+      UNION ALL SELECT node, 1 FROM h1
+      UNION ALL SELECT node, 2 FROM h2
+      UNION ALL SELECT node, 3 FROM h3
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM all_d GROUP BY 1
+    """
+
+
+@register("q_khop", oracle=_KHOP_SQL, tags=("graph", "bfs", "iterative"))
+def q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS reachability with exact min-distances from a seed set.
+
+    Graph: the same gated part co-purchase projection as q_triangles,
+    symmetrized. Seeds are every 50th partkey; output is every node within
+    3 hops and its hop distance — the neighborhood-expansion primitive
+    behind recall-set generation and graph feature engineering.
+
+    The engine runs real frontier-pruned BFS: each round expands only the
+    PREVIOUS frontier (not every node seen so far) and anti-joins the
+    visited set, so a node is expanded exactly once no matter how many
+    paths reach it — on a 100 TB graph the frontier join is |frontier|-
+    proportional, never |reachable|-proportional. The oracle intentionally
+    uses the unpruned form (expand full hop sets, fold min(dist)) — same
+    answer by BFS optimality, different algorithm, so each certifies the
+    other the way q_waiting_suppliers' two formulations do.
+
+    Scale: the edge build is the one fact-scale shuffle (shared shape with
+    q_triangles); each BFS round is an equi-join of the metadata-scale
+    frontier against edges plus a distinct and an anti join, all keyed on
+    node ids. Three rounds unroll into one lazy plan — no collect, no
+    driver loop state beyond the loop index.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
+        .distinct()
+    )
+    # lazy localCheckpoint (q_pagerank pattern): every BFS round references
+    # the edge set, and without truncation Catalyst re-executes the
+    # fact-scale pair build per round; checkpointing materializes it once
+    edges = (
+        pairs.select(F.col("p").alias("src"), F.col("q").alias("dst"))
+        .unionAll(pairs.select(F.col("q").alias("src"), F.col("p").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % KHOP_SEED_MOD == 0)
+        .select(F.col("p_partkey").alias("node"))
+        .distinct()
+    )
+    visited = seeds.withColumn("dist", F.lit(0).cast("bigint"))
+    frontier = seeds
+    for hop in range(1, KHOP_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionAll(nxt.withColumn("dist", F.lit(hop).cast("bigint")))
+        frontier = nxt
+    return visited
