@@ -924,3 +924,85 @@ def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("total", F.sum("n").over(wsrc))
         .select("src", "dst", "n", F.expr("(n * 1000000) div total").alias("ppm"))
     )
+
+
+#: CEP stream-depth cap: first N events per user enter the pattern match.
+#: Deterministic (rank cut on (ts, event_id)), and the bound that keeps the
+#: per-user path string O(1) regardless of activity skew at corpus scale.
+CEP_DEPTH = 64
+
+#: view -> click -> purchase with no error anywhere between the view and
+#: the purchase. Initials are unique per event type, and the pattern uses
+#: only literals, negated character classes and * — the regex fragment on
+#: which Java (Spark rlike) and RE2 (DuckDB regexp_matches) agree exactly.
+CEP_PATTERN = "v[^e]*c[^e]*p"
+
+
+@register(
+    "q_cep_match",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT user_id, substr(event_type, 1, 1) AS ch,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_ns(ts) // 1000, event_id
+                 ) AS rn
+          FROM events
+        ),
+        paths AS (
+          SELECT user_id, string_agg(ch, '' ORDER BY rn) AS path
+          FROM ranked WHERE rn <= {CEP_DEPTH} GROUP BY user_id
+        )
+        SELECT substr(path, 1, 1) AS first_event,
+               regexp_matches(path, '{CEP_PATTERN}') AS matched,
+               count(*) AS n_users
+        FROM paths GROUP BY 1, 2
+        """,
+    tags=("behavior", "cep", "sequence"),
+)
+def q_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence match: funnel completion with a poison event.
+
+    The MATCH_RECOGNIZE workload: users whose stream contains
+    view -> click -> purchase in order with NO error event between the
+    view and the purchase (q_funnel can't express the negative condition
+    — windows see stages, not the gaps between them). Each user's first
+    CEP_DEPTH events compress to a string of unique type initials in
+    stream order (the q_event_paths in-order build), and the pattern is
+    one regex search per user — the textbook encode-then-regex CEP
+    reduction.
+
+    Scale: one user_id shuffle serves the rank window and the path build;
+    the depth cap bounds every group before the collect, so path strings
+    are O(1) bytes and the regex is O(depth) per user, embarrassingly
+    parallel. The report is a 2x|types| rollup grouped by each user's
+    opening event.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_micros("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = e.select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= CEP_DEPTH)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "ch"))),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("path")
+    )
+    return (
+        paths.select(
+            F.substring("path", 1, 1).alias("first_event"),
+            F.col("path").rlike(CEP_PATTERN).alias("matched"),
+        )
+        .groupBy("first_event", "matched")
+        .agg(F.count("*").alias("n_users"))
+    )
