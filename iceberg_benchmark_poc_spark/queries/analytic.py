@@ -1263,11 +1263,15 @@ def q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = seeds.withColumn("dist", F.lit(0).cast("bigint"))
     frontier = seeds
     for hop in range(1, KHOP_HOPS + 1):
+        # each frontier is referenced twice (union + next round's expansion
+        # and anti join); the lazy checkpoint truncates its lineage so the
+        # plan stays linear in hops instead of re-deriving earlier rounds
         nxt = (
             edges.join(frontier, edges.src == frontier.node)
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
         )
         visited = visited.unionAll(nxt.withColumn("dist", F.lit(hop).cast("bigint")))
         frontier = nxt

@@ -508,3 +508,23 @@ def test_benford_scans_one_column(spark):
     that pulls more than o_totalprice is a projection-pruning regression."""
     plan = plan_of(spark, "q_benford")
     assert "ReadSchema: struct<o_totalprice:double>" in plan
+
+
+def test_khop_plan_stays_linear_in_hops(spark):
+    """The visible q_khop plan must stay flat: edge build and per-round
+    frontiers sit behind lazy checkpoints, so the top-level plan never
+    re-derives earlier rounds (pre-checkpoint this exploded to ~37
+    exchanges for 3 hops) and never degrades to a nested-loop join."""
+    plan = plan_of(spark, "q_khop")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cep_match_reuses_user_partitioning(spark):
+    """Same superset-grouping-key property as q_event_paths: one user_id
+    exchange serves the rank window and the path build; the rollup
+    exchange is the 2x|types| report."""
+    plan = plan_of(spark, "q_cep_match")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert set(keys) == {"user_id", "first_event"}, keys
