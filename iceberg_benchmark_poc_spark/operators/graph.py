@@ -99,3 +99,36 @@ def connected_components_star(edges: DataFrame) -> DataFrame:
         members.select(F.col("node")), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
     return members.unionByName(roots)
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, hops: int) -> DataFrame:
+    """Frontier-pruned BFS: exact min hop distance from a seed set.
+
+    ``edges`` is a directed (src, dst) edge list (symmetrize before calling
+    for undirected semantics); ``seeds`` is a (node) DataFrame. Returns
+    (node, dist) for every node reachable within ``hops``, dist being the
+    true minimum hop count (BFS optimality: a node is committed the first
+    round it appears, so later paths can never improve it).
+
+    Each round expands only the previous frontier and anti-joins the
+    visited set — |frontier|-proportional work per round, never
+    |reachable|-proportional. Every frontier is lazily localCheckpoint-ed:
+    each is referenced twice (the union and the next round), so without
+    lineage truncation the plan re-derives earlier rounds combinatorially.
+    The unrolled plan stays lazy end to end — no collect, no driver state
+    beyond the loop index.
+    """
+    seeds = seeds.select("node").distinct()
+    visited = seeds.withColumn("dist", F.lit(0).cast("bigint"))
+    frontier = seeds
+    for hop in range(1, hops + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt.withColumn("dist", F.lit(hop).cast("bigint")))
+        frontier = nxt
+    return visited

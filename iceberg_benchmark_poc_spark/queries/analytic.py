@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..core.fixtures import commit_log, read_log, with_fixtures
 from ..core.io import epoch_micros, load_table
 from ..core.registry import register
+from ..operators.graph import bfs_distances
 from ..operators.quantiles import exact_quantiles
 
 FLAGS = ("A", "N", "R")
@@ -1258,21 +1259,5 @@ def q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % KHOP_SEED_MOD == 0)
         .select(F.col("p_partkey").alias("node"))
-        .distinct()
     )
-    visited = seeds.withColumn("dist", F.lit(0).cast("bigint"))
-    frontier = seeds
-    for hop in range(1, KHOP_HOPS + 1):
-        # each frontier is referenced twice (union + next round's expansion
-        # and anti join); the lazy checkpoint truncates its lineage so the
-        # plan stays linear in hops instead of re-deriving earlier rounds
-        nxt = (
-            edges.join(frontier, edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .localCheckpoint(eager=False)
-        )
-        visited = visited.unionAll(nxt.withColumn("dist", F.lit(hop).cast("bigint")))
-        frontier = nxt
-    return visited
+    return bfs_distances(edges, seeds, KHOP_HOPS)

@@ -1035,3 +1035,66 @@ def test_temporal_joins_exact_on_interval_edges(spark, tmp_path_factory, name):
             "SELECT event_id FROM events WHERE event_id % 10 = 0"
         ).fetchall())
         assert len(s_rows) == n_sampled
+
+
+# ---------------------------------------------------------------------------
+# q_cep_match's regex reduction: encode-then-search equals brute force
+# ---------------------------------------------------------------------------
+
+from iceberg_benchmark_poc_spark.queries.behavior import CEP_PATTERN
+
+
+def brute_force_cep(path: str) -> bool:
+    """Exists i<j<k: path[i]='v', path[j]='c', path[k]='p' and no 'e' in
+    path[i..k] — the sequence semantics q_cep_match claims."""
+    n = len(path)
+    for i in range(n):
+        if path[i] != "v":
+            continue
+        for j in range(i + 1, n):
+            if path[j] != "c":
+                continue
+            for k in range(j + 1, n):
+                if path[k] == "p" and "e" not in path[i : k + 1]:
+                    return True
+    return False
+
+
+@given(paths=st.lists(st.text(alphabet="vcpes", max_size=24), min_size=1, max_size=24))
+@settings(**SETTINGS)
+def test_cep_regex_equals_brute_force(spark, paths):
+    """Spark's rlike on the CEP pattern accepts exactly the strings the
+    O(n^3) positional definition accepts — on arbitrary event strings,
+    including empties and poison-only streams."""
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {
+        r["path"]: r["m"]
+        for r in df.select("path", F.col("path").rlike(CEP_PATTERN).alias("m"))
+        .distinct()
+        .collect()
+    }
+    for p in set(paths):
+        assert got[p] == brute_force_cep(p), p
+
+
+@given(paths=st.lists(st.text(alphabet="vcpes", max_size=16), min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_cep_regex_dialects_agree(spark, paths):
+    """The Java (Spark) and RE2-family (DuckDB) regex engines accept the
+    same strings for the CEP fragment — the cross-engine assumption the
+    oracle rests on."""
+    import duckdb
+
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    s_got = {
+        r["path"]: r["m"]
+        for r in df.select("path", F.col("path").rlike(CEP_PATTERN).alias("m"))
+        .distinct()
+        .collect()
+    }
+    con = duckdb.connect()
+    for p in set(paths):
+        (d_m,) = con.execute(
+            "SELECT regexp_matches(?, ?)", [p, CEP_PATTERN]
+        ).fetchone()
+        assert s_got[p] == d_m, p
