@@ -74,3 +74,47 @@ def global_prefix_sum(
         .withColumn(out_col, F.col(_LOCAL) + F.col(_BASE))
         .drop(_PID, _LOCAL, _BASE)
     )
+
+
+def global_prefix_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: Column,
+    out_col: str,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """df + ``out_col`` = max of ``value_col`` over STRICTLY-PRECEDING rows
+    in ``order_cols`` order (NULL for the global first row).
+
+    The exclusive-scan sibling of :func:`global_prefix_sum` — same two-phase
+    decomposition (per-range local scan + tiny per-range offset table), with
+    ``max`` as the monoid and an exclusive frame, which is what dominance /
+    skyline tests need ("is anything BEFORE me bigger"). The same total-order
+    caveat applies: callers must pass a tie-free ordering (dedupe/collapse
+    first), or rows tying across a range boundary would see a different
+    'preceding' set than the single-window form.
+    """
+    ranged = (
+        df.repartitionByRange(num_ranges, *order_cols)
+        if num_ranges is not None
+        else df.repartitionByRange(*order_cols)
+    )
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_pid.withColumn(_LOCAL, F.max(value_col).over(w_local))
+    w_prev = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy(_PID)
+        .agg(F.max(value_col).alias("__range_max"))
+        .withColumn(_BASE, F.max("__range_max").over(w_prev))
+        .select(_PID, _BASE)
+    )
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, F.greatest(F.col(_LOCAL), F.col(_BASE)))
+        .drop(_PID, _LOCAL, _BASE)
+    )

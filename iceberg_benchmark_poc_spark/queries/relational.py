@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.io import load_table
 from ..core.registry import register
+from ..operators.prefix import global_prefix_max
 
 
 
@@ -1220,3 +1221,59 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionAll(chk)
     return out
+
+
+@register(
+    "q_skyline",
+    oracle="""
+        SELECT p.p_partkey,
+               CAST(floor(p.p_retailprice * 100) AS BIGINT) AS price_cents,
+               p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE floor(q.p_retailprice * 100) <= floor(p.p_retailprice * 100)
+            AND q.p_size >= p.p_size
+            AND (floor(q.p_retailprice * 100) < floor(p.p_retailprice * 100)
+                 OR q.p_size > p.p_size)
+        )
+        """,
+    tags=("skyline", "pareto", "prefix-max"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of the part catalog: cheapest-per-size.
+
+    A part survives iff no other part is at-most-as-expensive AND
+    at-least-as-big with one of the two strict — the classic dominance
+    test behind buy-recommendation and multi-objective pruning. The naive
+    form is the O(n^2) self-join the oracle deliberately keeps (NOT
+    EXISTS dominance — the two formulations certify each other); the
+    engine runs the sort-scan reduction: collapse to one row per price
+    point (max size), take the EXCLUSIVE running max of size over
+    strictly-cheaper price points via the two-phase
+    operators/prefix.global_prefix_max — per-range local scans plus a
+    |ranges|-row offset table, NEVER a single-task global window over the
+    catalog — and keep rows that beat both the strictly-cheaper max and
+    their own price group's max. Prices compare in exact cents (bigint),
+    so the dominance test cannot flip on float formatting.
+
+    Scale: one groupBy on price_cents (map-side combined), one range
+    exchange for the scan, one equi-join of the catalog against the
+    per-price table (AQE broadcasts it when small). O(n log n) work
+    against the oracle's O(n^2).
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        "p_size",
+    )
+    g = p.groupBy("price_cents").agg(F.max("p_size").alias("eqmax"))
+    g2 = global_prefix_max(g, [F.col("price_cents")], F.col("eqmax"), "m1")
+    return (
+        p.join(g2, "price_cents")
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("p_size")))
+            & (F.col("eqmax") == F.col("p_size"))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+    )

@@ -153,6 +153,7 @@ GLOBAL_SORT_ALLOWLIST = {
     "q_sorted_write": "manifest entries (the writer-organization layout itself)",
     "q_spill_policy": "MDV policy set (reference bin-pack semantics)",
     "q_zorder": "file/row-group stats",
+    "q_skyline": "prefix-max offsets table: one row per range partition",
 }
 
 
@@ -528,3 +529,12 @@ def test_cep_match_reuses_user_partitioning(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     keys = re.findall(r"hashpartitioning\((\w+)", plan)
     assert set(keys) == {"user_id", "first_event"}, keys
+
+
+def test_skyline_never_sorts_the_catalog_globally(spark):
+    """q_skyline's scan must be the two-phase prefix-max: a range exchange
+    plus per-range windows; the only unpartitioned window is the
+    |ranges|-row offsets table (allowlisted), never the catalog itself."""
+    plan = plan_of(spark, "q_skyline")
+    assert "rangepartitioning(price_cents" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -1098,3 +1098,72 @@ def test_cep_regex_dialects_agree(spark, paths):
             "SELECT regexp_matches(?, ?)", [p, CEP_PATTERN]
         ).fetchone()
         assert s_got[p] == d_m, p
+
+
+# ---------------------------------------------------------------------------
+# global_prefix_max (q_skyline's scan): exclusive two-phase running max
+# ---------------------------------------------------------------------------
+
+from iceberg_benchmark_poc_spark.operators.prefix import global_prefix_max
+
+
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=1, max_size=60, unique=True),
+    num_ranges=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_global_prefix_max_matches_single_window(spark, vals, num_ranges):
+    """The two-phase exclusive prefix max is bit-identical to the
+    single-task global window on arbitrary unique keys and any range
+    count — including ranges holding zero or one rows."""
+    rows = [(k, (k * 7919) % 31 - 15) for k in vals]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        r["k"]: r["m"]
+        for r in global_prefix_max(df, [F.col("k")], F.col("v"), "m", num_ranges).collect()
+    }
+    expect = {}
+    running = None
+    for k, v in sorted(rows):
+        expect[k] = running
+        running = v if running is None or v > running else running
+    assert got == expect
+
+
+def skyline_brute(points: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    return {
+        (pr, sz)
+        for pr, sz in points
+        if not any(
+            qr <= pr and qs >= sz and (qr < pr or qs > sz) for qr, qs in points
+        )
+    }
+
+
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_skyline_reduction_matches_brute_force(spark, points):
+    """The collapse + exclusive-prefix-max + eq-group filter q_skyline runs
+    keeps exactly the non-dominated points — duplicates (which never
+    dominate each other) all survive together."""
+    df = spark.createDataFrame(points, "price_cents bigint, p_size bigint")
+    g = df.groupBy("price_cents").agg(F.max("p_size").alias("eqmax"))
+    g2 = global_prefix_max(g, [F.col("price_cents")], F.col("eqmax"), "m1")
+    out = (
+        df.join(g2, "price_cents")
+        .filter(
+            (F.col("m1").isNull() | (F.col("m1") < F.col("p_size")))
+            & (F.col("eqmax") == F.col("p_size"))
+        )
+        .collect()
+    )
+    got = {(r["price_cents"], r["p_size"]) for r in out}
+    assert got == skyline_brute(points)
+    # multiplicity: every surviving coordinate keeps ALL its duplicates
+    from collections import Counter
+    cnt = Counter(points)
+    assert len(out) == sum(cnt[p] for p in got)
