@@ -35,6 +35,7 @@ from ..operators.text import (
     minhash_from_arrays,
     shingle_arrays,
     simhash_sig,
+    word_shingles,
 )
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by")
@@ -2271,4 +2272,73 @@ def q_dup_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("class_chars") - F.col("keeper_chars"))
         .cast("bigint")
         .alias("wasted_chars"),
+    )
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+        WITH {_SHINGLES_CTE},
+        sh AS (
+          SELECT DISTINCT d.source, h.h
+          FROM hashed h JOIN documents d USING (doc_id)
+        ),
+        sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT p.src_a, p.src_b, p.inter,
+               CAST((p.inter * 1000000) // (na.n + nb.n - p.inter) AS BIGINT)
+                 AS jaccard_ppm
+        FROM pairs p
+        JOIN sizes na ON na.source = p.src_a
+        JOIN sizes nb ON nb.source = p.src_b
+        """,
+    tags=("text", "overlap", "contamination"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix: which corpora share content.
+
+    The contamination/provenance report a training-data intake runs before
+    mixing sources: for every source pair, the exact Jaccard similarity of
+    their word-trigram shingle-hash sets, in truncating-integer ppm. Doc-
+    level exact dedup misses this entirely (the fixture has zero
+    cross-source identical documents); shingle grain exposes the shared
+    phrasing that actually leaks between corpora.
+
+    Scale: shingles collapse to DISTINCT (source, h) before anything
+    shuffles — the per-source vocabulary, orders of magnitude smaller than
+    the exploded shingle stream. The pair intersection is an equi-join on
+    the hash whose per-key fan-out is bounded by |sources|^2 regardless of
+    corpus size, and the |sources|-row size table broadcasts twice. Output
+    is at most |sources| choose 2 rows — metadata-scale.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = (
+        word_shingles(docs)
+        .select("doc_id", "h")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            F.expr("(inter * 1000000) div (na + nb - inter)").alias("jaccard_ppm"),
+        )
     )
