@@ -35,7 +35,6 @@ from ..operators.text import (
     minhash_from_arrays,
     shingle_arrays,
     simhash_sig,
-    word_shingles,
 )
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with", "as", "at", "by")
@@ -2316,11 +2315,25 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is at most |sources| choose 2 rows — metadata-scale.
     """
     docs = _docs(spark, sf_dir)
+    # shingle with source as the id column (shingle_arrays is narrow — the
+    # per-doc arrays build without any shuffle), so the source label rides
+    # the explode and the exploded stream is never joined back on doc_id.
+    # The lazy checkpoint is load-bearing: exploding a lambda-built array
+    # makes Generate re-evaluate the whole trigram construction per emitted
+    # row (measured 9s -> 1.4s at sf0.1); the barrier materializes each
+    # doc's array once. Hashing runs AFTER the distinct so md5 touches each
+    # distinct (source, shingle) once, not every instance.
+    packed = (
+        shingle_arrays(docs, id_col="source")
+        .select(F.col("doc_id").alias("source"), "sh_arr")
+        .localCheckpoint(eager=False)
+    )
     sh = (
-        word_shingles(docs)
-        .select("doc_id", "h")
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "h")
+        packed.select("source", F.explode("sh_arr").alias("shingle"))
+        .distinct()
+        .select(
+            "source", (hash60(F.col("shingle")) % PORTABLE_HASH_PRIME).alias("h")
+        )
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
