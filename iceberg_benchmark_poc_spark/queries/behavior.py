@@ -1006,3 +1006,108 @@ def q_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("first_event", "matched")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+#: A/B conversion bar: a user "converts" at >= this many purchase events
+#: (the fixture's every user purchases at least once, so presence alone is
+#: degenerate; the bar sits at the corpus median so both cells populate)
+AB_CONVERT_MIN_PURCHASES = 14
+
+
+@register(
+    "q_ab_chi2",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id % 2 AS variant,
+                 CASE WHEN count(*) FILTER (event_type = 'purchase')
+                           >= {AB_CONVERT_MIN_PURCHASES}
+                      THEN 1 ELSE 0 END AS converted
+          FROM events GROUP BY user_id
+        ),
+        cells AS (
+          SELECT
+            CAST(count(*) FILTER (variant = 0 AND converted = 0) AS HUGEINT) AS v0_miss,
+            CAST(count(*) FILTER (variant = 0 AND converted = 1) AS HUGEINT) AS v0_conv,
+            CAST(count(*) FILTER (variant = 1 AND converted = 0) AS HUGEINT) AS v1_miss,
+            CAST(count(*) FILTER (variant = 1 AND converted = 1) AS HUGEINT) AS v1_conv
+          FROM u
+        )
+        SELECT CAST(v0_miss AS BIGINT) AS v0_miss,
+               CAST(v0_conv AS BIGINT) AS v0_conv,
+               CAST(v1_miss AS BIGINT) AS v1_miss,
+               CAST(v1_conv AS BIGINT) AS v1_conv,
+               CAST((v0_miss + v0_conv + v1_miss + v1_conv)
+                    * (v0_miss * v1_conv - v0_conv * v1_miss)
+                    * (v0_miss * v1_conv - v0_conv * v1_miss) AS VARCHAR) AS chi2_num,
+               CAST((v0_miss + v0_conv) * (v1_miss + v1_conv)
+                    * (v0_miss + v1_miss) * (v0_conv + v1_conv) AS VARCHAR) AS chi2_den,
+               CAST((1000 * (v0_miss + v0_conv + v1_miss + v1_conv)
+                     * (v0_miss * v1_conv - v0_conv * v1_miss)
+                     * (v0_miss * v1_conv - v0_conv * v1_miss))
+                    // ((v0_miss + v0_conv) * (v1_miss + v1_conv)
+                        * (v0_miss + v1_miss) * (v0_conv + v1_conv)) AS BIGINT)
+                 AS chi2_milli
+        FROM cells
+        """,
+    tags=("behavior", "ab-test", "chi2"),
+)
+def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2x2 chi-square independence test: variant vs conversion.
+
+    The experimentation-analytics primitive: split users by id parity
+    (the deterministic assignment), mark conversion at the purchase-count
+    bar, and emit the full contingency table plus Pearson's chi-square as
+    an exact integer rational — chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+    — with numerator and denominator as decimal strings (exact at any
+    count the fixture can reach; the published milli-chi2 uses truncating
+    integer division, identical on both engines). No floats anywhere, so
+    the verdict cannot flip on evaluation order.
+
+    Scale: one user_id shuffle folds each user to (variant, converted);
+    the 2x2 table is four conditional counts in ONE global aggregate
+    (map-side combined to 4 longs per partition), and the statistic is
+    arithmetic on a single row.
+    """
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np")
+        )
+        .select(
+            (F.col("user_id") % 2).alias("variant"),
+            (F.col("np") >= AB_CONVERT_MIN_PURCHASES).cast("int").alias("converted"),
+        )
+    )
+
+    def cell(v: int, c: int):
+        return F.count(
+            F.when((F.col("variant") == v) & (F.col("converted") == c), F.lit(1))
+        ).cast("decimal(38,0)")
+
+    cells = u.agg(
+        cell(0, 0).alias("v0_miss"),
+        cell(0, 1).alias("v0_conv"),
+        cell(1, 0).alias("v1_miss"),
+        cell(1, 1).alias("v1_conv"),
+    )
+    a, b, c, d = (F.col(x) for x in ("v0_miss", "v0_conv", "v1_miss", "v1_conv"))
+    n = a + b + c + d
+    diff = a * d - b * c
+    num = (n * diff * diff).cast("decimal(38,0)")
+    den = ((a + b) * (c + d) * (a + c) * (b + d)).cast("decimal(38,0)")
+    return cells.select(
+        a.cast("bigint").alias("v0_miss"),
+        b.cast("bigint").alias("v0_conv"),
+        c.cast("bigint").alias("v1_miss"),
+        d.cast("bigint").alias("v1_conv"),
+        num.cast("string").alias("chi2_num"),
+        den.cast("string").alias("chi2_den"),
+        F.expr(
+            "CAST((CAST(1000 AS DECIMAL(38,0)) * (v0_miss + v0_conv + v1_miss + v1_conv)"
+            " * (v0_miss * v1_conv - v0_conv * v1_miss)"
+            " * (v0_miss * v1_conv - v0_conv * v1_miss))"
+            " div ((v0_miss + v0_conv) * (v1_miss + v1_conv)"
+            " * (v0_miss + v1_miss) * (v0_conv + v1_conv)) AS BIGINT)"
+        ).alias("chi2_milli"),
+    )
