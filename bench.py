@@ -97,11 +97,16 @@ def main() -> None:
     for name in top10:
         _median_of_3(name)
 
-    # Apparent round-over-round regressions get the same treatment before
-    # they are published: any query whose single-shot wall is >1.5x its
-    # value in the previous committed BENCH_FULL snapshot is re-measured to
-    # a median of 3, so a one-off scheduler/GC hiccup on a sub-second query
-    # cannot print as a regression (real regressions survive the median).
+    # Apparent round-over-round MOVES get the same treatment before they are
+    # published: any query whose single-shot wall deviates >1.5x from its
+    # value in the previous committed BENCH_FULL snapshot — in EITHER
+    # direction (r06 advice: one-off lucky-fast walls bias the suite total
+    # down just as hiccups bias it up) — is re-measured to a median of 3.
+    # The pass is capped at the 25 largest deviations so a globally
+    # throttled host (calibration swings ~1.5x are documented) cannot
+    # trigger a near-full re-run and ~triple total wall; past the cap the
+    # calibration block is the cross-round normalizer.
+    REMEASURE_CAP = 25
     try:
         _root = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(_root, "BENCH_FULL.json")) as f:
@@ -109,10 +114,25 @@ def main() -> None:
         prev_q = prev.get("queries", {}) if prev.get("sf") == sf_from_dir(SF_DIR) else {}
     except (OSError, ValueError):
         prev_q = {}
-    for name, prev_wall in prev_q.items():
-        if name in timings and name not in medianized and timings[name] > 1.5 * prev_wall:
-            medianized.add(name)
-            _median_of_3(name)
+    deviations = {
+        name: max(timings[name] / prev_wall, prev_wall / timings[name])
+        for name, prev_wall in prev_q.items()
+        if name in timings and name not in medianized
+        and prev_wall > 0 and timings[name] > 0
+    }
+    moved = sorted(
+        (n for n, dev in deviations.items() if dev > 1.5),
+        key=lambda n: -deviations[n],
+    )
+    if len(moved) > REMEASURE_CAP:
+        print(
+            f"bench: {len(moved)} queries moved >1.5x vs snapshot; re-measuring "
+            f"only the top {REMEASURE_CAP} (host-wide shift — see calibration)",
+            file=sys.stderr,
+        )
+    for name in moved[:REMEASURE_CAP]:
+        medianized.add(name)
+        _median_of_3(name)
 
     # Early checkpoint line: the driver parses the LAST stdout line under a
     # wall budget; if it kills this process mid-suites there would be no
@@ -265,6 +285,11 @@ def _suite_headline(suites: dict) -> dict:
         # per-container decode cost over identical rasters (extension band):
         # raster MB/s out of the decode stage; PNG pays inflate+unfilter,
         # PPM/BMP pay the 3x-byte RGB->luma walk, PGM is the raw floor
+        # search band (r06 stretch): index build wall, point-probe latency
+        # against the term-sorted parquet index, full-corpus BM25 pass
+        "index_build_ms": g("text_index", "index_build_ms"),
+        "index_probe_p50_ms": g("text_index", "probe_p50_ms"),
+        "bm25_score_ms": g("text_index", "bm25_score_ms"),
         "decode_mb_s_pgm": g("media_decode", "pgm", "raster_mb_per_s"),
         "decode_mb_s_png": g("media_decode", "png", "raster_mb_per_s"),
         "decode_mb_s_ppm": g("media_decode", "ppm", "raster_mb_per_s"),

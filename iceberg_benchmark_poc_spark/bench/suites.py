@@ -1032,6 +1032,74 @@ def suite_media_decode(spark: SparkSession, sf_dir: str, tmp_dir: str, reps: int
     return out
 
 
+def suite_text_index(spark: SparkSession, sf_dir: str, tmp_dir: str, n_probes: int = 20, reps: int = 5) -> dict:
+    """Inverted-index build wall + point-probe latency + BM25 scoring wall.
+
+    The search band's reference-style suite row (r06 verdict stretch item):
+
+    - **build**: tokenize -> distinct (term, doc_id) -> per-term df + capped
+      posting head (the q_inverted_index shape, without its df floor so the
+      index covers the whole vocabulary), written range-partitioned and
+      term-sorted to parquet. The sorted layout is the scale design: term
+      probes prune on footer min/max instead of scanning the vocabulary.
+    - **probe**: ``n_probes`` terms spread deterministically across the df
+      spectrum (every (n_terms/n_probes)-th term of the df-ranked
+      vocabulary), each filtered + collected against the parquet index;
+      reports the median single-probe wall — dominated by the local job
+      floor, which is exactly what a point lookup costs on this engine.
+    - **score**: one full-corpus BM25 pass (the registered q_bm25 plan),
+      the ranked-retrieval throughput number.
+    """
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("doc_id", "text")
+    term_doc = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    ).distinct()
+    idx = term_doc.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 64), ","
+        ).alias("postings_head"),
+    )
+    path = os.path.join(tmp_dir, "inverted_index")
+    t0 = time.perf_counter()
+    idx.repartitionByRange(8, "term").sortWithinPartitions("term").write.mode("overwrite").parquet(path)
+    build_ms = (time.perf_counter() - t0) * 1000
+    index = spark.read.parquet(path)
+    n_terms = index.count()
+    n_docs = docs.count()
+
+    # probe terms: every k-th term of the df-ranked vocabulary (hot -> cold)
+    stride = max(1, n_terms // n_probes)
+    ranked = index.select("term", "df", F.row_number().over(Window.orderBy(F.desc("df"), "term")).alias("r"))
+    probe_terms = [
+        row["term"] for row in ranked.filter(((F.col("r") - 1) % stride) == 0).limit(n_probes).collect()
+    ]
+    # warm the reader path once so probe walls are steady-state
+    index.filter(F.col("term") == probe_terms[0]).collect()
+    probe_walls = []
+    for t in probe_terms:
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            index.filter(F.col("term") == t).collect()
+            walls.append((time.perf_counter() - t0) * 1000)
+        probe_walls.append(sorted(walls)[len(walls) // 2])
+    probe_walls.sort()
+
+    from ..core.registry import all_queries
+
+    bm25_ms, _ = _timed(all_queries()["q_bm25"].fn(spark, sf_dir))
+    return {
+        "n_docs": int(n_docs),
+        "n_terms": int(n_terms),
+        "index_build_ms": round(build_ms, 1),
+        "probe_p50_ms": round(probe_walls[len(probe_walls) // 2], 2),
+        "probe_max_ms": round(probe_walls[-1], 2),
+        "n_probes": len(probe_terms),
+        "bm25_score_ms": round(bm25_ms, 1),
+    }
+
+
 # ---------------------------------------------------------------------------
 # runner
 # ---------------------------------------------------------------------------
@@ -1166,6 +1234,7 @@ def run_all_suites(spark: SparkSession, sf_dir: str, tmp_dir: str, quick: bool =
         "concurrent_writers": suite_concurrent_writers(spark, tmp_dir, n_writers=2 if quick else 5, writes_each=5 if quick else 50),
         "column_update": suite_column_update(spark, tmp_dir),
         "media_decode": suite_media_decode(spark, sf_dir, tmp_dir),
+        "text_index": suite_text_index(spark, sf_dir, tmp_dir, n_probes=5 if quick else 20),
     }
 
 

@@ -247,13 +247,14 @@ def driver_ordered_queries() -> dict[str, Query]:
 
     1. never-green queries first (never swept, or swept and errored) —
        round-robined across modules so the prefix still samples families;
-    2. then green queries REWRITTEN since their last green (live source
-       fingerprint differs from the GREEN_SOURCES.json stamp, or no stamp
-       exists) — a green row for code that no longer exists is debt, not
-       verification (round 4 shipped three media queries re-pointed at a
-       new decoder whose r02 greens predated the rewrite);
-    3. then unchanged greens, oldest green round first (stalest re-verified
-       before fresh ones), also round-robined within each round cohort.
+    2. then greens STRICTLY stalest-first (oldest green round before newer
+       ones, no exceptions — the round-6 sweep starved an r02-green band
+       for a fourth round because rewritten-but-recently-green queries
+       outranked it). Within one round cohort, queries REWRITTEN since
+       their last green (live source fingerprint differs from the
+       GREEN_SOURCES.json stamp, or no stamp) lead — a green row for code
+       that no longer exists is weaker evidence than one for unchanged
+       code — and family round-robin is the final tiebreaker only.
 
     This is self-maintaining: each round's results file re-sorts the next
     round's sweep, so every query converges to a recent green row.
@@ -263,13 +264,13 @@ def driver_ordered_queries() -> dict[str, Query]:
     snapshot = _green_source_snapshot()
     never: list[Query] = [q for q in qs.values() if q.name not in last_green]
     greens: list[Query] = [q for q in qs.values() if q.name in last_green]
-    changed: list[Query] = [q for q in greens if snapshot.get(q.name) != source_fingerprint(q)]
-    changed_names = {q.name for q in changed}
     cohorts: dict[int, list[Query]] = {}
     for q in greens:
-        if q.name not in changed_names:
-            cohorts.setdefault(last_green[q.name], []).append(q)
-    ordered: list[Query] = _round_robin(never) + _round_robin(changed)
+        cohorts.setdefault(last_green[q.name], []).append(q)
+    ordered: list[Query] = _round_robin(never)
     for rnd in sorted(cohorts):
-        ordered.extend(_round_robin(cohorts[rnd]))
+        changed = [q for q in cohorts[rnd] if snapshot.get(q.name) != source_fingerprint(q)]
+        unchanged = [q for q in cohorts[rnd] if snapshot.get(q.name) == source_fingerprint(q)]
+        ordered.extend(_round_robin(changed))
+        ordered.extend(_round_robin(unchanged))
     return {q.name: q for q in ordered}

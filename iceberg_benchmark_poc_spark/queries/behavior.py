@@ -1012,6 +1012,11 @@ def q_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (the fixture's every user purchases at least once, so presence alone is
 #: degenerate; the bar sits at the corpus median so both cells populate)
 AB_CONVERT_MIN_PURCHASES = 14
+#: exactness ceiling for the integer chi-square: the numerator n*(ad-bc)^2
+#: grows ~n^5/16, and decimal(38,0) holds ~1e38, so past ~1e8 distinct users
+#: Spark would silently overflow to NULL while DuckDB's HUGEINT errors
+#: loudly (r06 advice). The query raises loudly on both engines instead.
+AB_CHI2_MAX_USERS = 100_000_000
 
 
 @register(
@@ -1061,7 +1066,10 @@ def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     — with numerator and denominator as decimal strings (exact at any
     count the fixture can reach; the published milli-chi2 uses truncating
     integer division, identical on both engines). No floats anywhere, so
-    the verdict cannot flip on evaluation order.
+    the verdict cannot flip on evaluation order. Exactness holds up to
+    AB_CHI2_MAX_USERS (~1e8) distinct users; past it the query raises
+    loudly (matching DuckDB's HUGEINT overflow error) instead of letting
+    Spark's decimal(38,0) silently NULL the statistic.
 
     Scale: one user_id shuffle folds each user to (variant, converted);
     the 2x2 table is four conditional counts in ONE global aggregate
@@ -1096,6 +1104,14 @@ def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = a * d - b * c
     num = (n * diff * diff).cast("decimal(38,0)")
     den = ((a + b) * (c + d) * (a + c) * (b + d)).cast("decimal(38,0)")
+    # fail loudly past the decimal(38,0) exactness ceiling — assert_true
+    # returns NULL when the predicate holds and aborts the job when it
+    # doesn't, so below the ceiling the coalesce is a no-op; folding it
+    # into chi2_milli keeps column pruning from dropping the guard
+    overflow_guard = F.assert_true(
+        n <= F.lit(AB_CHI2_MAX_USERS),
+        F.lit(f"q_ab_chi2: >{AB_CHI2_MAX_USERS} users — n*(ad-bc)^2 would overflow decimal(38,0)"),
+    ).cast("bigint")
     return cells.select(
         a.cast("bigint").alias("v0_miss"),
         b.cast("bigint").alias("v0_conv"),
@@ -1103,11 +1119,14 @@ def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("bigint").alias("v1_conv"),
         num.cast("string").alias("chi2_num"),
         den.cast("string").alias("chi2_den"),
-        F.expr(
-            "CAST((CAST(1000 AS DECIMAL(38,0)) * (v0_miss + v0_conv + v1_miss + v1_conv)"
-            " * (v0_miss * v1_conv - v0_conv * v1_miss)"
-            " * (v0_miss * v1_conv - v0_conv * v1_miss))"
-            " div ((v0_miss + v0_conv) * (v1_miss + v1_conv)"
-            " * (v0_miss + v1_miss) * (v0_conv + v1_conv)) AS BIGINT)"
+        F.coalesce(
+            overflow_guard,
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0)) * (v0_miss + v0_conv + v1_miss + v1_conv)"
+                " * (v0_miss * v1_conv - v0_conv * v1_miss)"
+                " * (v0_miss * v1_conv - v0_conv * v1_miss))"
+                " div ((v0_miss + v0_conv) * (v1_miss + v1_conv)"
+                " * (v0_miss + v1_miss) * (v0_conv + v1_conv)) AS BIGINT)"
+            ),
         ).alias("chi2_milli"),
     )

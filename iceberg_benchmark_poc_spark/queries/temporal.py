@@ -844,9 +844,14 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("cents", ignorenulls=True).over(wf).alias("next_c"),
         F.first(obs_hour, ignorenulls=True).over(wf).alias("next_h"),
     )
-    num = (F.col("next_c") - F.col("prev_c")) * (F.col("hour_idx") - F.col("prev_h"))
-    den = F.col("next_h") - F.col("prev_h")
-    floor_div = (num - F.pmod(num, den)).cast("bigint") / den
+    # true floor in pure BIGINT: pmod makes the remainder non-negative, so
+    # num - pmod(num, den) is exactly divisible and `div` (integral) equals
+    # floor. A double `/` here is only exact up to 2^53 — past that the
+    # bit-exact cross-engine guarantee silently breaks (r06 advice).
+    num = "((next_c - prev_c) * (hour_idx - prev_h))"
+    floor_div = F.expr(
+        f"({num} - pmod({num}, next_h - prev_h)) div (next_h - prev_h)"
+    )
     return sided.select(
         "event_type",
         "hour_idx",

@@ -2071,6 +2071,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 POSTINGS_MIN_DF = 5  # drop hapax-ish terms: bounds output rows AND list width
+POSTINGS_CAP = 64  # max doc ids materialized per term; the rest is a count
 
 
 @register(
@@ -2085,44 +2086,71 @@ POSTINGS_MIN_DF = 5  # drop hapax-ish terms: bounds output rows AND list width
         ),
         idx AS (
           SELECT term,
-                 CAST(count(*) AS BIGINT)          AS df,
-                 list(doc_id ORDER BY doc_id)      AS postings
+                 CAST(count(*) AS BIGINT) AS df,
+                 array_to_string(
+                   list_slice(list(doc_id ORDER BY doc_id), 1, {POSTINGS_CAP}),
+                   ','
+                 ) AS postings_head
           FROM term_doc
           GROUP BY term
           HAVING count(*) >= {POSTINGS_MIN_DF}
         )
-        SELECT term, df, postings FROM idx
+        SELECT term, df, postings_head,
+               CAST(greatest(df - {POSTINGS_CAP}, 0) AS BIGINT) AS n_overflow
+        FROM idx
         """,
     tags=("text", "index", "search"),
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted-index build: term -> document-frequency + sorted posting list.
+    """Inverted-index build: term -> df + capped, comma-joined posting head.
 
     The search-engine/exact-substring-dedup build step: one exploded scan
     of the tokenized corpus, distinct (term, doc) pairs, then per-term
-    sorted posting arrays. Ordered arrays make the output a deterministic
-    value (not a bag), so the whole index hashes exactly; the df floor
-    drops the hapax tail, bounding both row count and list width.
+    posting lists. Output shape follows the registry's scalar-only
+    convention (driver canonicalization cannot sort array cells): the
+    posting list ships as comma-joined text of the first POSTINGS_CAP doc
+    ids in doc_id order, plus an ``n_overflow`` count of the suppressed
+    tail — deterministic, hashable, and a bounded column width.
 
-    Scale: the explode is narrow (no shuffle), distinct and the grouped
-    collect shuffle on the term key — token skew is AQE's skew-split case —
-    and nothing returns to the driver. At 100 TB the posting list of a
-    stopword-class term is the one unbounded width: production would cap
-    or shard ultra-high-df terms (the df floor here is the complementary
-    low end); everything else is proportional to that term's true df.
+    Scale: the explode is narrow (no shuffle); distinct, the rank window,
+    and the grouped fold all share one hash partitioning on term. The
+    stopword-class hazard — one hot term materializing an ~N-element
+    array inside a single aggregation task — is mitigated structurally:
+    ``row_number`` over (term, doc_id) is a streaming, spillable
+    sort-based window, and ``collect_list`` only ever sees rows with
+    rank <= POSTINGS_CAP, so no task buffers more than CAP doc ids per
+    term no matter how hot the term. df stays exact via the plain count.
     """
     d = _docs(spark, sf_dir)
     term_doc = (
         d.select("doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
         .distinct()
     )
+    ranked = term_doc.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    )
+    # collect_list skips NULLs, so the when() gate bounds the collected
+    # width at POSTINGS_CAP while count(*) still measures the full df.
     return (
-        term_doc.groupBy("term")
+        ranked.groupBy("term")
         .agg(
             F.count("*").cast("bigint").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= POSTINGS_CAP, F.col("doc_id"))
+                    )
+                ),
+                ",",
+            ).alias("postings_head"),
         )
         .filter(F.col("df") >= POSTINGS_MIN_DF)
+        .select(
+            "term",
+            "df",
+            "postings_head",
+            F.greatest(F.col("df") - POSTINGS_CAP, F.lit(0)).cast("bigint").alias("n_overflow"),
+        )
     )
 
 

@@ -113,44 +113,67 @@ def test_sweep_order_front_loads_verification_debt():
             f"verification-debt queries not front-loaded: debt ends at "
             f"{last_debt_pos}, greens start at {first_green_pos}"
         )
-    if history and changed:
-        # greens rewritten since their stamp precede every unchanged green
-        last_changed_pos = max(order.index(n) for n in changed)
-        unchanged = [n for n in order if n in history and n not in changed]
-        if unchanged:
-            assert last_changed_pos < order.index(unchanged[0]), (
-                f"source-changed greens not front-loaded: {changed}"
-            )
-    # stalest unchanged greens re-verify before fresh ones
-    green_rounds = [history[n] for n in order if n in history and n not in changed]
-    assert green_rounds == sorted(green_rounds)
+    # greens strictly stalest-first — changed-since-stamp never promotes a
+    # fresh green past a staler one (r06 verdict: the rewritten-first rule
+    # starved an r02 band for four rounds). Equivalently: the N oldest greens
+    # occupy the first N green slots after the never-green band.
+    green_rounds = [history[n] for n in order if n in history]
+    assert green_rounds == sorted(green_rounds), (
+        "green band not stalest-first: a fresher green precedes a staler one"
+    )
+    # within one round cohort, rewritten greens lead unchanged ones
+    from itertools import groupby
+
+    greens_in_order = [n for n in order if n in history]
+    for _rnd, cohort_iter in groupby(greens_in_order, key=lambda n: history[n]):
+        cohort = list(cohort_iter)
+        flags = [n in changed for n in cohort]
+        assert flags == sorted(flags, reverse=True), (
+            f"cohort r{_rnd}: changed greens must lead unchanged ones: {cohort}"
+        )
 
 
 def test_sweep_order_reshuffles_on_source_change(monkeypatch):
     """Editing a query's source (fingerprint != GREEN_SOURCES stamp) must move
-    it ahead of every unchanged green, regardless of how fresh its green is."""
+    it to the FRONT OF ITS OWN staleness cohort — but never past a staler
+    green (the r06 starvation bug: rewritten-first globally let fresh greens
+    jump an r02 band for four consecutive rounds)."""
     from iceberg_benchmark_poc_spark.core import registry
 
     history = registry._verification_history()
     if not history:
         pytest.skip("no CORRECTNESS history committed")
-    # freshest green = lowest priority under the unchanged ordering
-    victim = max(history, key=lambda n: history[n])
+    # pick a victim from the freshest cohort that has >= 2 members, so the
+    # within-cohort promotion is observable
+    by_round: dict[int, list[str]] = {}
+    for n, rnd in history.items():
+        by_round.setdefault(rnd, []).append(n)
+    multi = [rnd for rnd, names in by_round.items() if len(names) >= 2]
+    if not multi:
+        pytest.skip("no multi-member green cohort in history")
+    victim_round = max(multi)
     qs = registry.all_queries()
     real_snapshot = {n: registry.source_fingerprint(q) for n, q in qs.items()}
-    baseline_order = None
     with monkeypatch.context() as m:
         m.setattr(registry, "_green_source_snapshot", lambda: dict(real_snapshot))
         baseline_order = list(registry.driver_ordered_queries())
-        # all stamped-as-current: ordering is purely by green age
-        assert baseline_order.index(victim) > 0
+        # all stamped-as-current: within the cohort, order is round-robin;
+        # choose the cohort member that currently sits LAST
+        cohort = [n for n in baseline_order if history.get(n) == victim_round]
+        victim = cohort[-1]
         # now simulate an edit to the victim
         edited = dict(real_snapshot)
         edited[victim] = "0" * 64
         m.setattr(registry, "_green_source_snapshot", lambda: dict(edited))
         reshuffled = list(registry.driver_ordered_queries())
-    unchanged_greens = [n for n in reshuffled if n in history and n != victim]
-    assert reshuffled.index(victim) < reshuffled.index(unchanged_greens[0]), (
-        "rewritten query did not jump ahead of unchanged greens"
+    new_cohort = [n for n in reshuffled if history.get(n) == victim_round]
+    assert new_cohort[0] == victim, (
+        "rewritten query did not jump to the front of its staleness cohort"
     )
+    # ...but staleness still dominates: every staler green keeps its lead
+    staler = [n for n in reshuffled if n in history and history[n] < victim_round]
+    if staler:
+        assert max(reshuffled.index(n) for n in staler) < reshuffled.index(victim), (
+            "rewritten fresh green jumped past a staler green — starvation bug"
+        )
     assert set(reshuffled) == set(baseline_order)

@@ -394,6 +394,27 @@ def test_plan_audit_every_query(spark):
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join"
 
 
+def test_no_container_typed_outputs_on_oracle_gated_queries(spark):
+    """Driver-contract guard (round-6 regression class): the correctness
+    driver's pandas canonicalizer sorts + factorizes every output column, and
+    list/dict cells crash it (`TypeError: unhashable type: 'list'` —
+    q_inverted_index was the registry's first never-green query because it
+    shipped an ARRAY<BIGINT> postings column). Every oracle-gated query must
+    emit scalar columns only; encode sequences as joined text or a
+    fingerprint. Schema inspection is analysis-only, so this covers all
+    registered queries cheaply."""
+    for name, q in sorted(all_queries().items()):
+        if q.oracle is None:
+            continue
+        df = q.fn(spark, SF_DIR)
+        for col, dtype in df.dtypes:
+            assert not dtype.startswith(("array", "map", "struct")), (
+                f"{name}: output column {col!r} has container type {dtype} — "
+                f"the driver canonicalizer cannot hash list/dict cells; emit "
+                f"array_join'd text or an md5 fingerprint instead"
+            )
+
+
 def test_late_orders_decorrelates_exists(spark):
     plan = plan_of(spark, "q_late_orders")
     # correlated EXISTS must become a semi join with the date filter pushed
