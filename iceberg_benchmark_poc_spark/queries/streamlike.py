@@ -74,17 +74,19 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window: 1-hour windows advancing every 30 minutes.
 
-    Each event lands in 2 overlapping windows (window duration / slide);
-    batch form replicates each row per offset then tumbles — exactly how
-    Spark's streaming window() operator expands slides internally.
+    Each event lands in 2 overlapping windows (window duration / slide) —
+    the windows starting at the event's most recent 30-minute boundary
+    and 30 minutes before it. Batch form explodes each row into its two
+    window starts then tumbles — exactly how Spark's streaming window()
+    operator expands slides internally, but as one narrow projection
+    (r06 bench follow-up: the previous 2-row broadcast nested-loop join
+    re-evaluated interval arithmetic per joined row and measured ~1.4x
+    slower; the explode also drops the only BNLJ in the streaming band).
     """
     e = load_table(spark, sf_dir, "events")
-    offsets = spark.range(0, 60, 30).select(F.col("id").cast("int").alias("off_min"))
-    assigned = e.crossJoin(F.broadcast(offsets)).select(
-        F.expr(
-            "date_trunc('hour', ts - make_interval(0, 0, 0, 0, 0, off_min, 0))"
-            " + make_interval(0, 0, 0, 0, 0, off_min, 0)"
-        ).alias("window_start"),
+    w30 = F.expr("timestampadd(MINUTE, 30 * (minute(ts) div 30), date_trunc('hour', ts))")
+    assigned = e.select(
+        F.explode(F.array(w30, F.timestamp_add("MINUTE", F.lit(-30), w30))).alias("window_start"),
         "value",
     )
     return assigned.groupBy("window_start").agg(

@@ -373,7 +373,6 @@ BNLJ_ALLOWED = {
     "q_spill_policy",    # scalar cap remaining after must-inline
     "q_autocorr",        # 2-row lag list crossed with the metadata-scale daily table
     "q_churn",           # 1-row final-week span fold broadcast to the activity pairs
-    "q_stream_sliding",  # slide-offset sequence cross of window starts
     "q_zorder",          # scalar file-count normalizer
     "q_benford",         # one-row grand-total fold broadcast to the 9-digit table
 }
