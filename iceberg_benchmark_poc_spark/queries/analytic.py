@@ -623,6 +623,63 @@ def q_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (p < q) distinct edge set of the gated part co-purchase
+    graph — the shared input of q_triangles / q_clustering_coeff /
+    q_jaccard_neighbors (the 1-in-4 order gate bounds density; see
+    q_triangles)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
+        .distinct()
+    )
+
+
+def _degrees(pairs: DataFrame) -> DataFrame:
+    return (
+        pairs.select(F.col("p").alias("node"))
+        .unionAll(pairs.select(F.col("q").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+def _oriented_triangles(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle set (u, x, y) with x < y via degree-ordered orientation
+    [Suri & Vassilvitskii, WWW'11] — see q_triangles for the algorithm
+    narrative; factored out so the clustering-coefficient and
+    neighbor-Jaccard queries reuse the identical wedge-closing plan."""
+    dp = deg.select(F.col("node").alias("p"), F.col("d").alias("dp"))
+    dq = deg.select(F.col("node").alias("q"), F.col("d").alias("dq"))
+    low_first = (F.col("dp") < F.col("dq")) | (
+        (F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q"))
+    )
+    oriented = (
+        pairs.join(dp, "p")
+        .join(dq, "q")
+        .select(
+            F.when(low_first, F.col("p")).otherwise(F.col("q")).alias("u"),
+            F.when(low_first, F.col("q")).otherwise(F.col("p")).alias("v"),
+        )
+    )
+    o1 = oriented.select("u", F.col("v").alias("x"))
+    o2 = oriented.select("u", F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
+    return wedges.join(
+        pairs, (F.col("x") == F.col("p")) & (F.col("y") == F.col("q"))
+    ).select("u", "x", "y")
+
+
 @register(
     "q_triangles",
     oracle="""
@@ -692,46 +749,9 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm handles it — drop the gate at cluster scale and the
     orientation bound is what keeps the wedge join feasible.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
-        .distinct()
-    )
-    deg = (
-        pairs.select(F.col("p").alias("node"))
-        .unionAll(pairs.select(F.col("q").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    dp = deg.select(F.col("node").alias("p"), F.col("d").alias("dp"))
-    dq = deg.select(F.col("node").alias("q"), F.col("d").alias("dq"))
-    low_first = (F.col("dp") < F.col("dq")) | (
-        (F.col("dp") == F.col("dq")) & (F.col("p") < F.col("q"))
-    )
-    oriented = (
-        pairs.join(dp, "p")
-        .join(dq, "q")
-        .select(
-            F.when(low_first, F.col("p")).otherwise(F.col("q")).alias("u"),
-            F.when(low_first, F.col("q")).otherwise(F.col("p")).alias("v"),
-        )
-    )
-    o1 = oriented.select("u", F.col("v").alias("x"))
-    o2 = oriented.select("u", F.col("v").alias("y"))
-    wedges = o1.join(o2, "u").filter(F.col("x") < F.col("y"))
-    tri = wedges.join(
-        pairs, (F.col("x") == F.col("p")) & (F.col("y") == F.col("q"))
-    ).select("u", "x", "y")
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = _degrees(pairs)
+    tri = _oriented_triangles(pairs, deg)
     corners = (
         tri.select(F.col("u").alias("node"))
         .unionAll(tri.select(F.col("x").alias("node")))
@@ -1261,3 +1281,179 @@ def q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("node"))
     )
     return bfs_distances(edges, seeds, KHOP_HOPS)
+
+
+#: shared oracle CTE block for the co-purchase-graph trio — identical to the
+#: q_triangles oracle's construction (kept in one constant so the three
+#: oracles cannot drift apart)
+_GRAPH_TRI_SQL = """
+        pairs AS (
+          SELECT DISTINCT a.l_partkey AS p, b.l_partkey AS q
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_orderkey % 4 = 0
+        ),
+        deg AS (
+          SELECT node, count(*) AS d FROM (
+            SELECT p AS node FROM pairs UNION ALL SELECT q AS node FROM pairs
+          ) GROUP BY 1
+        ),
+        oriented AS (
+          SELECT CASE WHEN dp.d < dq.d OR (dp.d = dq.d AND e.p < e.q)
+                      THEN e.p ELSE e.q END AS u,
+                 CASE WHEN dp.d < dq.d OR (dp.d = dq.d AND e.p < e.q)
+                      THEN e.q ELSE e.p END AS v
+          FROM pairs e
+          JOIN deg dp ON e.p = dp.node
+          JOIN deg dq ON e.q = dq.node
+        ),
+        wedges AS (
+          SELECT o1.u AS u, o1.v AS x, o2.v AS y
+          FROM oriented o1 JOIN oriented o2
+            ON o1.u = o2.u AND o1.v < o2.v
+        ),
+        tri AS (
+          SELECT w.u, w.x, w.y
+          FROM wedges w JOIN pairs e ON w.x = e.p AND w.y = e.q
+        )
+"""
+
+
+@register(
+    "q_clustering_coeff",
+    oracle=f"""
+        WITH {_GRAPH_TRI_SQL.strip()},
+        tcount AS (
+          SELECT node, count(*) AS t
+          FROM (SELECT u AS node FROM tri
+                UNION ALL SELECT x AS node FROM tri
+                UNION ALL SELECT y AS node FROM tri)
+          GROUP BY node
+        )
+        SELECT d.node,
+               CAST(d.d AS BIGINT)                 AS degree,
+               CAST(coalesce(t.t, 0) AS BIGINT)    AS n_triangles,
+               CAST((2000000 * coalesce(t.t, 0)) // (d.d * (d.d - 1)) AS BIGINT)
+                 AS cc_ppm
+        FROM deg d LEFT JOIN tcount t ON d.node = t.node
+        WHERE d.d >= 2
+        """,
+    tags=("graph", "clustering"),
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node of the co-purchase graph.
+
+    The community-density signal on top of q_triangles: cc(v) =
+    2*t(v) / (d(v)*(d(v)-1)) — what fraction of a node's neighbor pairs
+    are themselves connected — published as exact integer ppm
+    ((2e6*t) div (d*(d-1)), the registry's rational convention). Nodes
+    of degree 1 have no neighbor pair and are excluded; triangle-free
+    nodes report 0 via the left join.
+
+    Scale: identical plan family to q_triangles (shared
+    _oriented_triangles helper — degree-ordered orientation bounds the
+    wedge set on power-law graphs); one extra node-scale left join of
+    degrees against triangle counts. All equi-joins, no BNLJ.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = _degrees(pairs)
+    tri = _oriented_triangles(pairs, deg)
+    tcount = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr("CAST((2000000 * coalesce(t, 0)) div (d * (d - 1)) AS BIGINT)").alias(
+                "cc_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "q_jaccard_neighbors",
+    oracle=f"""
+        WITH {_GRAPH_TRI_SQL.strip()},
+        edge_tri AS (
+          SELECT least(a, b) AS p, greatest(a, b) AS q, count(*) AS c
+          FROM (SELECT u AS a, x AS b FROM tri
+                UNION ALL SELECT u AS a, y AS b FROM tri
+                UNION ALL SELECT x AS a, y AS b FROM tri)
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT coalesce(t.c, 0) AS c,
+                 dp.d + dq.d - 2 - coalesce(t.c, 0) AS den
+          FROM pairs e
+          LEFT JOIN edge_tri t ON e.p = t.p AND e.q = t.q
+          JOIN deg dp ON e.p = dp.node
+          JOIN deg dq ON e.q = dq.node
+        )
+        SELECT CAST(CASE WHEN den = 0 THEN -1
+                         ELSE ((1000000 * c) // den) // 100000 END AS BIGINT)
+                 AS jaccard_decile,
+               CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(c) AS BIGINT)   AS total_common
+        FROM scored GROUP BY 1
+        """,
+    tags=("graph", "similarity", "link-prediction"),
+)
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity of every edge, as a decile histogram.
+
+    The link-prediction / community-strength primitive: for an edge
+    (p, q), its common-neighbor count is exactly the number of triangles
+    through the edge, and |N(p) ∪ N(q)| \\ {{p, q}} = d(p) + d(q) - 2 - c,
+    so Jaccard needs no neighbor-set materialization at all — just the
+    triangle set unpivoted to its three edges and two degree joins.
+    Exact integer ppm, bucketed to deciles (jac div 100000) so the output
+    is a fixed <=12-row histogram at any scale; den = 0 edges (isolated
+    pairs whose endpoints know only each other) report bucket -1.
+
+    Scale: the q_triangles wedge-closing plan plus one edge-keyed count
+    and a map-side-combined 12-bucket fold. All equi-joins; the unpivot
+    is a union of projections, never a shuffle by itself.
+    """
+    pairs = _copurchase_pairs(spark, sf_dir)
+    deg = _degrees(pairs)
+    tri = _oriented_triangles(pairs, deg)
+    edge_tri = (
+        tri.select(F.col("u").alias("a"), F.col("x").alias("b"))
+        .unionAll(tri.select(F.col("u").alias("a"), F.col("y").alias("b")))
+        .unionAll(tri.select(F.col("x").alias("a"), F.col("y").alias("b")))
+        .select(F.least("a", "b").alias("p"), F.greatest("a", "b").alias("q"))
+        .groupBy("p", "q")
+        .agg(F.count("*").alias("c"))
+    )
+    dp = deg.select(F.col("node").alias("p"), F.col("d").alias("dp"))
+    dq = deg.select(F.col("node").alias("q"), F.col("d").alias("dq"))
+    scored = (
+        pairs.join(edge_tri, ["p", "q"], "left")
+        .join(dp, "p")
+        .join(dq, "q")
+        .select(
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            (F.col("dp") + F.col("dq") - 2 - F.coalesce(F.col("c"), F.lit(0))).alias("den"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.expr(
+                "CAST(CASE WHEN den = 0 THEN -1"
+                " ELSE ((1000000 * c) div den) div 100000 END AS BIGINT)"
+            ).alias("jaccard_decile")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.sum("c").cast("bigint").alias("total_common"),
+        )
+    )

@@ -1130,3 +1130,356 @@ def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("chi2_milli"),
     )
+
+
+@register(
+    "q_gini",
+    oracle="""
+        WITH totals AS (
+          SELECT event_type, user_id,
+                 sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        hist AS (
+          SELECT event_type, cents, CAST(count(*) AS HUGEINT) AS c
+          FROM totals GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT event_type, cents, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - c AS p
+          FROM hist
+        ),
+        folds AS (
+          SELECT event_type,
+                 sum(c)                                        AS n,
+                 sum(CAST(cents AS HUGEINT) * c)               AS sx,
+                 sum(CAST(cents AS HUGEINT)
+                     * (c * p + (c * (c + 1)) // 2))           AS sixi
+          FROM ranked GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT)  AS n_users,
+               CAST(sx AS BIGINT) AS total_cents,
+               CAST((1000000 * (2 * sixi - (n + 1) * sx)) // (n * sx) AS BIGINT)
+                 AS gini_ppm
+        FROM folds
+        """,
+    tags=("behavior", "inequality", "analytic"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-user spend, per event type.
+
+    The inequality / revenue-concentration statistic, via the closed form
+    over the ascending-sorted spend multiset: G = (2*sum(i*x_i) -
+    (n+1)*sum(x)) / (n*sum(x)). Rank-weighted sums never sort users —
+    they fold over the VALUE HISTOGRAM: a spend value v with count c and
+    p users strictly below contributes v * (c*p + c*(c+1)/2), because its
+    block occupies ranks p+1..p+c and equal values make the within-block
+    order irrelevant. Published as exact integer ppm (the q_ab_chi2
+    rational convention), folds in DECIMAL(38,0).
+
+    Scale: one shuffle to user totals, one to the per-type value
+    histogram; the running count is a window partitioned by event_type
+    over distinct spend values — histogram-scale, never user-scale. The
+    q_power_users order-statistic machinery, extended to a full
+    rank-weighted fold.
+    """
+    totals = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id", F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    hist = totals.groupBy("event_type", "cents").agg(
+        F.count("*").cast("decimal(38,0)").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = hist.withColumn("p", F.sum("c").over(w) - F.col("c"))
+    folds = ranked.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("c")).alias("sx"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * (
+                F.col("c") * F.col("p")
+                + F.expr("(c * (c + 1)) div 2").cast("decimal(38,0)")
+            )
+        ).alias("sixi"),
+    )
+    return folds.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("sx").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (2 * sixi - (n + 1) * sx))"
+            " div (n * sx) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+@register(
+    "q_mode",
+    oracle="""
+        WITH counts AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               cents            AS mode_cents,
+               CAST(c AS BIGINT) AS mode_count,
+               CAST((SELECT count(*) FROM counts i
+                     WHERE i.event_type = counts.event_type) AS BIGINT)
+                 AS n_distinct_values
+        FROM counts
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY c DESC, cents ASC) = 1
+        """,
+    tags=("behavior", "aggregate", "mode"),
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent value, smallest on tie.
+
+    SQL's MODE() leaves tie order unspecified — useless for a cross-engine
+    hash gate — so the tie-break is pinned: highest count, then smallest
+    value. One grouped count to the (type, value) histogram, then a
+    single-row-per-group max over struct(count, -value): no second
+    shuffle, no window over raw events.
+
+    Scale: the histogram shuffle is map-side combined; the argmax and the
+    distinct-value count fold in the SAME pass over the histogram, so the
+    whole query is two aggregations end to end, both keyed on event_type.
+    """
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    best = counts.groupBy("event_type").agg(
+        F.max(F.struct(F.col("c"), (-F.col("cents")).alias("neg"))).alias("m"),
+        F.count("*").cast("bigint").alias("n_distinct_values"),
+    )
+    return best.select(
+        "event_type",
+        (-F.col("m.neg")).cast("bigint").alias("mode_cents"),
+        F.col("m.c").cast("bigint").alias("mode_count"),
+        "n_distinct_values",
+    )
+
+
+#: winsorization cut points: clamp at the exact p05 / p95 order statistics
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+        WITH vals AS (
+          SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        hist AS (
+          SELECT event_type, cents, count(*) AS c FROM vals GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT event_type, cents, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM hist
+        ),
+        cuts AS (
+          SELECT event_type,
+                 min(CASE WHEN cum * 100 >= {WINSOR_LO_PCT} * n THEN cents END) AS lo,
+                 min(CASE WHEN cum * 100 >= {WINSOR_HI_PCT} * n THEN cents END) AS hi,
+                 any_value(n) AS n
+          FROM ranked GROUP BY 1
+        )
+        SELECT h.event_type,
+               CAST(c.n AS BIGINT)  AS n_events,
+               c.lo                 AS lo_cents,
+               c.hi                 AS hi_cents,
+               CAST(sum(least(greatest(h.cents, c.lo), c.hi) * h.c) AS BIGINT)
+                 AS winsorized_sum
+        FROM hist h JOIN cuts c ON h.event_type = c.event_type
+        GROUP BY 1, 2, 3, 4
+        """,
+    tags=("behavior", "robust", "aggregate"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) revenue sum per event type.
+
+    The robust-aggregation primitive: clamp every value at the exact
+    p05/p95 order statistics before summing, so a handful of fat-finger
+    values cannot own the metric. Cut points are exact order statistics
+    at rank ceil(pct/100 * n) — found on the value histogram via the
+    integer test cum*100 >= pct*n (no float percentile, no interpolation),
+    the q_power_users threshold idiom. The clamped sum then folds over
+    the SAME histogram (value * count), never re-scanning raw events.
+
+    Scale: one shuffle to the per-type value histogram; running counts are
+    a histogram-scale window partitioned by type; the cuts table is one
+    row per type, broadcast back onto the histogram by AQE.
+    """
+    from pyspark.sql import Window
+
+    vals = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    hist = vals.groupBy("event_type", "cents").agg(F.count("*").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = hist.withColumn("cum", F.sum("c").over(w)).withColumn("n", F.sum("c").over(wn))
+    cuts = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 100 >= WINSOR_LO_PCT * F.col("n"), F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("cum") * 100 >= WINSOR_HI_PCT * F.col("n"), F.col("cents"))).alias("hi"),
+        F.first("n").alias("n"),
+    )
+    return (
+        hist.join(cuts, "event_type")
+        .groupBy(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+        )
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")) * F.col("c")
+            )
+            .cast("bigint")
+            .alias("winsorized_sum")
+        )
+    )
+
+
+def _rfm_cuts_sql(metric: str, hist_src: str) -> str:
+    """SQL CTE pair computing the 4 quintile cut values of ``metric``."""
+    cases = ", ".join(
+        f"min(CASE WHEN cum * 5 >= {k} * n THEN v END) AS c{k}" for k in (1, 2, 3, 4)
+    )
+    return f"""
+        {metric}_cum AS (
+          SELECT v,
+                 sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(c) OVER () AS n
+          FROM (SELECT {hist_src} AS v, count(*) AS c FROM u GROUP BY 1)
+        ),
+        {metric}_cuts AS (SELECT {cases} FROM {metric}_cum)
+    """
+
+
+def _rfm_seg_sql(col: str, cuts: str) -> str:
+    return (
+        f"1 + (CASE WHEN {col} > {cuts}.c1 THEN 1 ELSE 0 END)"
+        + "".join(
+            f" + (CASE WHEN {col} > {cuts}.c{k} THEN 1 ELSE 0 END)" for k in (2, 3, 4)
+        )
+    )
+
+
+@register(
+    "q_rfm_segments",
+    oracle=f"""
+        WITH u AS (
+          SELECT user_id,
+                 max((epoch_ns(ts) // 1000) // {DAY_US})     AS last_day,
+                 count(*)                                    AS freq,
+                 sum(CAST(floor(value * 100) AS BIGINT))     AS cents
+          FROM events GROUP BY user_id
+        ),
+        {_rfm_cuts_sql("r", "last_day").strip()},
+        {_rfm_cuts_sql("f", "freq").strip()},
+        {_rfm_cuts_sql("m", "cents").strip()}
+        SELECT CAST({_rfm_seg_sql("u.last_day", "r_cuts")} AS BIGINT) AS r_seg,
+               CAST({_rfm_seg_sql("u.freq", "f_cuts")} AS BIGINT)     AS f_seg,
+               CAST({_rfm_seg_sql("u.cents", "m_cuts")} AS BIGINT)    AS m_seg,
+               CAST(count(*) AS BIGINT)                               AS n_users,
+               CAST(sum(u.cents) AS BIGINT)                           AS seg_cents
+        FROM u, r_cuts, f_cuts, m_cuts
+        GROUP BY 1, 2, 3
+        """,
+    tags=("behavior", "segmentation", "rfm"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quintile segmentation of the user base.
+
+    The marketing-segmentation classic: each user scored 1-5 on recency
+    (last-active day — 5 = most recent), frequency (event count) and
+    monetary (spend), then the 125-cell segment grid aggregated. Quintile
+    boundaries are EXACT order statistics, not ntile(): cut_k = the
+    smallest metric value whose cumulative user count reaches k*n/5
+    (integer test cum*5 >= k*n), computed on each metric's VALUE HISTOGRAM
+    with the two-phase global_prefix_sum — so equal values always land in
+    the same segment (deterministic under ties, which ntile is not) and
+    no user-scale global sort exists anywhere.
+
+    Scale: one shuffle to per-user metrics; per metric, a histogram
+    shuffle + the prefix-sum range exchange; the three 1-row cut tables
+    broadcast back onto users (the allowlisted 1-row folds). At 1e9 users
+    the heavy tables are the three histograms, each |distinct values|.
+    """
+    from ..operators.prefix import global_prefix_sum
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            _day_index("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_day"),
+            F.count("*").alias("freq"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+    def cuts(metric: str, prefix: str) -> DataFrame:
+        hist = u.groupBy(F.col(metric).alias("v")).agg(F.count("*").alias("c"))
+        summed = global_prefix_sum(hist, [F.col("v")], F.col("c"), "cum")
+        n1 = summed.agg(F.max("cum").alias("n"))
+        return summed.crossJoin(F.broadcast(n1)).agg(
+            *[
+                F.min(F.when(F.col("cum") * 5 >= k * F.col("n"), F.col("v"))).alias(
+                    f"{prefix}{k}"
+                )
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    def seg(col: str, prefix: str):
+        e = F.lit(1)
+        for k in (1, 2, 3, 4):
+            e = e + F.when(F.col(col) > F.col(f"{prefix}{k}"), 1).otherwise(0)
+        return e.cast("bigint")
+
+    with_cuts = (
+        u.crossJoin(F.broadcast(cuts("last_day", "r")))
+        .crossJoin(F.broadcast(cuts("freq", "f")))
+        .crossJoin(F.broadcast(cuts("cents", "m")))
+    )
+    return with_cuts.groupBy(
+        seg("last_day", "r").alias("r_seg"),
+        seg("freq", "f").alias("f_seg"),
+        seg("cents", "m").alias("m_seg"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("seg_cents"),
+    )

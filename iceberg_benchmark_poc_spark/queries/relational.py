@@ -1277,3 +1277,62 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price_cents", "p_size")
     )
+
+
+@register(
+    "q_hhi",
+    oracle=f"""
+        WITH srev AS (
+          SELECT l.l_suppkey, sum({_rev_fp_sql()}) AS rev
+          FROM lineitem l GROUP BY 1
+        ),
+        by_nation AS (
+          SELECT n.n_name AS nation, r.rev
+          FROM srev r
+          JOIN supplier s ON r.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT nation,
+               CAST(count(*) AS BIGINT)  AS n_suppliers,
+               CAST(sum(rev) AS BIGINT)  AS total_rev_fp,
+               CAST((1000000 * sum(rev * rev)) // (sum(rev) * sum(rev)) AS BIGINT)
+                 AS hhi_ppm
+        FROM by_nation GROUP BY nation
+        """,
+    tags=("relational", "concentration", "analytic"),
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per nation.
+
+    The market-concentration diagnostic regulators run on exactly this
+    fact/dim topology: per-supplier revenue shares within each nation,
+    HHI = sum(share_i^2), emitted as exact integer ppm —
+    (1e6 * sum(rev_i^2)) div (sum(rev_i))^2 with revenue in the module's
+    REV_SCALE fixed point, so the squared folds stay in DECIMAL(38,0) and
+    the published ratio is bit-identical cross-engine (the q_ab_chi2
+    rational convention).
+
+    Scale: the only fact-table shuffle is the l_suppkey aggregation
+    (map-side combined to one row per supplier); supplier and nation are
+    broadcast dims, and the HHI fold runs over the supplier-scale table.
+    rev_i^2 at REV_SCALE=1e4 reaches ~1e26 for a 1e9-revenue supplier —
+    far inside DECIMAL(38,0); the bigint cast applies only to the final
+    ppm ratio.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_suppkey", _rev_fp().alias("rev"))
+    srev = l.groupBy("l_suppkey").agg(F.sum("rev").alias("rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        srev.join(F.broadcast(s), srev.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("rev").cast("bigint").alias("total_rev_fp"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(rev * rev))"
+                " div (sum(rev) * sum(rev)) AS BIGINT)"
+            ).alias("hhi_ppm"),
+        )
+    )

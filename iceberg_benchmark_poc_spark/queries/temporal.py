@@ -1004,3 +1004,68 @@ def q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("month_idx", F.expr("cents div 5000000").alias("price_band"))
         .agg(F.count("*").alias("n_orders"), F.sum("cents").alias("band_cents"))
     )
+
+
+@register(
+    "q_burstiness",
+    oracle=f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 (epoch_ns(ts) // 1000) // {HOUR_US} AS hour_idx,
+                 CAST(count(*) AS HUGEINT) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT event_type,
+                 count(*)   AS n,
+                 sum(c)     AS sc,
+                 sum(c * c) AS sc2
+          FROM hourly GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT)  AS n_hours,
+               CAST(sc AS BIGINT) AS n_events,
+               CAST((1000 * (n * sc2 - sc * sc)) // (n * sc) AS BIGINT)
+                 AS fano_milli
+        FROM s
+        """,
+    tags=("temporal", "dispersion", "analytic"),
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of hourly event arrivals, per event type.
+
+    The index of dispersion var/mean over the hourly count series — the
+    traffic-shape diagnostic separating Poisson-like arrivals (~1) from
+    bursty ones (>1). Published in exact integer milli-units via the
+    moment identity var/mean = (n*sum(c^2) - sum(c)^2) / (n*sum(c)):
+    population variance over observed hours, no float anywhere, HUGEINT/
+    DECIMAL(38,0) folds on both engines (the q_trend_ols convention).
+
+    Scale: one map-side-combined aggregation collapses raw events to the
+    |types| x |hours| grid; the moment fold runs over that metadata-scale
+    table. Hour bucketing is exact integer arithmetic on epoch-micros.
+    """
+    from ..core.io import epoch_micros
+
+    e = load_table(spark, sf_dir, "events")
+    em = epoch_micros("ts")
+    hour = F.lit(HOUR_US)
+    hourly = (
+        e.select("event_type", ((em - F.pmod(em, hour)) / hour).cast("bigint").alias("hour_idx"))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    )
+    s = hourly.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("sc").cast("bigint").alias("n_events"),
+        F.expr(
+            "CAST((CAST(1000 AS DECIMAL(38,0)) * (n * sc2 - sc * sc))"
+            " div (n * sc) AS BIGINT)"
+        ).alias("fano_milli"),
+    )

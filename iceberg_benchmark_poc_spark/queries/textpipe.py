@@ -2383,3 +2383,148 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(inter * 1000000) div (na + nb - inter)").alias("jaccard_ppm"),
         )
     )
+
+
+@register(
+    "q_zipf_slope",
+    oracle=r"""
+        WITH words AS (
+          SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents
+        ),
+        tf AS (
+          SELECT w AS term, count(*) AS tf
+          FROM (SELECT unnest(ws) AS w FROM words) GROUP BY 1
+        ),
+        pts AS (
+          SELECT length(bin(row_number() OVER (ORDER BY tf DESC, term ASC))) - 1 AS x,
+                 length(bin(tf)) - 1 AS y
+          FROM tf
+        ),
+        s AS (
+          SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts
+        )
+        SELECT CAST(n AS BIGINT)                 AS n_terms,
+               CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+                 AS slope_milli
+        FROM s
+        """,
+    tags=("text", "statistics", "zipf"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus term-frequency distribution.
+
+    The corpus-health statistic (natural text follows rank-frequency
+    slope ~ -1; boilerplate-heavy or synthetic corpora drift off it):
+    OLS slope of log2(tf) against log2(rank) over the full vocabulary,
+    in EXACT integer arithmetic — floor(log2(k)) is length(bin(k)) - 1,
+    a string-length identity both engines share, so no float log ever
+    runs and the slope ships as the exact rational (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2) plus its milli-units quotient (q_trend_ols
+    convention, truncating div identical on both engines).
+
+    Scale: one exploded scan folds the corpus to the vocabulary (map-side
+    combined); the rank window orders the VOCABULARY, which is
+    metadata-scale relative to the corpus (the q_tfidf_terms premise) —
+    the allowlisted global sort — and the moment fold is one row out.
+    """
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    pts = tf.select(
+        (F.length(F.bin(F.row_number().over(w))) - 1).cast("bigint").alias("x"),
+        (F.length(F.bin(F.col("tf"))) - 1).cast("bigint").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("bigint").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("bigint").alias("slope_den"),
+        F.expr("CAST((1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)").alias(
+            "slope_milli"
+        ),
+    )
+
+
+#: BPE-ish token estimate: alpha/digit runs count ceil(len/4) tokens each,
+#: every other non-space character is its own token — the byte-pair
+#: heuristic behind training-cost estimates when no tokenizer ships with
+#: the engine (~4 chars/token for English-like text)
+TOKEN_PIECE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "q_token_stats",
+    oracle=rf"""
+        WITH pieces AS (
+          SELECT lang, source,
+                 regexp_extract_all(text, '{TOKEN_PIECE_RE}') AS ps
+          FROM documents
+        ),
+        per_doc AS (
+          SELECT lang, source,
+                 len(ps) AS n_pieces,
+                 coalesce(list_sum(list_transform(ps, p -> (length(p) + 3) // 4)), 0)
+                   AS n_bpe
+          FROM pieces
+        )
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT)      AS n_docs,
+               CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+               CAST(sum(n_bpe) AS BIGINT)    AS total_bpe_tokens,
+               CAST(max(n_bpe) AS BIGINT)    AS max_doc_bpe
+        FROM per_doc GROUP BY 1, 2
+        """,
+    tags=("text", "tokens", "llm"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-free training-cost estimate: BPE-ish token counts per corpus slice.
+
+    The budget question every pretraining run starts with — how many
+    tokens is this corpus? — answered without shipping a tokenizer:
+    word/number runs count ceil(len/4) tokens (the ~4-chars-per-token
+    heuristic), every other non-space character one token, via a single
+    regexp piece extraction. Aggregated per (lang, source) — the mixture
+    axes a data curator budgets over.
+
+    Scale: map-only until the final metadata-scale groupBy — the piece
+    array is bound as a column ONCE per document and folded with a
+    higher-order aggregate (no explode, no per-piece rows ever
+    materialize; the lambda carries only length arithmetic per the
+    module's expensive-expression rule).
+    """
+    d = _docs(spark, sf_dir)
+    pieces = d.select(
+        "lang",
+        "source",
+        F.expr(f"regexp_extract_all(text, '{TOKEN_PIECE_RE}', 0)").alias("ps"),
+    )
+    per_doc = pieces.select(
+        "lang",
+        "source",
+        F.size("ps").cast("bigint").alias("n_pieces"),
+        F.coalesce(
+            F.expr("aggregate(ps, 0L, (a, p) -> a + (length(p) + 3) div 4)"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.max("n_bpe").cast("bigint").alias("max_doc_bpe"),
+    )

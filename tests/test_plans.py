@@ -142,6 +142,7 @@ GLOBAL_SORT_ALLOWLIST = {
     "q_corpus_select": "prefix-sum totals table: one row per range partition",
     "q_equidepth_hist": "prefix-sum totals table: one row per range partition",
     "q_power_users": "prefix-sum totals table: one row per range partition",
+    "q_rfm_segments": "prefix-sum totals tables (3 metric histograms): one row per range partition",
     "q_shard_pack": "prefix-sum totals table: one row per range partition",
     "q_dv_positional_join": "manifest entries (reference positional semantics)",
     "q_growth": "commit log",
@@ -154,6 +155,7 @@ GLOBAL_SORT_ALLOWLIST = {
     "q_spill_policy": "MDV policy set (reference bin-pack semantics)",
     "q_zorder": "file/row-group stats",
     "q_skyline": "prefix-max offsets table: one row per range partition",
+    "q_zipf_slope": "vocabulary rank window: metadata-scale relative to the corpus",
 }
 
 
@@ -373,6 +375,7 @@ BNLJ_ALLOWED = {
     "q_spill_policy",    # scalar cap remaining after must-inline
     "q_autocorr",        # 2-row lag list crossed with the metadata-scale daily table
     "q_churn",           # 1-row final-week span fold broadcast to the activity pairs
+    "q_rfm_segments",    # three 1-row quintile-cut folds broadcast to user metrics
     "q_zorder",          # scalar file-count normalizer
     "q_benford",         # one-row grand-total fold broadcast to the 9-digit table
 }
