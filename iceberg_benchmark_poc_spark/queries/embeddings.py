@@ -962,3 +962,57 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vecs"),
         F.sum(F.expr(f"d div {1 << 20}")).cast("bigint").alias("inertia_fp"),
     )
+
+
+@register(
+    "q_embed_norms",
+    oracle=f"""
+        WITH n2 AS (
+          SELECT vec_id, label,
+                 SUM(xq * xq) AS norm2
+          FROM (SELECT vec_id, label,
+                       CAST(floor(CAST(x AS DOUBLE) * {float(QUANT_SCALE)}) AS BIGINT) AS xq
+                FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings))
+          GROUP BY 1, 2
+        )
+        SELECT label,
+               CAST(length(bin(norm2)) - 1 AS BIGINT) AS norm2_log2,
+               CAST(count(*) AS BIGINT)               AS n_vecs,
+               CAST(sum(norm2) AS BIGINT)             AS sum_norm2
+        FROM n2 GROUP BY 1, 2
+        """,
+    tags=("embeddings", "profiling"),
+)
+def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm distribution per label, as a power-of-2 histogram.
+
+    The vector-health profile run before any ANN build: un-normalized or
+    degenerate (near-zero) embeddings show up as stray norm buckets, and
+    per-label norm drift flags an encoder version mix. Norms are exact
+    bigint squared magnitudes of the 2^-20 fixed-point vectors (the
+    module's quantization), bucketed by floor(log2) via the
+    length(bin(k))-1 string identity (the q_zipf_slope trick) — no sqrt,
+    no float anywhere.
+
+    Scale: map-only per-vector fold (expression-level aggregate inside
+    codegen, no explode) down to a |labels| x ~64-bucket grid, then one
+    metadata-scale groupBy. At any corpus size the shuffle carries only
+    the grid.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    xq = quantize(F.col("embedding"))
+    n2 = e.select(
+        "label",
+        F.aggregate(
+            F.zip_with(xq, xq, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("norm2"),
+    )
+    return n2.groupBy(
+        "label",
+        (F.length(F.bin(F.col("norm2"))) - 1).cast("bigint").alias("norm2_log2"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("norm2").cast("bigint").alias("sum_norm2"),
+    )

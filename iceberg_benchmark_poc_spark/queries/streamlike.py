@@ -425,3 +425,128 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_events(
         load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
     )
+
+
+#: windowed leaderboard depth for q_stream_topk
+STREAM_TOPK_K = 3
+
+
+@register(
+    "q_stream_topk",
+    oracle=f"""
+        WITH counts AS (
+          SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS window_start,
+                 event_type,
+                 count(*) AS n_events
+          FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n_events DESC, event_type ASC)
+                    AS BIGINT) AS rank
+        FROM counts
+        QUALIFY row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type ASC)
+                <= {STREAM_TOPK_K}
+        """,
+    tags=("streaming", "window-agg", "topk"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-K leaderboard: the K busiest event types each hour.
+
+    The trending-now streaming shape (in Structured Streaming this is the
+    tumbling-window aggregate feeding a rank in foreachBatch; the batch
+    twin ranks directly). Tie order is pinned (count desc, type asc) so
+    the leaderboard is a deterministic value.
+
+    Scale: raw events collapse to the |windows| x |types| grid in one
+    map-side-combined aggregation; the rank window partitions BY WINDOW
+    over that metadata-scale grid — never a global sort, never raw
+    events. Output is at most K rows per window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= STREAM_TOPK_K)
+        .select(
+            "window_start",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@register(
+    "q_user_overlap",
+    oracle="""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b,
+               CAST(p.n_both AS BIGINT) AS n_both,
+               CAST(sa.n AS BIGINT)     AS n_a,
+               CAST(sb.n AS BIGINT)     AS n_b,
+               CAST((1000000 * p.n_both) // (sa.n + sb.n - p.n_both) AS BIGINT)
+                 AS jaccard_ppm
+        FROM pairs p
+        JOIN sizes sa ON p.type_a = sa.event_type
+        JOIN sizes sb ON p.type_b = sb.event_type
+        """,
+    tags=("behavior", "set-similarity", "audience"),
+)
+def q_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: exact Jaccard per type pair.
+
+    The audience-segmentation question (do clickers also purchase?) as
+    exact set similarity: distinct (user, type) pairs self-join on
+    user_id, pair co-counts over the |types| choose 2 grid, Jaccard in
+    exact integer ppm via |A∩B| / (|A| + |B| - |A∩B|).
+
+    Scale: the distinct shrink happens BEFORE the self-join (the
+    q_retention idiom); the join fans each user out to at most
+    |types| choose 2 rows — types is a small fixed set, so the
+    intermediate is O(users), and the per-type sizes table is broadcast
+    back onto the metadata-scale pair grid.
+    """
+    ut = load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sizes = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("CAST((1000000 * n_both) div (n_a + n_b - n_both) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

@@ -2528,3 +2528,95 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
         F.max("n_bpe").cast("bigint").alias("max_doc_bpe"),
     )
+
+
+@register(
+    "q_charclass_profile",
+    oracle=r"""
+        WITH per_doc AS (
+          SELECT lang,
+                 length(text) AS total,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                 length(regexp_replace(text, '[^0-9]', '', 'g'))    AS digit,
+                 length(regexp_replace(text, '[^ ]', '', 'g'))      AS space
+          FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT)    AS n_docs,
+               CAST(sum(total) AS BIGINT)  AS total_chars,
+               CAST(sum(alpha) AS BIGINT)  AS alpha_chars,
+               CAST(sum(digit) AS BIGINT)  AS digit_chars,
+               CAST(sum(space) AS BIGINT)  AS space_chars,
+               CAST(sum(total - alpha - digit - space) AS BIGINT) AS other_chars
+        FROM per_doc GROUP BY lang
+        """,
+    tags=("text", "profiling", "quality"),
+)
+def q_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition of the corpus, per language.
+
+    The encoding/quality audit upstream of every text filter: per-lang
+    totals of alphabetic, digit, space and other characters. A lang slice
+    whose other_chars share spikes is mojibake, markup, or mis-tagged —
+    caught before it pollutes lang-conditional filters. Counts come from
+    length-of-stripped-string identities (length(regexp_replace(., class,
+    ''))) evaluated identically by both engines; `other` is derived by
+    subtraction so the four classes always sum to total.
+
+    Scale: map-only regexp work inside codegen, one metadata-scale
+    groupBy(lang) — the shuffle carries |langs| rows of longs.
+    """
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang",
+        F.length("text").cast("bigint").alias("total"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("bigint").alias("alpha"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("bigint").alias("digit"),
+        F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).cast("bigint").alias("space"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("total").cast("bigint").alias("total_chars"),
+        F.sum("alpha").cast("bigint").alias("alpha_chars"),
+        F.sum("digit").cast("bigint").alias("digit_chars"),
+        F.sum("space").cast("bigint").alias("space_chars"),
+        F.sum(F.col("total") - F.col("alpha") - F.col("digit") - F.col("space"))
+        .cast("bigint")
+        .alias("other_chars"),
+    )
+
+
+@register(
+    "q_doc_length_hist",
+    oracle="""
+        SELECT source,
+               CAST(length(bin(n_chars)) - 1 AS BIGINT) AS len_log2,
+               CAST(count(*) AS BIGINT)                 AS n_docs,
+               CAST(sum(n_chars) AS BIGINT)             AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+        """,
+    tags=("text", "profiling"),
+)
+def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source, as a power-of-2 histogram.
+
+    The corpus shape report behind every min/max-length filter decision:
+    per-source doc counts and char mass by floor(log2(length)) bucket —
+    a source whose mass sits in tiny buckets is fragments, one with a fat
+    huge-bucket tail is concatenation junk. Buckets via the exact
+    length(bin(k))-1 identity (q_zipf_slope); uses the fixture's n_chars
+    column so the scan never touches text bytes at all.
+
+    Scale: one map-side-combined groupBy over (source, bucket) — the
+    cheapest query in the text band by design (metadata-only profiling
+    should cost metadata).
+    """
+    d = _docs(spark, sf_dir)
+    return d.groupBy(
+        "source",
+        (F.length(F.bin(F.col("n_chars"))) - 1).cast("bigint").alias("len_log2"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
