@@ -634,6 +634,10 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
     )
     a, b = li.alias("a"), li.alias("b")
+    # lazy localCheckpoint (q_pagerank pattern): the edge set feeds the
+    # degree build, the orientation join and the wedge-closing join in one
+    # plan — without the cut the lineitem self-join + distinct re-executes
+    # per consumer
     return (
         a.join(
             b,
@@ -642,6 +646,7 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
 
