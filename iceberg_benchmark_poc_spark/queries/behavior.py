@@ -1483,3 +1483,55 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("cents").cast("bigint").alias("seg_cents"),
     )
+
+
+@register(
+    "q_order_gap_stats",
+    oracle="""
+        WITH em AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS t, event_id FROM events
+        ),
+        gaps AS (
+          SELECT t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                   AS gap_us
+          FROM em
+        )
+        SELECT CAST(length(bin(gap_us)) - 1 AS BIGINT) AS gap_log2,
+               CAST(count(*) AS BIGINT)                AS n_gaps,
+               CAST(sum(gap_us) AS BIGINT)             AS total_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY 1
+        """,
+    tags=("behavior", "temporal", "inter-arrival"),
+)
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile: power-of-2 histogram of per-user event gaps.
+
+    The activity-rhythm diagnostic complementing q_burstiness (which
+    profiles the aggregate hourly series, not individual spacing):
+    consecutive-event gaps within each user's stream, bucketed by
+    floor(log2(gap_us)) via the exact length(bin(k))-1 identity. Seconds
+    live around bucket 20, hours around 32, days around 36 — a bimodal
+    histogram is sessions + returns, a fat low tail is bot bursts.
+
+    Scale: the lag window partitions BY USER (horizontal), ordered by the
+    composite (ts, event_id) key so equal timestamps rank
+    deterministically; gaps then collapse to a <=64-row histogram in one
+    map-side-combined pass. Timestamps compare as microseconds (module
+    convention).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", epoch_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = e.select((F.col("t") - F.lag("t").over(w)).alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy(
+        (F.length(F.bin(F.col("gap_us"))) - 1).cast("bigint").alias("gap_log2")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.sum("gap_us").cast("bigint").alias("total_gap_us"),
+    )

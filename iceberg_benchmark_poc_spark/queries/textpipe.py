@@ -2620,3 +2620,88 @@ def q_doc_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+#: keyness support floor: a term must appear this often in the slice to rank
+KEYNESS_MIN_TF = 5
+KEYNESS_TOP_K = 5
+
+
+@register(
+    "q_keyness_terms",
+    oracle=rf"""
+        WITH words AS (
+          SELECT lang, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        ),
+        uni AS (SELECT lang, unnest(ws) AS w FROM words),
+        tfl AS (SELECT lang, w AS term, count(*) AS tf_l FROM uni GROUP BY 1, 2),
+        tfc AS (SELECT term, sum(tf_l) AS tf_c FROM tfl GROUP BY 1),
+        ll  AS (SELECT lang, sum(tf_l) AS l_tokens FROM tfl GROUP BY 1),
+        tot AS (SELECT sum(tf_l) AS t_tokens FROM tfl),
+        scored AS (
+          SELECT f.lang, f.term,
+                 CAST(f.tf_l AS BIGINT) AS tf_l,
+                 CAST(c.tf_c AS BIGINT) AS tf_c,
+                 CAST((1000000 * CAST(f.tf_l AS HUGEINT) * t.t_tokens)
+                      // (CAST(c.tf_c AS HUGEINT) * l.l_tokens) AS BIGINT)
+                   AS keyness_ppm
+          FROM tfl f
+          JOIN tfc c ON f.term = c.term
+          JOIN ll l ON f.lang = l.lang
+          CROSS JOIN tot t
+          WHERE f.tf_l >= {KEYNESS_MIN_TF}
+        )
+        SELECT lang, term, tf_l, tf_c, keyness_ppm,
+               CAST(row_number() OVER (PARTITION BY lang
+                                       ORDER BY keyness_ppm DESC, term ASC)
+                    AS BIGINT) AS rank
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY lang
+                                   ORDER BY keyness_ppm DESC, term ASC)
+                <= {KEYNESS_TOP_K}
+        """,
+    tags=("text", "keyness", "statistics"),
+)
+def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per language slice: top-K terms by keyness lift.
+
+    The corpus-linguistics keyness measure (and the practical mis-tag
+    detector — an English slice whose top keyness terms look French is
+    mislabeled): lift = P(term | lang) / P(term | corpus) as the exact
+    integer ppm rational (1e6 * tf_l * T) div (tf_c * L), support-floored,
+    top-K per lang with pinned tie order. All counts fold in
+    DECIMAL(38,0) so the ratio cannot overflow at corpus scale.
+
+    Scale: one exploded scan to the (lang, term) table (map-side
+    combined); corpus term totals re-aggregate the vocabulary, lang
+    totals broadcast, the corpus total is the allowlisted 1-row fold;
+    the rank window partitions BY LANG over the support-floored
+    vocabulary — never raw tokens.
+    """
+    d = _docs(spark, sf_dir)
+    uni = d.select("lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+    tfl = uni.groupBy("lang", "term").agg(F.count("*").alias("tf_l"))
+    tfc = tfl.groupBy("term").agg(F.sum("tf_l").alias("tf_c"))
+    ll = tfl.groupBy("lang").agg(F.sum("tf_l").alias("l_tokens"))
+    tot = tfl.agg(F.sum("tf_l").cast("decimal(38,0)").alias("t_tokens"))
+    scored = (
+        tfl.filter(F.col("tf_l") >= KEYNESS_MIN_TF)
+        .join(tfc, "term")
+        .join(F.broadcast(ll), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "term",
+            F.col("tf_l").cast("bigint").alias("tf_l"),
+            F.col("tf_c").cast("bigint").alias("tf_c"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * tf_l * t_tokens)"
+                " div (CAST(tf_c AS DECIMAL(38,0)) * l_tokens) AS BIGINT)"
+            ).alias("keyness_ppm"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("keyness_ppm"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KEYNESS_TOP_K)
+    )

@@ -378,6 +378,7 @@ BNLJ_ALLOWED = {
     "q_rfm_segments",    # three 1-row quintile-cut folds broadcast to user metrics
     "q_zorder",          # scalar file-count normalizer
     "q_benford",         # one-row grand-total fold broadcast to the 9-digit table
+    "q_keyness_terms",   # one-row corpus-token-total fold broadcast to the vocabulary
 }
 
 
