@@ -17,7 +17,7 @@ provides both halves natively:
 from .dedup_join import attribution_join, attribution_join_outer, dedup_events, enrich_events
 from .ingest import micro_batch_commit_metrics, split_events_for_streaming, stream_events
 from .stateful import value_threshold_monitor
-from .windows import session_totals, sliding_totals, tumbling_counts
+from .windows import session_totals, sliding_totals, topk_of_counts, tumbling_counts, windowed_type_counts
 
 __all__ = [
     "stream_events",
@@ -26,6 +26,8 @@ __all__ = [
     "tumbling_counts",
     "sliding_totals",
     "session_totals",
+    "windowed_type_counts",
+    "topk_of_counts",
     "value_threshold_monitor",
     "dedup_events",
     "attribution_join",

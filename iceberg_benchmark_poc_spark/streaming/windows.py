@@ -94,3 +94,41 @@ def session_totals(events: DataFrame, watermark: str | None = None) -> DataFrame
         )
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
     )
+
+
+def windowed_type_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Per-(1-hour window, event_type) counts — the aggregation half of the
+    top-K leaderboard (streaming twin of q_stream_topk's first stage).
+
+    Ranking is NOT streaming-expressible (a rank over an open window would
+    re-order on every update), so the leaderboard splits into the
+    incremental windowed aggregation (this function — runs identically on
+    batch and stream) and ``topk_of_counts`` applied to each emitted
+    result set, exactly the foreachBatch-rank production pattern.
+    """
+    e = _with_watermark(events, watermark)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def topk_of_counts(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank a (window_start, event_type, n_events) table to the top-K per
+    window with pinned tie order (count desc, type asc) — the batch-side
+    finisher of the streaming leaderboard; identical to q_stream_topk's
+    rank stage."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "window_start",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

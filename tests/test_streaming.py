@@ -19,7 +19,9 @@ from iceberg_benchmark_poc_spark.streaming import (
     sliding_totals,
     split_events_for_streaming,
     stream_events,
+    topk_of_counts,
     tumbling_counts,
+    windowed_type_counts,
 )
 
 from .conftest import SF_DIR, rows_to_key
@@ -59,6 +61,22 @@ def test_sliding_stream_matches_batch(spark, stream_src):
     batch = sliding_totals(load_table(spark, SF_DIR, "events"))
     stream = _run_stream(spark, sliding_totals(stream_events(spark, src)), "complete")
     _assert_same(batch, stream)
+
+
+def test_topk_stream_matches_batch_and_registered_query(spark, stream_src):
+    """The leaderboard splits into a streaming windowed count + a batch rank
+    (foreachBatch pattern); the composition must equal both the all-batch
+    path and the registered q_stream_topk query."""
+    from iceberg_benchmark_poc_spark.core.registry import all_queries
+
+    src, _ = stream_src
+    batch_counts = windowed_type_counts(load_table(spark, SF_DIR, "events"))
+    stream_counts = _run_stream(
+        spark, windowed_type_counts(stream_events(spark, src)), "complete"
+    )
+    _assert_same(topk_of_counts(batch_counts), topk_of_counts(stream_counts))
+    registered = all_queries()["q_stream_topk"].fn(spark, SF_DIR)
+    _assert_same(topk_of_counts(stream_counts), registered)
 
 
 def test_session_stream_matches_batch(spark, stream_src):
