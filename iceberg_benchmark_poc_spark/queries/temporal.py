@@ -1069,3 +1069,41 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * sc) AS BIGINT)"
         ).alias("fano_milli"),
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS grouping_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,0))) AS BIGINT) AS sum_qty
+FROM {lineitem}
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+@register(
+    "q_grouping_sets",
+    oracle=_GROUPING_SETS_SQL.format(lineitem="lineitem"),
+    tags=("sql", "aggregate", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a mixed, non-hierarchical set list.
+
+    q_rollup and q_cube cover the two canned expansions; this covers the
+    general form — ((flag, status), (status), ()) is neither a rollup of
+    the column list (the middle set drops the LEADING column) nor a cube
+    (no (flag) marginal) — submitted through the SQL front door (the
+    q_late_orders pattern) because GROUPING SETS has no DataFrame-API
+    equivalent. grouping_id disambiguates the NULL-as-ALL rows from real
+    NULLs, identical on both engines; quantities fold at DECIMAL(38,0).
+
+    Scale: Catalyst expands the sets into ONE Expand + single hash
+    aggregate (3 output streams from one scan — not three scans, the
+    whole point of the operator); the shuffle carries the expanded
+    grouping keys, all map-side combined.
+    """
+    lv = "q_grouping_sets_lineitem"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(lv)
+    return spark.sql(_GROUPING_SETS_SQL.format(lineitem=lv))
