@@ -1535,3 +1535,79 @@ def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_gaps"),
         F.sum("gap_us").cast("bigint").alias("total_gap_us"),
     )
+
+
+@register(
+    "q_funnel_ttc",
+    oracle=f"""
+        WITH s1 AS (
+          SELECT user_id, min(epoch_ns(ts) // 1000) AS t1
+          FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t2
+          FROM events e JOIN s1 ON s1.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) // 1000 > s1.t1
+            AND epoch_ns(e.ts) // 1000 <= s1.t1 + {FUNNEL_WINDOW_US}
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(epoch_ns(e.ts) // 1000) AS t3
+          FROM events e JOIN s2 ON s2.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 > s2.t2
+            AND epoch_ns(e.ts) // 1000 <= s2.t2 + {FUNNEL_WINDOW_US}
+          GROUP BY e.user_id
+        )
+        SELECT CAST(length(bin(s3.t3 - s1.t1)) - 1 AS BIGINT) AS ttc_log2,
+               CAST(count(*) AS BIGINT)                       AS n_users,
+               CAST(sum(s3.t3 - s1.t1) AS BIGINT)             AS total_ttc_us
+        FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+        GROUP BY 1
+        """,
+    tags=("behavior", "funnel", "latency"),
+)
+def q_funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for completed funnels, as a log2 histogram.
+
+    The latency half of q_funnel (which counts stage survivors but says
+    nothing about HOW LONG conversion takes): for every user completing
+    view -> click -> purchase under the same 48-hour stage windows, the
+    view-to-purchase span bucketed by floor(log2(micros)) via the exact
+    length(bin(k))-1 identity. Minutes sit near bucket 25, hours near 32,
+    the two-day ceiling at 37 — the curve product teams read before
+    changing checkout flow.
+
+    Scale: identical staged-aggregation plan to q_funnel (three
+    user_id-keyed hash aggs, each stage's input strictly smaller), plus
+    one user-keyed join of the survivors back to their start times and a
+    <=40-row histogram fold.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(epoch_micros("ts")).alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", epoch_micros("ts").alias("tc"))
+        .join(s1, "user_id")
+        .filter((F.col("tc") > F.col("t1")) & (F.col("tc") <= F.col("t1") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("tc").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", epoch_micros("ts").alias("tp"))
+        .join(s2, "user_id")
+        .filter((F.col("tp") > F.col("t2")) & (F.col("tp") <= F.col("t2") + FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("t3"))
+    )
+    ttc = s3.join(s1, "user_id").select((F.col("t3") - F.col("t1")).alias("ttc_us"))
+    return ttc.groupBy(
+        (F.length(F.bin(F.col("ttc_us"))) - 1).cast("bigint").alias("ttc_log2")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("ttc_us").cast("bigint").alias("total_ttc_us"),
+    )

@@ -1016,3 +1016,66 @@ def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vecs"),
         F.sum("norm2").cast("bigint").alias("sum_norm2"),
     )
+
+
+@register(
+    "q_label_separation",
+    oracle=f"""
+        WITH comp AS (
+          SELECT label,
+                 unnest(range(1, len(embedding) + 1)) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {float(QUANT_SCALE)}) AS BIGINT)
+                   AS xq
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT label, dim,
+                 SUM(xq) // count(*) AS cmean_fp
+          FROM comp GROUP BY 1, 2
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(SUM(a.cmean_fp * b.cmean_fp) AS BIGINT) AS dot_fp
+        FROM cent a JOIN cent b
+          ON a.dim = b.dim AND a.label <= b.label
+        GROUP BY 1, 2
+        """,
+    tags=("embeddings", "diagnostics", "clustering"),
+)
+def q_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-centroid separation matrix: pairwise dot products of class means.
+
+    The classifier-health audit over an embedding corpus: per-label mean
+    vectors (the kmeans convention — truncated-integer components over
+    2^-20 fixed point, so every engine computes the identical centroid),
+    then every pairwise dot product including the diagonal self-dots —
+    enough to reconstruct every pairwise cosine exactly. Two labels whose
+    off-diagonal dot approaches their self-dots are not separable; the
+    audit that decides whether the label column is worth training on.
+
+    Scale: the centroid build is one map-side-combined aggregation over
+    the exploded (label, dim) grid; everything after runs on the
+    |labels| x dims table (metadata scale), so the pairwise join is
+    broadcast-sized by construction. dot_fp stays ~2^45 for unit-norm
+    2^-20 vectors — far inside BIGINT.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        F.posexplode(quantize(F.col("embedding"))).alias("dim0", "xq"),
+    )
+    # lazy localCheckpoint (the _copurchase_pairs pattern): cent feeds both
+    # sides of the pairwise self-join — without the cut the corpus-scale
+    # explode + aggregation executes twice
+    cent = (
+        comp.groupBy("label", F.col("dim0").alias("dim"))
+        .agg(F.expr("SUM(xq) div count(*)").alias("cmean_fp"))
+        .localCheckpoint(eager=False)
+    )
+    a = cent.select(F.col("label").alias("label_a"), "dim", F.col("cmean_fp").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "dim", F.col("cmean_fp").alias("cb"))
+    return (
+        a.join(b, "dim")
+        .filter(F.col("label_a") <= F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot_fp"))
+    )
