@@ -1074,6 +1074,17 @@ def suite_text_index(spark: SparkSession, sf_dir: str, tmp_dir: str, n_probes: i
     probe_terms = [
         row["term"] for row in ranked.filter(((F.col("r") - 1) % stride) == 0).limit(n_probes).collect()
     ]
+    if not probe_terms:  # empty vocabulary (degenerate fixture) — skip, don't IndexError
+        return {
+            "n_docs": int(n_docs),
+            "n_terms": int(n_terms),
+            "index_build_ms": round(build_ms, 1),
+            "probe_p50_ms": None,
+            "probe_max_ms": None,
+            "n_probes": 0,
+            "bm25_score_ms": None,
+            "skipped": "empty vocabulary — no probe terms",
+        }
     # warm the reader path once so probe walls are steady-state
     index.filter(F.col("term") == probe_terms[0]).collect()
     probe_walls = []

@@ -1012,11 +1012,14 @@ def q_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (the fixture's every user purchases at least once, so presence alone is
 #: degenerate; the bar sits at the corpus median so both cells populate)
 AB_CONVERT_MIN_PURCHASES = 14
-#: exactness ceiling for the integer chi-square: the numerator n*(ad-bc)^2
-#: grows ~n^5/16, and decimal(38,0) holds ~1e38, so past ~1e8 distinct users
-#: Spark would silently overflow to NULL while DuckDB's HUGEINT errors
-#: loudly (r06 advice). The query raises loudly on both engines instead.
-AB_CHI2_MAX_USERS = 100_000_000
+#: exactness ceiling for the integer chi-square. The staged-division form
+#: (see q_ab_chi2) never materializes n*(ad-bc)^2 — its largest intermediate
+#: is diff^2 <= (n^2/4)^2 and its largest quotient is q <= den2 <= n^2/4 —
+#: so exactness holds while n^2/4 stays under bigint (9.2e18): n <= 6e9.
+#: (r07 advice: the old single-expression form silently overflowed
+#: decimal(38,0) at ~1.7e7 users despite a 1e8 guard.) Past the ceiling the
+#: query still raises loudly rather than NULLing the statistic.
+AB_CHI2_MAX_USERS = 6_000_000_000
 
 
 @register(
@@ -1036,23 +1039,34 @@ AB_CHI2_MAX_USERS = 100_000_000
             CAST(count(*) FILTER (variant = 1 AND converted = 0) AS HUGEINT) AS v1_miss,
             CAST(count(*) FILTER (variant = 1 AND converted = 1) AS HUGEINT) AS v1_conv
           FROM u
+        ),
+        staged AS (
+          SELECT *,
+                 (v0_miss + v0_conv + v1_miss + v1_conv)      AS n,
+                 (v0_miss * v1_conv - v0_conv * v1_miss)      AS diff,
+                 (v0_miss + v0_conv) * (v1_miss + v1_conv)    AS den1,
+                 (v0_miss + v1_miss) * (v0_conv + v1_conv)    AS den2
+          FROM cells
+        ),
+        divd AS (
+          -- staged exact division: floor(1000*n*diff^2 / (den1*den2)) with no
+          -- intermediate above n^2/4 squared — identical staging to the Spark
+          -- side so truncation points match bit-for-bit
+          SELECT *,
+                 (diff * diff) // den1            AS q1,
+                 (diff * diff) %  den1            AS r1
+          FROM staged
         )
         SELECT CAST(v0_miss AS BIGINT) AS v0_miss,
                CAST(v0_conv AS BIGINT) AS v0_conv,
                CAST(v1_miss AS BIGINT) AS v1_miss,
                CAST(v1_conv AS BIGINT) AS v1_conv,
-               CAST((v0_miss + v0_conv + v1_miss + v1_conv)
-                    * (v0_miss * v1_conv - v0_conv * v1_miss)
-                    * (v0_miss * v1_conv - v0_conv * v1_miss) AS VARCHAR) AS chi2_num,
-               CAST((v0_miss + v0_conv) * (v1_miss + v1_conv)
-                    * (v0_miss + v1_miss) * (v0_conv + v1_conv) AS VARCHAR) AS chi2_den,
-               CAST((1000 * (v0_miss + v0_conv + v1_miss + v1_conv)
-                     * (v0_miss * v1_conv - v0_conv * v1_miss)
-                     * (v0_miss * v1_conv - v0_conv * v1_miss))
-                    // ((v0_miss + v0_conv) * (v1_miss + v1_conv)
-                        * (v0_miss + v1_miss) * (v0_conv + v1_conv)) AS BIGINT)
+               CAST(diff AS BIGINT) AS chi2_diff,
+               CAST(den1 AS BIGINT) AS chi2_den1,
+               CAST(den2 AS BIGINT) AS chi2_den2,
+               CAST((1000 * n * q1 + (1000 * n * r1) // den1) // den2 AS BIGINT)
                  AS chi2_milli
-        FROM cells
+        FROM divd
         """,
     tags=("behavior", "ab-test", "chi2"),
 )
@@ -1063,13 +1077,18 @@ def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the deterministic assignment), mark conversion at the purchase-count
     bar, and emit the full contingency table plus Pearson's chi-square as
     an exact integer rational — chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
-    — with numerator and denominator as decimal strings (exact at any
-    count the fixture can reach; the published milli-chi2 uses truncating
-    integer division, identical on both engines). No floats anywhere, so
-    the verdict cannot flip on evaluation order. Exactness holds up to
-    AB_CHI2_MAX_USERS (~1e8) distinct users; past it the query raises
-    loudly (matching DuckDB's HUGEINT overflow error) instead of letting
-    Spark's decimal(38,0) silently NULL the statistic.
+    — published as its three bounded factors (diff, den1, den2; each fits
+    bigint below the ceiling) plus a truncating milli-chi2. The division
+    is STAGED so the n*(ad-bc)^2 numerator is never materialized:
+    floor(X/(d1*d2)) = floor(floor(X/d1)/d2), and with diff^2 = q*d1 + r,
+    floor(1000n*diff^2/d1) = 1000n*q + floor(1000n*r/d1) — every
+    intermediate stays under max(diff^2, 1000n*d2) because |diff| <=
+    d1, d2 (each of ad and bc is <= (a+b)(c+d) and <= (a+c)(b+d)). No
+    floats anywhere, so the verdict cannot flip on evaluation order.
+    Exactness holds to AB_CHI2_MAX_USERS (6e9) distinct users — the old
+    single-expression form silently overflowed decimal(38,0) at ~1.7e7
+    (r07 advice) — and past the ceiling the query raises loudly instead
+    of letting Spark silently NULL the statistic.
 
     Scale: one user_id shuffle folds each user to (variant, converted);
     the 2x2 table is four conditional counts in ONE global aggregate
@@ -1099,34 +1118,53 @@ def q_ab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell(1, 0).alias("v1_miss"),
         cell(1, 1).alias("v1_conv"),
     )
+    return chi2_from_cells(cells)
+
+
+def chi2_from_cells(cells: DataFrame) -> DataFrame:
+    """Staged exact chi-square over a 1-row 2x2 contingency table (columns
+    v0_miss/v0_conv/v1_miss/v1_conv, decimal(38,0)). Factored out of
+    q_ab_chi2 so the overflow-exactness claim is unit-testable on synthetic
+    cells at the ceiling (tests/test_chi2_staging.py)."""
     a, b, c, d = (F.col(x) for x in ("v0_miss", "v0_conv", "v1_miss", "v1_conv"))
     n = a + b + c + d
     diff = a * d - b * c
-    num = (n * diff * diff).cast("decimal(38,0)")
-    den = ((a + b) * (c + d) * (a + c) * (b + d)).cast("decimal(38,0)")
-    # fail loudly past the decimal(38,0) exactness ceiling — assert_true
-    # returns NULL when the predicate holds and aborts the job when it
-    # doesn't, so below the ceiling the coalesce is a no-op; folding it
-    # into chi2_milli keeps column pruning from dropping the guard
-    overflow_guard = F.assert_true(
-        n <= F.lit(AB_CHI2_MAX_USERS),
-        F.lit(f"q_ab_chi2: >{AB_CHI2_MAX_USERS} users — n*(ad-bc)^2 would overflow decimal(38,0)"),
-    ).cast("bigint")
-    return cells.select(
+    den1 = ((a + b) * (c + d)).cast("decimal(38,0)")
+    den2 = ((a + c) * (b + d)).cast("decimal(38,0)")
+    staged = cells.select(
         a.cast("bigint").alias("v0_miss"),
         b.cast("bigint").alias("v0_conv"),
         c.cast("bigint").alias("v1_miss"),
         d.cast("bigint").alias("v1_conv"),
-        num.cast("string").alias("chi2_num"),
-        den.cast("string").alias("chi2_den"),
+        n.cast("decimal(38,0)").alias("n"),
+        diff.cast("decimal(38,0)").alias("diff"),
+        den1.alias("den1"),
+        den2.alias("den2"),
+    )
+    # fail loudly past the staged form's exactness ceiling — assert_true
+    # returns NULL when the predicate holds and aborts the job when it
+    # doesn't, so below the ceiling the coalesce is a no-op; folding it
+    # into chi2_milli keeps column pruning from dropping the guard
+    overflow_guard = F.assert_true(
+        F.col("n") <= F.lit(AB_CHI2_MAX_USERS),
+        F.lit(f"q_ab_chi2: >{AB_CHI2_MAX_USERS} users — q1 would exceed bigint exactness"),
+    ).cast("bigint")
+    # staged exact division (see docstring): q1/r1 split diff^2 by den1, then
+    # the two quotient pieces fold and divide once more by den2
+    return staged.select(
+        "v0_miss",
+        "v0_conv",
+        "v1_miss",
+        "v1_conv",
+        F.col("diff").cast("bigint").alias("chi2_diff"),
+        F.col("den1").cast("bigint").alias("chi2_den1"),
+        F.col("den2").cast("bigint").alias("chi2_den2"),
         F.coalesce(
             overflow_guard,
             F.expr(
-                "CAST((CAST(1000 AS DECIMAL(38,0)) * (v0_miss + v0_conv + v1_miss + v1_conv)"
-                " * (v0_miss * v1_conv - v0_conv * v1_miss)"
-                " * (v0_miss * v1_conv - v0_conv * v1_miss))"
-                " div ((v0_miss + v0_conv) * (v1_miss + v1_conv)"
-                " * (v0_miss + v1_miss) * (v0_conv + v1_conv)) AS BIGINT)"
+                "CAST(((1000 * n * ((diff * diff) div den1)"
+                "  + (1000 * n * ((diff * diff) - CAST((diff * diff) div den1 AS DECIMAL(38,0)) * den1)) div den1)"
+                " ) div den2 AS BIGINT)"
             ),
         ).alias("chi2_milli"),
     )

@@ -456,6 +456,21 @@ def q_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HOUR_US = 3600 * 1_000_000
 
+
+def _epoch_bucket(ts_col: str, width_us: int) -> "F.Column":
+    """Exact integral epoch bucket: floor(epoch_micros / width) in pure
+    BIGINT. ``(em - pmod(em, w)) div w`` — the dividend is exactly divisible
+    so integral ``div`` equals the true floor at any magnitude; the former
+    double-division idiom ``(em - pmod(em, w)) / w`` is exact only below
+    2^53 (r07 advice; same fix as q_interp_linear's floor_div)."""
+    from ..core.io import ensure_session_confs
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ensure_session_confs(active)
+    em = f"unix_micros(cast({ts_col} as timestamp))"
+    return F.expr(f"({em} - pmod({em}, {width_us})) div {width_us}")
+
 #: composite order key: epoch-micros * SCALE + event_id, a single scalar
 #: whose ordering equals lexicographic (ts, event_id). SCALE must exceed
 #: every event_id; 2^40 leaves ~10^12 ids and keeps the key under 2^101 —
@@ -506,7 +521,7 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = F.lit(HOUR_US)
     base = e.select(
         "event_type",
-        ((em - F.pmod(em, hour)) / hour).cast("bigint").alias("hour_idx"),
+        _epoch_bucket("ts", HOUR_US).alias("hour_idx"),
         (em.cast("decimal(38,0)") * ORDER_KEY_SCALE + F.col("event_id")).alias("ord_key"),
         "value",
     )
@@ -705,7 +720,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = F.lit(HOUR_US)
     base = e.select(
         "event_type",
-        ((em - F.pmod(em, hour)) / hour).cast("bigint").alias("hour_idx"),
+        _epoch_bucket("ts", HOUR_US).alias("hour_idx"),
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     actual = base.groupBy("event_type", "hour_idx").agg(
@@ -812,7 +827,7 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour = F.lit(HOUR_US)
     base = e.select(
         "event_type",
-        ((em - F.pmod(em, hour)) / hour).cast("bigint").alias("hour_idx"),
+        _epoch_bucket("ts", HOUR_US).alias("hour_idx"),
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     actual = base.groupBy("event_type", "hour_idx").agg(F.sum("cents").alias("cents"))
@@ -924,7 +939,7 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         e.select(
             "event_type",
-            ((em - F.pmod(em, day)) / day).cast("bigint").alias("day_idx"),
+            _epoch_bucket("ts", DAY_US).alias("day_idx"),
             F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
         )
         .groupBy("event_type", "day_idx")
@@ -1051,7 +1066,7 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = epoch_micros("ts")
     hour = F.lit(HOUR_US)
     hourly = (
-        e.select("event_type", ((em - F.pmod(em, hour)) / hour).cast("bigint").alias("hour_idx"))
+        e.select("event_type", _epoch_bucket("ts", HOUR_US).alias("hour_idx"))
         .groupBy("event_type", "hour_idx")
         .agg(F.count("*").cast("decimal(38,0)").alias("c"))
     )
