@@ -97,6 +97,18 @@ def main() -> None:
     for name in top10:
         _median_of_3(name)
 
+    # Every SUB-SECOND wall is medianized too (r07 verdict #4): single-shot
+    # sub-second jobs swing 1.5-3x on scheduler jitter alone, and rounds 5-7
+    # each burned a triage on phantom "regressions" in that band. Two extra
+    # runs per sub-second query cost ~2x the band's own (small) wall and
+    # buy round-over-round comparability; the >=1s band is left single-shot
+    # (its jitter is proportionally small) unless the deviation pass below
+    # flags it.
+    for name in sorted(timings):
+        if timings[name] < 1.0 and name not in medianized:
+            medianized.add(name)
+            _median_of_3(name)
+
     # Apparent round-over-round MOVES get the same treatment before they are
     # published: any query whose single-shot wall deviates >1.5x from its
     # value in the previous committed BENCH_FULL snapshot — in EITHER

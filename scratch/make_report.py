@@ -1,0 +1,249 @@
+"""Render REPORT.md — the human-readable engine-vs-reference dashboard.
+
+The reference's primary deliverable is its HTML report ("Quick Results" card,
+index.html:446-471, plus per-suite sections in benchmark-results.html). This
+script renders the Spark engine's equivalent from the committed artifacts so
+every number is traceable:
+
+  - BENCH_FULL.json  — per-query walls + reference-suite metrics at sf0.1
+  - BENCH_SF1.json   — same at sf1 (optional; section skipped if absent)
+  - BASELINE.md      — the reference's published numbers (hand-pinned here
+                       as REF constants with their BASELINE.md source rows)
+
+Usage:  python scratch/make_report.py   (writes /root/repo/REPORT.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Reference numbers, pinned from BASELINE.md (single source: the table rows
+# there cite poc/results/*.json lines). Keep in sync with BASELINE.md.
+REF = {
+    "writer_org_x": 99.2,
+    "delete_storm_modeled_x": 7548.0,
+    "delete_storm_reads": (1, 10_001),
+    "parallel_fetch_x": 27.6,
+    "parallel_fetch_reads": (1, 1000),
+    "commit_ms_b1": 4.27,
+    "commit_ms_b1000": 49.10,
+    "writers_per_sec": 293.35,
+    "conflict_rate": 0.264,
+    "dv_hash_100k_ms": 49.61,
+    "dv_positional_100k_ms": 126.9,
+    "adaptive_flat_50k_ms": 355.9,
+    "wide_v3_ms": 1107.57,
+    "wide_x": 276_892.0,
+    "density_decision_ms": 51_108.8,
+    "density_inline_rate": 1.0,
+    "gc_cliff_detected": False,
+}
+
+
+def load(name):
+    try:
+        with open(os.path.join(ROOT, name)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def fmt(x, nd=2):
+    if x is None:
+        return "—"
+    if isinstance(x, float):
+        return f"{x:,.{nd}f}".rstrip("0").rstrip(".") if x % 1 else f"{x:,.0f}"
+    return f"{x:,}"
+
+
+def ratio(engine_cost, ref_cost):
+    """Cost ratio engine/reference (<1 = engine better). Speedups invert."""
+    if not engine_cost or not ref_cost:
+        return None
+    return engine_cost / ref_cost
+
+
+def main() -> None:
+    full = load("BENCH_FULL.json")
+    sf1 = load("BENCH_SF1.json")
+    assert full, "BENCH_FULL.json missing — run `python bench.py` first"
+    s = full.get("suites", {})
+
+    def g(*path, default=None):
+        cur = s
+        for p in path:
+            if not isinstance(cur, dict) or p not in cur:
+                return default
+            cur = cur[p]
+        return cur
+
+    lines: list[str] = []
+    w = lines.append
+    w("# REPORT — PySpark engine vs reference (auto-generated)")
+    w("")
+    w("Regenerate with `python scratch/make_report.py`. Sources: `BENCH_FULL.json`")
+    w("(engine, sf0.1 local[32]), `BENCH_SF1.json` (engine, sf1), `BASELINE.md`")
+    w("(reference's published numbers). Correctness context: every registered")
+    w("query is DuckDB-oracle-gated (see COVERAGE.md and CORRECTNESS_r*.json).")
+    w("")
+
+    # ---- Quick Results card (mirror of reference index.html:446-471) ----
+    w("## Quick Results")
+    w("")
+    w("| Card | Reference | This engine |")
+    w("|---|---|---|")
+    wo = g("writer_org", "bytes_reduction_x")
+    w(f"| Writer organization (bytes-read reduction) | 99.2× | {fmt(wo)}× |")
+    ds_x = g("delete_storm", "modeled_speedup_x")
+    ds_in = g("delete_storm", "metadata_reads_inline")
+    ds_ex = g("delete_storm", "metadata_reads_external")
+    w(
+        f"| Delete storm (inline vs external planning) | 7,548× (1 vs 10,001 reads) "
+        f"| {fmt(ds_x)}× ({fmt(ds_in)} vs {fmt(ds_ex)} reads — counts match exactly) |"
+    )
+    wt_x = g("wide_table", "speedup_x")
+    w(
+        f"| Wide tables (footer scan vs aggregated stats) | 276,892× (modeled dict hit) "
+        f"| {fmt(wt_x)}× (both sides measured Spark jobs) |"
+    )
+    cw = g("concurrent_writers", "commits_per_sec")
+    cr = g("concurrent_writers", "conflict_rate")
+    w(
+        f"| Concurrent writers (5×50 optimistic CAS) | 293/s, 26.4% conflict "
+        f"| {fmt(cw)}/s, {fmt((cr or 0) * 100, 1)}% conflict |"
+    )
+    cliff = g("manifest_parse", "cliff_detected")
+    w(f"| GC / parse cliff (1–32 MB manifests) | none detected | {'none detected' if cliff is False else cliff} |")
+    dp = g("density_policy", "inline_rate")
+    dpms = g("density_policy", "decision_wall_ms")
+    w(
+        f"| Adaptive density policy @10K MDVs | 100% inline, 51,108.8 ms decision "
+        f"| {fmt((dp or 0) * 100, 0)}% inline, {fmt(dpms)} ms decision |"
+    )
+    w("")
+
+    # ---- Full comparison table ----
+    w("## Engine vs reference, all comparable metrics")
+    w("")
+    w("Cost ratio = engine / reference on a cost metric (lower is better);")
+    w("speedup-style rows invert so <1 always means the engine wins.")
+    w("")
+    w("| Metric (scale) | Reference | Engine | Cost ratio |")
+    w("|---|---|---|---|")
+    rows = []
+    rows.append(("Writer-org bytes reduction (100K entries)", "99.2×", f"{fmt(wo)}×", ratio(REF["writer_org_x"], wo)))
+    rows.append((
+        "Delete-storm modeled speedup (10K files)", "7,548×", f"{fmt(ds_x)}×",
+        ratio(REF["delete_storm_modeled_x"], ds_x),
+    ))
+    pf = g("parallel_fetch", "parallel_vs_inline_x")
+    rows.append(("Parallel fetch speedup (1K files)", "27.6×", f"{fmt(pf)}×", ratio(REF["parallel_fetch_x"], pf)))
+    c1 = g("single_file_commits", "manifest_commit", "batch_1", "p50_commit_ms")
+    c1000 = g("single_file_commits", "manifest_commit", "batch_1000", "p50_commit_ms")
+    rows.append(("Commit latency batch=1 (ms)", "4.27", fmt(c1, 3), ratio(c1, REF["commit_ms_b1"])))
+    rows.append(("Commit latency batch=1000 (ms)", "49.10", fmt(c1000, 3), ratio(c1000, REF["commit_ms_b1000"])))
+    rows.append(("Concurrent writers (commits/s)", "293.35", fmt(cw), ratio(REF["writers_per_sec"], cw)))
+    dvh = g("dv_resolution", "100000", "hash_join_net_ms")
+    dvp = g("dv_resolution", "100000", "positional_join_ms")
+    rows.append(("DV hash join net, 100K entries (ms)", "49.61", fmt(dvh), ratio(dvh, REF["dv_hash_100k_ms"])))
+    rows.append(("DV positional join, 100K entries (ms)", "126.9", fmt(dvp), ratio(dvp, REF["dv_positional_100k_ms"])))
+    at = g("adaptive_tree", "50000", "flat_scan_ms")
+    rows.append(("Adaptive tree flat scan, 50K files (ms)", "355.9", fmt(at), ratio(at, REF["adaptive_flat_50k_ms"])))
+    wt1000 = g("wide_table_1000", "v3_footer_scan_ms") or g("wide_table", "v3_footer_scan_ms")
+    rows.append(("Wide 1000-col V3 footer scan (ms)", "1,107.57", fmt(wt1000), ratio(wt1000, REF["wide_v3_ms"])))
+    rows.append((
+        "Density policy decision, 10K MDVs (ms)", "51,108.8", fmt(dpms),
+        ratio(dpms, REF["density_decision_ms"]),
+    ))
+    ratios = []
+    for label, ref_s, eng_s, r in rows:
+        mark = "" if r is None else (" ✅" if r <= 1.0 else (" ⚠️" if r > 2.0 else ""))
+        w(f"| {label} | {ref_s} | {eng_s} | {fmt(r)}{mark} |")
+        if r:
+            ratios.append(r)
+    if ratios:
+        geo = 1.0
+        for r in ratios:
+            geo *= r
+        geo **= 1.0 / len(ratios)
+        w(f"| **Geomean** | | | **{geo:.2f}** |")
+    w("")
+
+    # ---- Engine-only metrics ----
+    w("## Engine-only metrics (no reference counterpart)")
+    w("")
+    w("| Metric | Value |")
+    w("|---|---|")
+    dv1m = g("dv_resolution", "1000000")
+    if dv1m:
+        w(
+            f"| DV joins at 1M entries (beyond the reference's 100K max) | hash net "
+            f"{fmt(dv1m.get('hash_join_net_ms'))} ms, positional {fmt(dv1m.get('positional_join_ms'))} ms |"
+        )
+    bj = g("bucketed_join")
+    if bj:
+        w(
+            f"| Bucketed co-located join ({fmt(bj.get('n_fact'))}×{fmt(bj.get('n_dim'))} rows) | "
+            f"{fmt(bj.get('bucketed_speedup_x'))}× vs plain, {fmt(bj.get('n_exchanges_bucketed'))} exchanges |"
+        )
+    bp = g("bloom_prune")
+    if bp:
+        w(
+            f"| Bloom-filter point lookup ({fmt(bp.get('n_rows'))} rows) | "
+            f"{fmt(bp.get('bloom_speedup_x'))}× at {fmt(bp.get('storage_premium_pct'))}% storage premium |"
+        )
+    sk = g("skew_join")
+    if sk:
+        keys = ", ".join(f"{k}={fmt(v)}" for k, v in sorted(sk.items()) if isinstance(v, (int, float)))
+        w(f"| AQE skew join | {keys} |")
+    ti = g("text_index")
+    if ti:
+        w(
+            f"| Inverted text index ({fmt(ti.get('n_docs'))} docs) | build {fmt(ti.get('index_build_ms'))} ms, "
+            f"probe p50 {fmt(ti.get('probe_p50_ms'))} ms, BM25 pass {fmt(ti.get('bm25_score_ms'))} ms |"
+        )
+    st = g("stream_throughput")
+    if st:
+        keys = ", ".join(f"{k}={fmt(v)}" for k, v in sorted(st.items()) if isinstance(v, (int, float)))
+        w(f"| Structured Streaming throughput | {keys} |")
+    md = g("media_decode")
+    if md:
+        codecs = [k for k in md if isinstance(md[k], dict)]
+        parts = ", ".join(f"{c} {fmt(md[c].get('raster_mb_per_s'))} MB/s" for c in sorted(codecs))
+        w(f"| Multimodal decode ({fmt(md.get('n_docs'))} docs) | {parts} |")
+    cu = g("column_update")
+    if cu:
+        w(
+            f"| Column-level update vs full rewrite ({fmt(cu.get('n_rows'))}×{fmt(cu.get('n_cols'))}) | "
+            f"{fmt(cu.get('column_update_speedup_x'))}× faster, {fmt(cu.get('bytes_ratio_x'))}× fewer bytes |"
+        )
+    w("")
+
+    # ---- Query-registry bench summary ----
+    w("## Query registry bench (sf0.1, local[32])")
+    w("")
+    q = full.get("queries", {})
+    w(f"- **{len(q)} queries**, total wall {fmt(full.get('value'))} s")
+    w(f"- {len(full.get('median_of_3', []))} walls are median-of-3 (bench.py de-noise policy)")
+    slow = sorted(q.items(), key=lambda kv: -kv[1])[:10]
+    w("- 10 slowest: " + ", ".join(f"{n} {fmt(v)} s" for n, v in slow))
+    if sf1 and sf1.get("queries"):
+        q1 = sf1["queries"]
+        w(f"- sf1 run: **{len(q1)} queries**, total wall {fmt(sf1.get('value'))} s")
+    w("")
+    w("_Every query above is also correctness-gated: the Spark plan and a_")
+    w("_DuckDB oracle run side-by-side (row count + schema + value hash) at_")
+    w("_sf0.01/0.1/1 — see COVERAGE.md for the per-decade table._")
+    w("")
+
+    out = os.path.join(ROOT, "REPORT.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out} ({len(lines)} lines)")
+
+
+if __name__ == "__main__":
+    main()

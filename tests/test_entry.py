@@ -292,3 +292,21 @@ def test_pending_greens_are_not_flagged_changed_or_missing():
     # same green at or below the stamp round with no stamp IS changed
     ctx = {"history": {name: 8}, "snapshot": {}, "stamp_round": 8}
     assert changed_since_green(name, _ctx=ctx) is True
+
+
+def test_report_md_exists_with_required_sections():
+    """REPORT.md is the engine's counterpart of the reference's HTML results
+    report (r07 verdict missing-item #2). Regenerated by
+    scratch/make_report.py; numbers drift with BENCH_FULL.json (the driver
+    re-benches after commits), so this pins structure, not values."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "REPORT.md")) as f:
+        text = f.read()
+    for section in (
+        "## Quick Results",
+        "## Engine vs reference, all comparable metrics",
+        "## Engine-only metrics",
+        "## Query registry bench",
+        "Geomean",
+    ):
+        assert section in text, f"REPORT.md missing section {section!r}"
