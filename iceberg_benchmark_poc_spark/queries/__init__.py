@@ -33,3 +33,4 @@ from . import streamlike  # noqa: F401
 from . import sources  # noqa: F401
 from . import behavior  # noqa: F401
 from . import zorder  # noqa: F401
+from . import tpch_derived  # noqa: F401

@@ -1,0 +1,429 @@
+"""The five TPC-H shapes the fixed fixture could not express — closed by
+deterministic derived dimensions.
+
+The driver fixture has no ``partsupp`` table and no
+``l_shipmode``/``l_commitdate``/``l_receiptdate`` columns, which left
+TPC-H Q2/Q11/Q12/Q16/Q20 out of the relational band (COVERAGE.md's
+documented gap). This module closes it the same way the engine's fixtures
+are built in the first place (core/fixtures.py, modular arithmetic per the
+reference's own scenario generators, e.g.
+/root/reference/poc/utils/manifest_generator.py:139-166 deriving partition
+values and file sizes from the row index): every missing dimension is a
+PURE INTEGER FUNCTION of existing key columns, written once as ANSI SQL
+that both Spark (`F.expr`) and DuckDB evaluate bit-identically, so the
+oracle gate stays exact.
+
+Derivations
+-----------
+- ``partsupp`` := the DISTINCT (l_partkey, l_suppkey) pairs actually
+  observed in lineitem (referential integrity by construction), with
+  ``ps_availqty``     = (17*p + 31*s) % 100 + 1           (1..100)
+  ``ps_supplycost_cents`` = (7*p + 11*s) % 99900 + 100    ($1.00..$999.99)
+  All arithmetic stays in BIGINT cents — no float ever enters the fold.
+- ``l_shipmode``    := CASE (l_orderkey + 11*l_linenumber) % 7 over the
+  seven TPC-H mode names (the 11* keeps the mode from collapsing to
+  l_linenumber % 7).
+- ``l_commitdate``  := l_shipdate + ((l_orderkey + 3*l_linenumber) % 61 - 30) days
+- ``l_receiptdate`` := l_shipdate + ((3*l_orderkey + l_linenumber) % 30 + 1) days
+
+Scale: the distinct-pair derivation is one map-side-combinable shuffle of
+the narrow (partkey, suppkey) projection — at 100 TB that is the honest
+cost of materializing a supplier-catalog dimension from fact data, and it
+is reused by every query here. Everything downstream is classic TPC-H
+physics: dimension filters push to the scans, small filtered dimensions
+broadcast, aggregates combine map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..core.io import load_table
+from ..core.registry import register
+
+# --- shared ANSI derivation snippets (valid in BOTH Spark SQL and DuckDB) ---
+
+_PS_AVAIL_SQL = "CAST((l_partkey * 17 + l_suppkey * 31) % 100 + 1 AS BIGINT)"
+_PS_COST_SQL = "CAST((l_partkey * 7 + l_suppkey * 11) % 99900 + 100 AS BIGINT)"
+
+#: DuckDB WITH-clause body for the derived partsupp dimension
+_PARTSUPP_SQL = f"""
+        partsupp AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 {_PS_AVAIL_SQL} AS ps_availqty,
+                 {_PS_COST_SQL}  AS ps_supplycost_cents
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        )
+"""
+
+_SHIPMODE_SQL = (
+    "CASE (l_orderkey + 11 * l_linenumber) % 7"
+    " WHEN 0 THEN 'AIR' WHEN 1 THEN 'FOB' WHEN 2 THEN 'MAIL'"
+    " WHEN 3 THEN 'RAIL' WHEN 4 THEN 'REG AIR' WHEN 5 THEN 'SHIP'"
+    " ELSE 'TRUCK' END"
+)
+#: day offsets (pure ints; date arithmetic itself differs per engine below)
+_COMMIT_OFF_SQL = "CAST((l_orderkey + 3 * l_linenumber) % 61 - 30 AS INT)"
+_RECEIPT_OFF_SQL = "CAST((3 * l_orderkey + l_linenumber) % 30 + 1 AS INT)"
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp: distinct observed (part, supplier) pairs + modular
+    availqty / supplycost. One narrow distinct shuffle, shared by all five
+    queries; columns are BIGINT end-to-end."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    return pairs.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        F.expr(_PS_AVAIL_SQL).alias("ps_availqty"),
+        F.expr(_PS_COST_SQL).alias("ps_supplycost_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier
+# ---------------------------------------------------------------------------
+
+_Q2_SIZE = 15
+_Q2_REGION = "EUROPE"
+
+
+@register(
+    "q_min_cost_supplier",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL.strip()},
+        cost AS (
+          SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, s.s_acctbal,
+                 ps.ps_supplycost_cents
+          FROM partsupp ps
+          JOIN part p     ON ps.ps_partkey = p.p_partkey
+                         AND p.p_size = {_Q2_SIZE} AND p.p_type LIKE '%A%'
+          JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+          JOIN region r   ON n.n_regionkey = r.r_regionkey
+                         AND r.r_name = '{_Q2_REGION}'
+        )
+        SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+               CAST(ps_supplycost_cents AS BIGINT) AS cost_cents
+        FROM cost c
+        WHERE ps_supplycost_cents = (
+          SELECT min(ps_supplycost_cents) FROM cost m
+          WHERE m.p_partkey = c.p_partkey
+        )
+        """,
+    tags=("join", "subquery", "tpch-q2", "derived-dim"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest supplier(s) for each qualifying part
+    within one region, via the derived partsupp dimension.
+
+    The correlated-min subquery becomes a min window over p_partkey — one
+    shuffle keyed by part, exact on integer cents so ties keep every
+    attaining supplier on both engines. Scale: the part filter
+    (size + type LIKE) and the region filter both reduce their dimensions
+    to broadcast size before touching partsupp; the window partitions by
+    part key, so no global sort and no skew (a part has at most |suppliers
+    of the region| rows).
+    """
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == _Q2_SIZE) & F.col("p_type").like("%A%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    cost = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "ps_supplycost_cents")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.col("ps_supplycost_cents").alias("cost_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock
+# ---------------------------------------------------------------------------
+
+_Q11_NATION = "NATION_3"
+#: keep parts whose stock value exceeds MULT x the mean per-part value.
+#: TPC-H's literal 0.0001-of-total threshold is divided by SF in the spec
+#: precisely because a fixed fraction dilutes to 0 or 100% selectivity as
+#: the part count scales; a mean-relative cut (n * value > MULT * total,
+#: pure integers) keeps the same right-tail selectivity at every SF.
+_Q11_MEAN_MULT = 2
+
+
+@register(
+    "q_important_stock",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL.strip()},
+        val AS (
+          SELECT ps.ps_partkey,
+                 sum(ps.ps_supplycost_cents * ps.ps_availqty) AS value_cents
+          FROM partsupp ps
+          JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+          JOIN nation n   ON s.s_nationkey = n.n_nationkey
+                         AND n.n_name = '{_Q11_NATION}'
+          GROUP BY ps.ps_partkey
+        )
+        SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
+        FROM val
+        WHERE (SELECT count(*) FROM val) * value_cents >
+              {_Q11_MEAN_MULT} * (SELECT sum(value_cents) FROM val)
+        """,
+    tags=("join", "having", "subquery", "tpch-q11", "derived-dim"),
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's stock value, from the derived partsupp dimension.
+
+    The HAVING-vs-global-scalar shape: per-part stock value (integer
+    cents * qty, exact) is consumed twice — once folded to the 1-row
+    (total, part-count) scalar, once row-wise against the mean-relative
+    cut n*value > MULT*total. Scale: the nation's suppliers broadcast
+    into the partsupp scan, per-part values partial-aggregate map-side,
+    and the scalar joins back as a 1-row broadcast (BNLJ_ALLOWED);
+    nothing here ever sorts or collects.
+    """
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
+    val = (
+        ps.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+            ),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents")
+        )
+    )
+    scalar = val.agg(
+        F.sum("value_cents").alias("total_cents"), F.count("*").alias("n_parts")
+    )
+    return (
+        val.join(
+            F.broadcast(scalar),
+            F.col("n_parts") * F.col("value_cents")
+            > F.lit(_Q11_MEAN_MULT) * F.col("total_cents"),
+        )
+        .select("ps_partkey", F.col("value_cents").cast("bigint").alias("value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping modes and order priority
+# ---------------------------------------------------------------------------
+
+_Q12_YEAR_START = "1997-01-01"
+_Q12_YEAR_END = "1998-01-01"
+
+
+@register(
+    "q_shipmode_priority",
+    oracle=f"""
+        WITH li AS (
+          SELECT l_orderkey,
+                 {_SHIPMODE_SQL} AS shipmode,
+                 CAST(l_shipdate AS DATE)                         AS ship_d,
+                 CAST(l_shipdate AS DATE) + {_COMMIT_OFF_SQL}     AS commit_d,
+                 CAST(l_shipdate AS DATE) + {_RECEIPT_OFF_SQL}    AS receipt_d
+          FROM lineitem
+        )
+        SELECT shipmode,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+        WHERE li.commit_d < li.receipt_d
+          AND li.ship_d   < li.commit_d
+          AND li.receipt_d >= DATE '{_Q12_YEAR_START}'
+          AND li.receipt_d <  DATE '{_Q12_YEAR_END}'
+        GROUP BY shipmode
+        """,
+    tags=("join", "agg", "tpch-q12", "derived-dim"),
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-commit lines received in one year, split by
+    derived ship mode and order priority.
+
+    The derived commit/receipt dates are day offsets computed from the key
+    columns (identical integer arithmetic both engines; Spark spells the
+    date step `date_add`, DuckDB `DATE + INT` — same calendar result, the
+    parity probe class of scratch/probe_parity.py). Scale: the three date
+    predicates evaluate in the lineitem scan before the orderkey shuffle
+    join against orders, and the 7-group fold combines map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(_SHIPMODE_SQL).alias("shipmode"),
+        F.to_date("l_shipdate").alias("ship_d"),
+        F.expr(f"date_add(CAST(l_shipdate AS DATE), {_COMMIT_OFF_SQL})").alias("commit_d"),
+        F.expr(f"date_add(CAST(l_shipdate AS DATE), {_RECEIPT_OFF_SQL})").alias("receipt_d"),
+    )
+    li = li.filter(
+        (F.col("commit_d") < F.col("receipt_d"))
+        & (F.col("ship_d") < F.col("commit_d"))
+        & (F.col("receipt_d") >= F.lit(_Q12_YEAR_START).cast("date"))
+        & (F.col("receipt_d") < F.lit(_Q12_YEAR_END).cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — part/supplier relationship count
+# ---------------------------------------------------------------------------
+
+_Q16_EXCL_BRAND = "Brand#5"
+_Q16_EXCL_TYPE = "PROMO"
+_Q16_SIZES = (1, 9, 15, 22, 30, 42, 49)
+
+
+@register(
+    "q_part_supplier_cnt",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL.strip()}
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        FROM partsupp ps
+        JOIN part p ON ps.ps_partkey = p.p_partkey
+        WHERE p.p_brand <> '{_Q16_EXCL_BRAND}'
+          AND p.p_type  <> '{_Q16_EXCL_TYPE}'
+          AND p.p_size IN {_Q16_SIZES}
+          AND ps.ps_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+    tags=("join", "anti-join", "distinct-agg", "tpch-q16", "derived-dim"),
+)
+def q_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    surviving (brand, type, size) combination.
+
+    The NOT-IN-subquery becomes a broadcast left-anti join (the excluded
+    set — negative-balance suppliers, standing in for Q16's
+    customer-complaints filter — is tiny by construction); the distinct
+    count shuffles once on the group key with the suppkey folded into the
+    aggregation buffer. The part predicate trio prunes the broadcast
+    dimension before the fact join.
+    """
+    ps = _partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != _Q16_EXCL_BRAND)
+        & (F.col("p_type") != _Q16_EXCL_TYPE)
+        & F.col("p_size").isin(*_Q16_SIZES)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(F.broadcast(bad), "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with surplus stock
+# ---------------------------------------------------------------------------
+
+_Q20_NAME_PREFIX = "small%"
+_Q20_NATION = "NATION_7"
+_Q20_YEAR_START = "1997-01-01"
+_Q20_YEAR_END = "1998-01-01"
+
+
+@register(
+    "q_surplus_suppliers",
+    oracle=f"""
+        WITH {_PARTSUPP_SQL.strip()},
+        shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS DECIMAL(38,0))) AS qty
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '{_Q20_YEAR_START}'
+            AND CAST(l_shipdate AS DATE) <  DATE '{_Q20_YEAR_END}'
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT DISTINCT s.s_suppkey, s.s_name
+        FROM partsupp ps
+        JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
+                       AND ps.ps_suppkey = sh.l_suppkey
+        JOIN part p     ON ps.ps_partkey = p.p_partkey
+                       AND p.p_name LIKE '{_Q20_NAME_PREFIX}'
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+                       AND n.n_name = '{_Q20_NATION}'
+        WHERE 2 * ps.ps_availqty > sh.qty
+        """,
+    tags=("join", "semi-join", "tpch-q20", "derived-dim"),
+)
+def q_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: one nation's suppliers holding more than half a
+    year's shipments of a named part family in derived stock.
+
+    Q20's nested IN-chain flattens to an equi-join chain: the per-pair
+    shipped quantity (exact decimal fold of one year's lineitems) joins
+    the derived partsupp on (part, supplier) — pairs that shipped nothing
+    drop out, exactly the NULL-comparison semantics of the original
+    correlated form. The surplus test 2*avail > qty stays integral.
+    Scale: the year filter pushes to the scan, the pair aggregation
+    combines map-side and shares the (part, supplier) key with the join
+    that follows; part-name and nation dimensions broadcast.
+    """
+    ps = _partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit(_Q20_YEAR_START))
+        & (F.to_date("l_shipdate") < F.lit(_Q20_YEAR_END))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,0)")).alias("qty")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like(_Q20_NAME_PREFIX)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q20_NATION)
+    return (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("qty"))
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+              ps.ps_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )

@@ -379,6 +379,7 @@ BNLJ_ALLOWED = {
     "q_zorder",          # scalar file-count normalizer
     "q_benford",         # one-row grand-total fold broadcast to the 9-digit table
     "q_keyness_terms",   # one-row corpus-token-total fold broadcast to the vocabulary
+    "q_important_stock",  # 1-row national-stock-total fold broadcast to per-part values
 }
 
 
