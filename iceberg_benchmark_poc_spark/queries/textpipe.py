@@ -2705,3 +2705,116 @@ def q_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= KEYNESS_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus governance: per-source quotas and deterministic holdout splits
+# ---------------------------------------------------------------------------
+
+#: per-source document cap — quota selection keeps the K best documents of
+#: every source (rank by length then doc_id), the crawl-governance move that
+#: stops a single dominant domain from flooding the training mix. Rank-based
+#: where q_stratified_sample/q_mixture_sample are RATE-based: a quota keeps
+#: exactly K per stratum no matter how skewed the stratum sizes get.
+SOURCE_QUOTA_K = 10
+
+
+@register(
+    "q_source_quota",
+    oracle=f"""
+        SELECT doc_id, source, n_chars, rk
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+                 ) AS BIGINT) AS rk
+          FROM documents
+        )
+        WHERE rk <= {SOURCE_QUOTA_K}
+        """,
+    tags=("text", "sampling", "quota", "window"),
+)
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota: keep the K longest documents per source.
+
+    The domain-cap operator of a crawl pipeline (cap docs per host so one
+    mirror-heavy domain cannot flood the mix), complementing the rate-based
+    samplers: a quota is rank-based and yields exactly min(K, n) rows per
+    stratum at any skew. Ordering is total (length desc, doc_id asc) so the
+    kept set is deterministic across engines and runs.
+
+    Scale: one shuffle partitioned by source; within a partition the window
+    is a top-K — at 100 TB the same plan holds provided sources are
+    hostname-grained (millions of small partitions, no single giant one);
+    for mega-sources, pre-aggregate with a per-partition top-K before the
+    shuffle (the rank filter is algebraic) — at fixture grain Catalyst's
+    WindowGroupLimit pushdown already does exactly that below the exchange.
+    """
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= SOURCE_QUOTA_K)
+    )
+
+
+#: deterministic corpus split gates: hash-bucket 0-89 train, 90-94 valid,
+#: 95-99 test. Salted with a split tag so the assignment is independent of
+#: every other hash-gated sampler in the registry (same doc_id never shares
+#: its fate across operators).
+HOLDOUT_TRAIN_LT = 90
+HOLDOUT_VALID_LT = 95
+
+
+@register(
+    "q_holdout_split",
+    oracle=f"""
+        WITH tagged AS (
+          SELECT lang, n_chars,
+                 CASE WHEN {hash60_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                           < {HOLDOUT_TRAIN_LT} THEN 'train'
+                      WHEN {hash60_sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+                           < {HOLDOUT_VALID_LT} THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        SELECT split, lang,
+               count(*)                                   AS n_docs,
+               CAST(sum(n_chars) AS BIGINT)               AS sum_chars
+        FROM tagged
+        GROUP BY split, lang
+        """,
+    tags=("text", "sampling", "holdout"),
+)
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test holdout assignment, audited by stratum.
+
+    Eval-set construction the reproducible way: membership is a pure hash of
+    the document id (salted 'split:' so it is independent of the sampler
+    gates), never rand() — re-runs and incremental ingests can't flip an old
+    document between train and test, which is the property that keeps future
+    evals uncontaminated. Output is the (split x lang) audit table a pipeline
+    asserts its ratios against.
+
+    Scale: narrow map + a tiny grouped fold (<= 3*|langs| rows), map-side
+    combined; the assignment itself never shuffles.
+    """
+    d = _docs(spark, sf_dir)
+    bucket = hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        d.select(
+            "lang",
+            "n_chars",
+            F.when(bucket < HOLDOUT_TRAIN_LT, "train")
+            .when(bucket < HOLDOUT_VALID_LT, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

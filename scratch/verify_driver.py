@@ -32,7 +32,9 @@ from tests.conftest import _arrow_type_class, _spark_type_class  # noqa: E402
 spark = (
     SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]")
     .appName("verify-driver-mimic")
-    .config("spark.driver.memory", "6g")
+    # local-mode driver heap holds executors too; sf10 sweeps need >6g —
+    # override with SPARK_GRAFT_DRIVER_MEM (must be set before JVM launch)
+    .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
