@@ -563,3 +563,40 @@ def test_skyline_never_sorts_the_catalog_globally(spark):
     plan = plan_of(spark, "q_skyline")
     assert "rangepartitioning(price_cents" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_min_cost_supplier_broadcasts_every_dimension(spark):
+    """q_min_cost_supplier (TPC-H Q2 shape): all four dimension joins must
+    be broadcast-hash (part/supplier/nation/region are filtered-dimension
+    scale), the only sort-merge-free shuffle being the per-part window; the
+    window partitions by p_partkey, never a global sort."""
+    plan = plan_of(spark, "q_min_cost_supplier")
+    # formatted explain prints each node in the tree sketch AND the detail
+    # block, so 4 broadcast joins appear as >= 4 mentions
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(p_partkey" in plan
+
+
+def test_shipmode_priority_filters_before_the_orders_join(spark):
+    """q_shipmode_priority (Q12 shape): the three derived-date predicates
+    are lineitem-local, so they must evaluate below the orderkey join —
+    the Filter sits on the lineitem side, not above the join — and the
+    7-group fold partial-aggregates before its exchange."""
+    plan = plan_of(spark, "q_shipmode_priority")
+    join_pos = plan.find("Join")
+    filt_pos = plan.find("Filter")
+    assert 0 <= filt_pos, "derived-date filter missing"
+    assert "HashAggregate" in plan and "partial" in plan.lower()
+    # formatted plans list children before parents: the lineitem filter node
+    # must appear before the join consumes it
+    assert filt_pos < join_pos or "PushedFilters" in plan
+
+
+def test_important_stock_scalar_joins_back_as_one_row_broadcast(spark):
+    """q_important_stock (Q11 shape): the national total/count scalar is a
+    1-row broadcast (the allowlisted BNLJ); the per-part value aggregation
+    shuffles once on ps_partkey after a map-side partial."""
+    plan = plan_of(spark, "q_important_stock")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar fold
+    assert plan.count("hashpartitioning(ps_partkey") >= 1
