@@ -97,15 +97,21 @@ def main() -> None:
     for name in top10:
         _median_of_3(name)
 
-    # Every SUB-SECOND wall is medianized too (r07 verdict #4): single-shot
-    # sub-second jobs swing 1.5-3x on scheduler jitter alone, and rounds 5-7
-    # each burned a triage on phantom "regressions" in that band. Two extra
-    # runs per sub-second query cost ~2x the band's own (small) wall and
-    # buy round-over-round comparability; the >=1s band is left single-shot
+    # Every wall under MEDIANIZE_LT is medianized too (r07 verdict #4):
+    # single-shot sub-second jobs swing 1.5-3x on scheduler jitter alone,
+    # and rounds 5-7 each burned a triage on phantom "regressions" in that
+    # band. The bound sits at 1.3 s rather than 1.0 s because a query
+    # hovering JUST past a hard 1 s cut stays single-shot while its
+    # round-over-round comparison partner was medianized — exactly the
+    # r08 q_ab_chi2 artifact (0.74 s medianized one round, 1.16 s
+    # single-shot the next, steady state 0.85 s). Two extra runs per
+    # sub-1.3s query cost ~2x the band's own (small) wall and buy
+    # round-over-round comparability; the heavier band is left single-shot
     # (its jitter is proportionally small) unless the deviation pass below
     # flags it.
+    MEDIANIZE_LT = 1.3
     for name in sorted(timings):
-        if timings[name] < 1.0 and name not in medianized:
+        if timings[name] < MEDIANIZE_LT and name not in medianized:
             medianized.add(name)
             _median_of_3(name)
 
