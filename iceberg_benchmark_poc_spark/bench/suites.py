@@ -191,7 +191,11 @@ def suite_parallel_fetch(spark: SparkSession, n_files: int = 1000, threads: int 
     fm = synth_file_meta(spark, n_files)
     plan = fm.filter("has_dv").select("file_id", "dv_size_bytes")
     plan.count()  # warm: absorb codegen + first-scan costs, as every suite
-    inline_wall_ms, _ = _timed(plan)
+    # median-of-3: the ratio divides a fixed modeled numerator by this wall,
+    # so its run-to-run TTFB-class variance (r8: 18.2x driver vs 22.6x
+    # builder on the same code) is pure measurement noise — damp it the
+    # same way bench.py damps sub-second query walls
+    inline_wall_ms = sorted(_timed(plan)[0] for _ in range(3))[1]
     sequential_ms = n_files * PARALLEL_FETCH_TTFB_MS
     parallel_ms = (
         -(-n_files // threads) * PARALLEL_FETCH_TTFB_MS + threads * PARALLEL_FETCH_THREAD_MS

@@ -33,4 +33,5 @@ from . import streamlike  # noqa: F401
 from . import sources  # noqa: F401
 from . import behavior  # noqa: F401
 from . import zorder  # noqa: F401
+from . import bpe  # noqa: F401
 from . import tpch_derived  # noqa: F401

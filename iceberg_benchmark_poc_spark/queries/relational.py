@@ -104,6 +104,51 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_forecast_revenue",
+    oracle=f"""
+        SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * {REV_SCALE}) AS HUGEINT)) AS DOUBLE)
+                 / {REV_SCALE}.0 AS revenue,
+               count(*)          AS n_rows
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+    tags=("agg", "scan", "relational", "tpch-q6"),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: the pure pushed-scan aggregate.
+
+    The one TPC-H plan shape with no join and no group: every predicate
+    (ship-year, discount band, quantity cap) lands in the parquet scan as a
+    min-max-prunable pushed filter, and the whole table reduces map-side to a
+    single partial-agg row per partition before a 1-row exchange — the
+    cheapest possible plan at 100 TB because the scan IS the query. Revenue
+    folds as floor(price * discount * REV_SCALE) summed in DECIMAL(38,0),
+    the module's bit-identical cross-engine fixed-point rule (see REV_SCALE).
+    The discount band compares stored doubles against the same IEEE literals
+    in both engines, so the row set is exact, not approximate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    disc_rev = F.floor(F.col("l_extendedprice") * F.col("l_discount") * REV_SCALE).cast("decimal(38,0)")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1996-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(disc_rev).cast("double") / REV_SCALE).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
     "q_star_join",
     oracle=f"""
         SELECT r.r_name AS region, n.n_name AS nation,

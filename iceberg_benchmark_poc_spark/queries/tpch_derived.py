@@ -121,9 +121,13 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correlated-min subquery becomes a min window over p_partkey — one
     shuffle keyed by part, exact on integer cents so ties keep every
-    attaining supplier on both engines. Scale: the part filter
-    (size + type LIKE) and the region filter both reduce their dimensions
-    to broadcast size before touching partsupp; the window partitions by
+    attaining supplier on both engines. Scale: both forced broadcasts are
+    PRE-FILTERED before they reach partsupp — part by the size + type
+    predicates (one size of ~50 and a type LIKE), and supplier as the single
+    `supplier ⋈ nation ⋈ region(EUROPE)` unit so the region restriction
+    (1 of 5 regions) lands before the broadcast, never after it (an
+    unfiltered SF-scaled dimension must never be a forced build side —
+    pinned registry-wide by tests/test_plans.py). The window partitions by
     part key, so no global sort and no skew (a part has at most |suppliers
     of the region| rows).
     """
@@ -134,11 +138,14 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
     cost = (
         ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(sup), ps.ps_suppkey == F.col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "ps_supplycost_cents")
     )
     w = Window.partitionBy("p_partkey")
@@ -169,6 +176,29 @@ _Q11_NATION = "NATION_3"
 _Q11_MEAN_MULT = 2
 
 
+def _q11_stock_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part stock value for the Q11 nation — the sub-plan q_important_stock
+    consumes twice (scalar fold + row-wise cut). Kept un-checkpointed here so
+    tests/test_plans.py can pin its physical shape (map-side partial agg, one
+    ps_partkey exchange, pre-filtered supplier⋈nation broadcast); the query
+    itself cuts the plan with a lazy localCheckpoint."""
+    ps = _partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
+    return (
+        ps.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+            ),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents")
+        )
+    )
+
+
 @register(
     "q_important_stock",
     oracle=f"""
@@ -196,26 +226,16 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     The HAVING-vs-global-scalar shape: per-part stock value (integer
     cents * qty, exact) is consumed twice — once folded to the 1-row
     (total, part-count) scalar, once row-wise against the mean-relative
-    cut n*value > MULT*total. Scale: the nation's suppliers broadcast
-    into the partsupp scan, per-part values partial-aggregate map-side,
-    and the scalar joins back as a 1-row broadcast (BNLJ_ALLOWED);
-    nothing here ever sorts or collects.
+    cut n*value > MULT*total; a lazy localCheckpoint cuts the plan there
+    (the _copurchase_pairs pattern) so the partsupp distinct shuffle and
+    the supplier join execute once, not once per consumer. Scale: the
+    nation's suppliers broadcast into the partsupp scan as one
+    pre-filtered `supplier ⋈ nation(NATION_3)` unit (1 of 25 nations),
+    per-part values partial-aggregate map-side, and the scalar joins back
+    as a 1-row broadcast (BNLJ_ALLOWED); nothing here ever sorts or
+    collects.
     """
-    ps = _partsupp(spark, sf_dir)
-    s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
-    val = (
-        ps.join(
-            F.broadcast(
-                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
-            ),
-            ps.ps_suppkey == F.col("s_suppkey"),
-        )
-        .groupBy("ps_partkey")
-        .agg(
-            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("value_cents")
-        )
-    )
+    val = _q11_stock_values(spark, sf_dir).localCheckpoint(eager=False)
     scalar = val.agg(
         F.sum("value_cents").alias("total_cents"), F.count("*").alias("n_parts")
     )
@@ -333,7 +353,13 @@ def q_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-complaints filter — is tiny by construction); the distinct
     count shuffles once on the group key with the suppkey folded into the
     aggregation buffer. The part predicate trio prunes the broadcast
-    dimension before the fact join.
+    dimension before the fact join — selectivity argument for the forced
+    broadcast: `p_size IN (7 values)` alone keeps ~7/50 of the part
+    catalog (sizes are uniform 1..50 in the fixture and in TPC-H), so the
+    build side is an order of magnitude under the unfiltered dimension at
+    every SF; at cluster scale where even that outgrows the broadcast
+    threshold, dropping the hint lets AQE fall back to shuffle — the join
+    stays an equi-join either way.
     """
     ps = _partsupp(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(
@@ -400,7 +426,11 @@ def q_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated form. The surplus test 2*avail > qty stays integral.
     Scale: the year filter pushes to the scan, the pair aggregation
     combines map-side and shares the (part, supplier) key with the join
-    that follows; part-name and nation dimensions broadcast.
+    that follows. Both forced broadcasts are pre-filtered: part by the
+    name prefix (`small%` keeps one of the fixture's ~8 name adjectives,
+    ~13% of the catalog; TPC-H's own Q20 binds one of 92 name words), and
+    supplier as the `supplier ⋈ nation(NATION_7)` unit (1 of 25 nations)
+    so the nation cut lands before the broadcast.
     """
     ps = _partsupp(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem").filter(

@@ -239,6 +239,37 @@ def main() -> None:
     w("_sf0.01/0.1/1 — see COVERAGE.md for the per-decade table._")
     w("")
 
+    # ---- Round-over-round query moves (noise-floored) ----
+    # A per-query wall move is reportable only if it clears BOTH gates:
+    # ratio > 1.5x (either direction) AND absolute delta > 0.25 s. Sub-second
+    # walls on local[32] jitter by ~0.1-0.2 s run-to-run even at median-of-3
+    # (r8's q_salted_agg read 1.60x on a 0.15 s delta with untouched code);
+    # the absolute floor kills that class without hiding real plan changes,
+    # which move whole seconds.
+    prev = load("BENCH_PREV.json")
+    if prev and prev.get("queries"):
+        pq = prev["queries"]
+        moves = []
+        for name, cur in q.items():
+            old = pq.get(name)
+            if not old or not cur:
+                continue
+            r = cur / old
+            if (r > 1.5 or r < 1 / 1.5) and abs(cur - old) > 0.25:
+                moves.append((name, old, cur, r))
+        w("## Round-over-round moves (vs BENCH_PREV.json)")
+        w("")
+        w(f"Gates: ratio >1.5× AND |Δ| >0.25 s. Shared queries: {len(set(q) & set(pq))}.")
+        w("")
+        if moves:
+            w("| Query | prev s | now s | ratio |")
+            w("|---|---|---|---|")
+            for name, old, cur, r in sorted(moves, key=lambda m: -m[3]):
+                w(f"| {name} | {fmt(old)} | {fmt(cur)} | {r:.2f}× |")
+        else:
+            w("_No reportable moves — every shared-query delta is inside the noise gates._")
+        w("")
+
     # ---- Coverage strip (derived live from the registry, self-maintaining) ----
     try:
         import sys
@@ -258,12 +289,25 @@ def main() -> None:
         w("## Coverage strip")
         w("")
         w(f"- **{len(qs)} registered queries**, all DuckDB-oracle-gated")
-        # not every pre-round-3 shape carries a tpch-qN tag, so the tag count
-        # understates coverage; COVERAGE.md §relational enumerates all 22
+        # shapes registered before the tpch-qN tag convention existed; each
+        # entry only counts if the named query is still in the registry, so
+        # a removal shows up here instead of silently overstating coverage
+        legacy_tpch = {
+            "tpch-q1": "q_pricing_summary",
+            "tpch-q3": "q_ship_priority",
+            "tpch-q4": "q_late_orders",
+            "tpch-q5": "q_local_volume",
+            "tpch-q10": "q_returned_revenue",
+            "tpch-q14": "q_promo_revenue",
+            "tpch-q19": "q_disjunct_revenue",
+        }
+        covered = tpch | {t for t, qn in legacy_tpch.items() if qn in qs}
         w(
-            "- TPC-H plan shapes: **22/22** (see COVERAGE.md; Q2/Q11/Q12/Q16/Q20"
-            " via queries/tpch_derived.py's deterministic derived dimensions,"
-            f" {len(tpch)} shapes carry explicit tpch-qN tags)"
+            f"- TPC-H plan shapes: **{len(covered)}/22** (see COVERAGE.md;"
+            " Q2/Q11/Q12/Q16/Q20 via queries/tpch_derived.py's deterministic"
+            f" derived dimensions; {len(tpch)} shapes carry explicit tpch-qN"
+            f" tags, {len(covered) - len(tpch)} pre-tag legacy shapes mapped"
+            " above)"
         )
         fams = ", ".join(f"{m} {n}" for m, n in sorted(by_module.items(), key=lambda kv: -kv[1]))
         w(f"- By family: {fams}")

@@ -21,7 +21,6 @@ smallest power of 10 above sf1's max partkey 920,000 — mirrors
 make_sf1.OFFSET selection).
 """
 
-import math
 import os
 import sys
 

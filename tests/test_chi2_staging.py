@@ -10,6 +10,8 @@ and up to the new 6e9 ceiling, comparing against Python bignum arithmetic.
 from __future__ import annotations
 
 import pytest
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
 
 from iceberg_benchmark_poc_spark.queries.behavior import AB_CHI2_MAX_USERS, chi2_from_cells
 
@@ -47,6 +49,29 @@ def test_staged_chi2_exact(spark, a, b, c, d):
     assert row["chi2_diff"] == a * d - b * c
     assert row["chi2_den1"] == (a + b) * (c + d)
     assert row["chi2_den2"] == (a + c) * (b + d)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    a=st.integers(0, 1_499_999_999),
+    b=st.integers(0, 1_499_999_999),
+    c=st.integers(0, 1_499_999_999),
+    d=st.integers(0, 1_499_999_999),
+)
+def test_staged_chi2_matches_bignum_ground_truth(spark, a, b, c, d):
+    """r8 verdict item 7: fuzz the staging identity, don't just boundary-test
+    it. Any 2x2 table under the ceiling (with nonzero marginals, as the real
+    query guarantees — every variant and every outcome is observed) must
+    reproduce Python's arbitrary-precision (1000*n*diff^2) // (den1*den2)
+    exactly; the staged form never materializes that ~5th-power numerator."""
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    assume(den != 0)
+    cells = spark.sql(
+        f"SELECT CAST({a} AS DECIMAL(38,0)) v0_miss, CAST({b} AS DECIMAL(38,0)) v0_conv,"
+        f" CAST({c} AS DECIMAL(38,0)) v1_miss, CAST({d} AS DECIMAL(38,0)) v1_conv"
+    )
+    row = chi2_from_cells(cells).collect()[0]
+    assert row["chi2_milli"] == _expected_milli(a, b, c, d)
 
 
 def test_ceiling_guard_raises_loudly(spark):

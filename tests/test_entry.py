@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import importlib.util
+import json
 import os
 
 import pytest
@@ -307,6 +308,31 @@ def test_report_md_exists_with_required_sections():
         "## Engine vs reference, all comparable metrics",
         "## Engine-only metrics",
         "## Query registry bench",
+        "## Round-over-round moves",
         "Geomean",
     ):
         assert section in text, f"REPORT.md missing section {section!r}"
+
+
+def test_report_md_matches_committed_bench_snapshot():
+    """The committed REPORT.md must be rendered from the committed
+    BENCH_FULL.json — r8 verdict missing-item #2 was exactly this pair
+    drifting (the driver re-benches after the final commit; the report
+    kept the builder's older totals). Pins the two numbers a reader
+    diffs first: total wall and the median-of-3 count."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "REPORT.md")) as f:
+        text = f.read()
+    with open(os.path.join(root, "BENCH_FULL.json")) as f:
+        bench = json.load(f)
+
+    # mirror make_report.fmt for the two pinned values
+    def fmt(x):
+        if isinstance(x, float) and x % 1:
+            return f"{x:,.2f}".rstrip("0").rstrip(".")
+        return f"{x:,}"
+
+    total_line = f"- **{len(bench['queries'])} queries**, total wall {fmt(bench['value'])} s"
+    med_line = f"- {len(bench.get('median_of_3', []))} walls are median-of-3"
+    assert total_line in text, f"REPORT.md total-wall line stale: expected {total_line!r}"
+    assert med_line in text, f"REPORT.md median-of-3 line stale: expected {med_line!r}"

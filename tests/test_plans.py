@@ -380,6 +380,8 @@ BNLJ_ALLOWED = {
     "q_benford",         # one-row grand-total fold broadcast to the 9-digit table
     "q_keyness_terms",   # one-row corpus-token-total fold broadcast to the vocabulary
     "q_important_stock",  # 1-row national-stock-total fold broadcast to per-part values
+    "q_bpe_train",       # per-round 1-row argmax pair joined LEFT-on-TRUE to the type dict
+    "q_bpe_encode",      # same trained-merge 1-row joins behind the shared round helper
 }
 
 
@@ -581,22 +583,131 @@ def test_min_cost_supplier_broadcasts_every_dimension(spark):
 def test_shipmode_priority_filters_before_the_orders_join(spark):
     """q_shipmode_priority (Q12 shape): the three derived-date predicates
     are lineitem-local, so they must evaluate below the orderkey join —
-    the Filter sits on the lineitem side, not above the join — and the
-    7-group fold partial-aggregates before its exchange."""
+    the Filter NODE carrying the year predicate sits in the join's input
+    subtree, not above the join — and the 7-group fold partial-aggregates
+    before its exchange. Node-anchored: formatted-plan ids are assigned
+    bottom-up, so every input of a join has a smaller id than the join."""
     plan = plan_of(spark, "q_shipmode_priority")
-    join_pos = plan.find("Join")
-    filt_pos = plan.find("Filter")
-    assert 0 <= filt_pos, "derived-date filter missing"
-    assert "HashAggregate" in plan and "partial" in plan.lower()
-    # formatted plans list children before parents: the lineitem filter node
-    # must appear before the join consumes it
-    assert filt_pos < join_pos or "PushedFilters" in plan
+    blocks = plan.split("\n\n")
+    year_filter_ids = [
+        int(re.match(r"\((\d+)\) Filter", b).group(1))
+        for b in blocks
+        if re.match(r"\(\d+\) Filter", b) and "1997-01-01" in b
+    ]
+    join_ids = [
+        int(re.match(r"\((\d+)\) \w+Join", b).group(1))
+        for b in blocks
+        if re.match(r"\(\d+\) \w+Join", b)
+    ]
+    assert year_filter_ids, "derived-date filter node missing from the plan"
+    assert join_ids, "orderkey join node missing from the plan"
+    assert max(year_filter_ids) < min(join_ids), (
+        "derived-date filter must evaluate below the orders join",
+        year_filter_ids,
+        join_ids,
+    )
+    assert "partial_sum" in plan  # map-side combine before the 7-group exchange
+
+
+#: tables whose row counts grow with SF — a FORCED broadcast of one of these
+#: with no cardinality cut below it is the plan choice that ages worst at
+#: 100x (r8 verdict: q_min_cost_supplier broadcast the unfiltered supplier
+#: dimension). nation/region are fixed 25/5-row catalogs and exempt.
+SF_SCALED_TABLES = {
+    "lineitem", "orders", "customer", "part", "supplier",
+    "documents", "embeddings", "events",
+}
+
+
+def _sketch_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """[(depth, name, id)] for the formatted plan's tree sketch."""
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(r"^([:\s]*)(?:[+*][-\s]+)?(\w[\w ]*?)\s*\((\d+)\)\s*$", line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+        elif nodes and not line.strip():
+            break  # sketch ends at the first blank line
+    return nodes
+
+
+def _node_details(plan: str) -> dict[int, str]:
+    out = {}
+    for b in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) ", b)
+        if m:
+            out[int(m.group(1))] = b
+    return out
+
+
+def _filter_is_real(block: str) -> bool:
+    """True if a Filter node's condition cuts rows beyond null-pruning."""
+    m = re.search(r"Condition : (.*)", block)
+    if not m:
+        return False
+    cond = re.sub(r"isnotnull\([^)]*\)", "", m.group(1))
+    # LIKE compiles to StartsWith/EndsWith/Contains in physical plans
+    return bool(re.search(r"[<>=]|LIKE|IN \(| INSET |StartsWith|EndsWith|Contains", cond))
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_min_cost_supplier", "q_important_stock", "q_shipmode_priority",
+     "q_part_supplier_cnt", "q_surplus_suppliers"],
+)
+def test_tpch_derived_never_force_broadcasts_an_unfiltered_sf_table(spark, name):
+    """Every FORCED broadcast in the TPC-H-derived band must carry a
+    cardinality cut below the exchange: a real filter (beyond isnotnull)
+    or an aggregation somewhere in the broadcast subtree. Auto-broadcast
+    is disabled for the compile so the only BroadcastExchanges left are
+    the explicit F.broadcast hints — the ones frozen into the code that a
+    100x scale-up cannot re-plan away."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    nodes = _sketch_nodes(plan)
+    details = _node_details(plan)
+    assert nodes and details, f"could not parse formatted plan for {name}"
+    for i, (depth, nm, _nid) in enumerate(nodes):
+        if "BroadcastExchange" not in nm:
+            continue
+        subtree = []
+        for d2, nm2, nid2 in nodes[i + 1:]:
+            if d2 <= depth:
+                break
+            subtree.append((nm2, nid2))
+        txt = "\n\n".join(details.get(nid, "") for _, nid in subtree)
+        tables = set(re.findall(r"Location[^\n]*?/(\w+)\.parquet", txt))
+        if not (tables & SF_SCALED_TABLES):
+            continue  # fixed-size catalog (nation/region) — broadcast freely
+        cut = any(
+            ("Filter" in nm2 and _filter_is_real(details.get(nid2, "")))
+            or "Aggregate" in nm2
+            for nm2, nid2 in subtree
+        )
+        assert cut, (
+            f"{name}: forced broadcast of SF-scaled {tables & SF_SCALED_TABLES} "
+            f"with no filter/aggregate below the exchange:\n{txt[:800]}"
+        )
 
 
 def test_important_stock_scalar_joins_back_as_one_row_broadcast(spark):
     """q_important_stock (Q11 shape): the national total/count scalar is a
-    1-row broadcast (the allowlisted BNLJ); the per-part value aggregation
-    shuffles once on ps_partkey after a map-side partial."""
+    1-row broadcast (the allowlisted BNLJ), and the doubly-consumed value
+    sub-plan sits behind a lazy localCheckpoint so the partsupp distinct
+    shuffle executes once, not once per consumer. The per-part aggregation's
+    own shape (map-side partial, one ps_partkey exchange) is pinned on the
+    un-checkpointed helper, since the checkpoint hides it from the top plan."""
     plan = plan_of(spark, "q_important_stock")
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar fold
-    assert plan.count("hashpartitioning(ps_partkey") >= 1
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan  # the checkpoint cut
+    from iceberg_benchmark_poc_spark.queries.tpch_derived import _q11_stock_values
+
+    sub = _q11_stock_values(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    sub_plan = sub._jdf.queryExecution().explainString(mode)
+    assert sub_plan.count("hashpartitioning(ps_partkey") >= 1
+    assert "partial_sum" in sub_plan  # map-side combine before the exchange
