@@ -138,8 +138,16 @@ def main() -> None:
         if name in timings and name not in medianized
         and prev_wall > 0 and timings[name] > 0
     }
+    # dual gate, matching the report's reportable-move rule: a move must be
+    # BOTH >1.5x relative AND >0.25 s absolute before it earns a re-measure —
+    # sub-quarter-second absolute swings on short walls are pure scheduler
+    # noise (r8's q_salted_agg: 1.60x on a 0.15 s delta, untouched code)
     moved = sorted(
-        (n for n, dev in deviations.items() if dev > 1.5),
+        (
+            n
+            for n, dev in deviations.items()
+            if dev > 1.5 and abs(timings[n] - prev_q[n]) > 0.25
+        ),
         key=lambda n: -deviations[n],
     )
     if len(moved) > REMEASURE_CAP:

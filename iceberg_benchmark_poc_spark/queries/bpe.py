@@ -126,9 +126,13 @@ def _bpe_rounds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataF
 def _oracle_rounds_cte() -> str:
     """WITH-clause body shared by both oracles: w0 (word types) and, per
     round i, p{i} (pair counts) / b{i} (argmax) / w{i+1} (rewrite). The
-    rewrite CASE is the same _MERGE_SQL text Spark runs."""
+    rewrite CASE is the same _MERGE_SQL text Spark runs. Every w{i}/b{i}
+    is AS MATERIALIZED: each is referenced twice (pair count + rewrite /
+    rewrite + final union), and DuckDB's default inlining re-expands the
+    whole chain per reference — 2^BPE_MERGES re-scans of the corpus word
+    count, which hung the sf10 sweep until the CTEs were pinned."""
     parts = [
-        f"""w0 AS (
+        f"""w0 AS MATERIALIZED (
           SELECT array_to_string(string_split(w, ''), ' ') || ' {BPE_EOW}' AS seq,
                  CAST(count(*) AS BIGINT) AS weight
           FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
@@ -144,8 +148,10 @@ def _oracle_rounds_cte() -> str:
                       j -> t.arr[j] || ' ' || t.arr[j + 1])) AS u(pair)
           GROUP BY u.pair
         )""")
-        parts.append(f"b{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)")
-        parts.append(f"""w{i + 1} AS (
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        parts.append(f"""w{i + 1} AS MATERIALIZED (
           SELECT {_MERGE_SQL} AS seq, weight
           FROM w{i} LEFT JOIN b{i} ON TRUE
         )""")
