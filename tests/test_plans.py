@@ -694,6 +694,28 @@ def test_tpch_derived_never_force_broadcasts_an_unfiltered_sf_table(spark, name)
         )
 
 
+def test_bpe_band_is_flat_above_its_checkpoints(spark):
+    """q_bpe_encode's visible plan must stay the minimal shape: checkpointed
+    type dictionary -> explode -> map-side partial sum -> ONE token exchange.
+    All 10 merge rounds hide behind lazy localCheckpoints (the q_khop
+    flat-plan property), so the top plan never re-derives a round. The
+    corpus-scale word count itself partial-aggregates before its exchange
+    (pinned on the un-checkpointed helper)."""
+    plan = plan_of(spark, "q_bpe_encode")
+    assert "ExistingRDD" in plan  # the final round's checkpoint cut
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_sum" in plan
+    assert "Join" not in plan  # merge-round joins must not leak above the cut
+
+    from iceberg_benchmark_poc_spark.queries.bpe import _word_types
+
+    sub = _word_types(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    sub_plan = sub._jdf.queryExecution().explainString(mode)
+    assert "partial_count" in sub_plan or "partial_sum" in sub_plan
+    assert len(re.findall(r"\(\d+\) Exchange", sub_plan)) == 1
+
+
 def test_important_stock_scalar_joins_back_as_one_row_broadcast(spark):
     """q_important_stock (Q11 shape): the national total/count scalar is a
     1-row broadcast (the allowlisted BNLJ), and the doubly-consumed value
