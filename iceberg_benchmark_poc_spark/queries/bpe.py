@@ -110,10 +110,18 @@ def _bpe_rounds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataF
     tables). Each round's words relation is cut with a lazy localCheckpoint
     (the q_kmeans unrolled-loop pattern) so the two consumers of round i —
     pair counting and the rewrite — share one execution."""
-    words = _word_types(spark, sf_dir).localCheckpoint(eager=False)
+    # narrow the checkpointed dictionary: it is vocabulary-bounded (tens of
+    # rows here, ~10M types at web scale — kilobytes per partition either
+    # way), and every one of the 3*BPE_MERGES round jobs re-launches one
+    # task per checkpoint partition, so width is pure scheduler overhead
+    words = _word_types(spark, sf_dir).coalesce(8).localCheckpoint(eager=False)
     bests: list[DataFrame] = []
     for _ in range(BPE_MERGES):
-        best = _best_pair(words)
+        # the 1-row argmax has two consumers (next round's rewrite + the
+        # train output's union) — cut it too, or each union row re-runs the
+        # round's pair aggregation and q_bpe_train pays ~2x the jobs of
+        # q_bpe_encode for the same loop
+        best = _best_pair(words).localCheckpoint(eager=False)
         bests.append(best)
         words = (
             words.join(F.broadcast(best), F.lit(True), "left")  # 1-row scalar (BNLJ allowlist)
