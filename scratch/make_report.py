@@ -260,6 +260,19 @@ def main() -> None:
         w("## Round-over-round moves (vs BENCH_PREV.json)")
         w("")
         w(f"Gates: ratio >1.5× AND |Δ| >0.25 s. Shared queries: {len(set(q) & set(pq))}.")
+        # host-speed context: when the calibration microbenchmarks moved
+        # between snapshots, moves on untouched queries are (at least
+        # partly) the host, not the plans — read them against this line
+        cal_c = full.get("calibration") or {}
+        cal_p = prev.get("calibration") or {}
+        if cal_c and cal_p:
+            parts = []
+            for k in sorted(set(cal_c) & set(cal_p)):
+                if cal_p[k]:
+                    parts.append(f"{k} {cal_p[k]}→{cal_c[k]} ({cal_c[k] / cal_p[k]:.2f}×)")
+            if parts:
+                w("")
+                w(f"Host calibration prev→now: {'; '.join(parts)}.")
         w("")
         if moves:
             w("| Query | prev s | now s | ratio |")
