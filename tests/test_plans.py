@@ -694,6 +694,28 @@ def test_tpch_derived_never_force_broadcasts_an_unfiltered_sf_table(spark, name)
         )
 
 
+def test_forecast_revenue_is_a_pure_pushed_scan(spark):
+    """q_forecast_revenue (TPC-H Q6 shape): the scan IS the query — every
+    predicate (ship-year range, discount band, quantity cap) must reach the
+    parquet scan as a pushed filter, the ReadSchema must carry only the 4
+    referenced columns of the 16-column table, and the fold must partial-
+    aggregate before its single 1-row exchange."""
+    plan = plan_of(spark, "q_forecast_revenue")
+    table, filters = scans(plan)[0]
+    assert table == "lineitem"
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert pushed in filters, f"{pushed} not pushed: {filters}"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+    assert "partial_sum" in plan
+    assert "Join" not in plan and "Sort" not in plan
+
+
 def test_bpe_band_is_flat_above_its_checkpoints(spark):
     """q_bpe_encode's visible plan must stay the minimal shape: checkpointed
     type dictionary -> explode -> map-side partial sum -> ONE token exchange.
