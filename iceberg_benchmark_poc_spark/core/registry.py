@@ -403,14 +403,17 @@ def driver_ordered_queries() -> dict[str, Query]:
 
     1. never-green queries first (never swept, or swept and errored) —
        round-robined across modules so the prefix still samples families;
-    2. then greens STRICTLY stalest-first (oldest green round before newer
-       ones, no exceptions — the round-6 sweep starved an r02-green band
-       for a fourth round because rewritten-but-recently-green queries
-       outranked it). Within one round cohort, queries REWRITTEN since
-       their last green (live source fingerprint differs from the
-       GREEN_SOURCES.json stamp, or no stamp) lead — a green row for code
-       that no longer exists is weaker evidence than one for unchanged
-       code — and family round-robin is the final tiebreaker only.
+    2. then greens REWRITTEN since their last driver green (live source
+       fingerprint differs from the GREEN_SOURCES.json stamp) as their own
+       band — a green row for code that no longer exists is closer to
+       "never green" than to "green", so it must not wait behind ~100
+       staler-but-unchanged greens (r09 verdict #3: four queries
+       restructured in r9 sat ~103 deep and would not have driver-re-
+       greened until ~r12). The band is stalest-first internally and is
+       always small (a session edits a handful of greens), so the r06
+       starvation concern that motivated strict staleness does not apply;
+    3. then unchanged greens STRICTLY stalest-first (oldest green round
+       before newer ones), family round-robin as the final tiebreaker.
 
     This is self-maintaining: each round's results file re-sorts the next
     round's sweep, so every query converges to a recent green row.
@@ -424,13 +427,13 @@ def driver_ordered_queries() -> dict[str, Query]:
     }
     never: list[Query] = [q for q in qs.values() if q.name not in last_green]
     greens: list[Query] = [q for q in qs.values() if q.name in last_green]
-    cohorts: dict[int, list[Query]] = {}
+    changed_cohorts: dict[int, list[Query]] = {}
+    fresh_cohorts: dict[int, list[Query]] = {}
     for q in greens:
-        cohorts.setdefault(last_green[q.name], []).append(q)
+        band = changed_cohorts if changed_since_green(q.name, _ctx=ctx) else fresh_cohorts
+        band.setdefault(last_green[q.name], []).append(q)
     ordered: list[Query] = _round_robin(never)
-    for rnd in sorted(cohorts):
-        changed = [q for q in cohorts[rnd] if changed_since_green(q.name, _ctx=ctx)]
-        unchanged = [q for q in cohorts[rnd] if not changed_since_green(q.name, _ctx=ctx)]
-        ordered.extend(_round_robin(changed))
-        ordered.extend(_round_robin(unchanged))
+    for cohorts in (changed_cohorts, fresh_cohorts):
+        for rnd in sorted(cohorts):
+            ordered.extend(_round_robin(cohorts[rnd]))
     return {q.name: q for q in ordered}

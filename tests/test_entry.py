@@ -115,31 +115,28 @@ def test_sweep_order_front_loads_verification_debt():
             f"verification-debt queries not front-loaded: debt ends at "
             f"{last_debt_pos}, greens start at {first_green_pos}"
         )
-    # greens strictly stalest-first — changed-since-stamp never promotes a
-    # fresh green past a staler one (r06 verdict: the rewritten-first rule
-    # starved an r02 band for four rounds). Equivalently: the N oldest greens
-    # occupy the first N green slots after the never-green band.
-    green_rounds = [history[n] for n in order if n in history]
-    assert green_rounds == sorted(green_rounds), (
-        "green band not stalest-first: a fresher green precedes a staler one"
-    )
-    # within one round cohort, rewritten greens lead unchanged ones
-    from itertools import groupby
-
+    # changed-since-green queries form their own band directly after the
+    # never-green band (r09 verdict #3: a green row for code that no longer
+    # exists is closer to "never green" than to "green"); every changed
+    # green precedes every unchanged one
     greens_in_order = [n for n in order if n in history]
-    for _rnd, cohort_iter in groupby(greens_in_order, key=lambda n: history[n]):
-        cohort = list(cohort_iter)
-        flags = [n in changed for n in cohort]
-        assert flags == sorted(flags, reverse=True), (
-            f"cohort r{_rnd}: changed greens must lead unchanged ones: {cohort}"
+    flags = [n in changed for n in greens_in_order]
+    assert flags == sorted(flags, reverse=True), (
+        "changed-since-green queries must all precede unchanged greens"
+    )
+    # unchanged greens strictly stalest-first (and the changed band too)
+    for band in (changed, [n for n in greens_in_order if n not in changed]):
+        rounds = [history[n] for n in order if n in band]
+        assert rounds == sorted(rounds), (
+            "green band not stalest-first: a fresher green precedes a staler one"
         )
 
 
 def test_sweep_order_reshuffles_on_source_change(monkeypatch):
-    """Editing a query's source (fingerprint != GREEN_SOURCES stamp) must move
-    it to the FRONT OF ITS OWN staleness cohort — but never past a staler
-    green (the r06 starvation bug: rewritten-first globally let fresh greens
-    jump an r02 band for four consecutive rounds)."""
+    """Editing a query's source (fingerprint != GREEN_SOURCES stamp) must hoist
+    it into the changed band directly after never-green — ahead of EVERY
+    unchanged green, staler ones included (r09 verdict #3: the within-cohort
+    rule left four restructured queries ~103 deep for ~3 rounds)."""
     from iceberg_benchmark_poc_spark.core import registry
 
     history = registry._verification_history()
@@ -171,15 +168,15 @@ def test_sweep_order_reshuffles_on_source_change(monkeypatch):
         edited[victim] = "0" * 64
         m.setattr(registry, "_green_source_snapshot", lambda: dict(edited))
         reshuffled = list(registry.driver_ordered_queries())
-    new_cohort = [n for n in reshuffled if history.get(n) == victim_round]
-    assert new_cohort[0] == victim, (
-        "rewritten query did not jump to the front of its staleness cohort"
+    greens_after = [n for n in reshuffled if n in history]
+    assert greens_after[0] == victim, (
+        "rewritten query did not jump ahead of every unchanged green"
     )
-    # ...but staleness still dominates: every staler green keeps its lead
-    staler = [n for n in reshuffled if n in history and history[n] < victim_round]
-    if staler:
-        assert max(reshuffled.index(n) for n in staler) < reshuffled.index(victim), (
-            "rewritten fresh green jumped past a staler green — starvation bug"
+    # never-green debt still leads the rewritten query
+    debt = [n for n in reshuffled if n not in history]
+    if debt:
+        assert max(reshuffled.index(n) for n in debt) < reshuffled.index(victim), (
+            "never-green queries must still precede the changed band"
         )
     assert set(reshuffled) == set(baseline_order)
 
