@@ -51,16 +51,22 @@ BPE_MERGES = 10
 #: marker cannot collide with real text
 BPE_EOW = "</w>"
 
-#: the merge rewrite, written once as ANSI SQL both engines run verbatim:
-#: pad the symbol string with spaces so the pair only matches on symbol
-#: boundaries, replace left-to-right non-overlapping (both engines'
-#: replace() semantics — probe-verified, including the 'a a a' -> 'aa a'
-#: overlap case), then trim the padding. NULL pair (no pairs left) passes
-#: the sequence through.
+#: the merge rewrite, written once as ANSI SQL both engines run verbatim.
+#: DOUBLE every separator first, so each symbol boundary carries two spaces
+#: and the single-space-padded pattern consumes only ONE of them per side:
+#: disjoint adjacent occurrences ('b a n a n a' + pair 'a n') then both
+#: match — single-space padding under-merged there because the first match
+#: swallowed the shared boundary space ('b an a n a' instead of the greedy
+#: 'b an an a'). replace() is left-to-right non-overlapping in both engines
+#: (probe-verified, including the 'a a a' -> 'aa a' overlap case), which
+#: with intact boundaries IS the textbook greedy scan. Collapse the
+#: doubled separators and trim afterwards; NULL pair (no pairs left)
+#: passes the sequence through.
 _MERGE_SQL = (
     "CASE WHEN pair IS NULL THEN seq ELSE"
-    " trim(replace(' ' || seq || ' ', ' ' || pair || ' ',"
-    " ' ' || replace(pair, ' ', '') || ' ')) END"
+    " replace(trim(replace(' ' || replace(seq, ' ', '  ') || ' ',"
+    " ' ' || replace(pair, ' ', '  ') || ' ',"
+    " ' ' || replace(pair, ' ', '') || ' ')), '  ', ' ') END"
 )
 
 #: adjacent-pair extraction (Spark side; sequence(1,0) is DESCENDING, not

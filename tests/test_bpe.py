@@ -63,6 +63,102 @@ def _python_bpe(word_counts: dict[str, int], merges: int):
     return table, vocab
 
 
+def _greedy_rewrite(syms: list[str], pair: tuple[str, str]) -> list[str]:
+    """Textbook single-round merge: left-to-right, non-overlapping, skip past
+    each match — the semantics _MERGE_SQL must reproduce."""
+    x, y = pair
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+# (seq, pair) cases the single-space-padded replace got WRONG (r9 advice):
+# disjoint adjacent occurrences share a boundary space, so the first match
+# starved the second. Pinned here against the greedy scan in BOTH engines.
+_ADVERSARIAL_CASES = [
+    ("b a n a n a", "a n"),       # the under-merge case: must give 'b an an a'
+    ("a n a n a n", "a n"),       # all three merge: 'an an an'
+    ("a a a", "a a"),             # overlap: greedy takes the first, 'aa a'
+    ("a a a a", "a a"),           # two disjoint: 'aa aa'
+    ("x a n a n y", "a n"),       # interior disjoint pair
+    ("a n", "a n"),               # whole word is the pair
+    ("n a n", "a n"),             # match at end
+    ("a n a", "a n"),             # match at start, trailing symbol
+    ("c </w>", "c </w>"),         # EOW absorbed into a merge
+    ("< / w > </w>", "/ w"),      # near-marker chars as real symbols
+    ("</w </w>", "</w </w>"),     # adversarial symbol that PREFIXES the marker
+    ("an a n an", "a n"),         # merged-lookalike neighbors must not match
+]
+
+
+def test_merge_sql_matches_greedy_scan_in_both_engines(spark):
+    """_MERGE_SQL evaluated by Spark AND DuckDB on adversarial words equals
+    the textbook greedy rewrite — the fixture corpus never exercises the
+    'banana' shape in 10 rounds, so the semantics is pinned directly."""
+    import duckdb
+
+    from iceberg_benchmark_poc_spark.queries.bpe import _MERGE_SQL
+
+    con = duckdb.connect()
+    for seq, pair in _ADVERSARIAL_CASES:
+        expected = " ".join(_greedy_rewrite(seq.split(" "), tuple(pair.split(" ", 1))))
+        got_duck = con.sql(
+            f"SELECT {_MERGE_SQL} AS out FROM (SELECT ? AS seq, ? AS pair)",
+            params=[seq, pair],
+        ).fetchone()[0]
+        assert got_duck == expected, f"duckdb: {seq!r} + {pair!r} -> {got_duck!r} != {expected!r}"
+    rows = spark.createDataFrame(_ADVERSARIAL_CASES, "seq string, pair string").selectExpr(
+        "seq", "pair", f"{_MERGE_SQL} AS out"
+    ).collect()
+    for r in rows:
+        expected = " ".join(_greedy_rewrite(r["seq"].split(" "), tuple(r["pair"].split(" ", 1))))
+        assert r["out"] == expected, f"spark: {r['seq']!r} + {r['pair']!r} -> {r['out']!r}"
+
+
+def test_merge_sql_properties_fuzzed():
+    """Hypothesis fuzz of the merge SQL (DuckDB evaluates the shared ANSI
+    text; Spark-vs-DuckDB sameness is pinned by the case table above and the
+    oracle gate): for ANY symbol sequence and ANY adjacent pair drawn from
+    it, the rewrite equals the greedy scan, conserves the concatenated
+    character stream, and shortens the sequence by exactly the match count."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from iceberg_benchmark_poc_spark.queries.bpe import _MERGE_SQL
+
+    con = duckdb.connect()
+    # tiny alphabet forces repeats/overlaps; include EOW-marker fragments so
+    # near-marker adjacency is fuzzed, and multi-char symbols so boundary
+    # alignment (no mid-symbol matches) is exercised
+    symbol = st.sampled_from(["a", "n", "b", "an", "na", "<", "/", "w", ">", "</w>", "</w"])
+    seqs = st.lists(symbol, min_size=2, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(seqs=seqs, data=st.data())
+    def check(seqs, data):
+        i = data.draw(st.integers(0, len(seqs) - 2))
+        pair = (seqs[i], seqs[i + 1])
+        seq_s, pair_s = " ".join(seqs), " ".join(pair)
+        got = con.sql(
+            f"SELECT {_MERGE_SQL} AS out FROM (SELECT ? AS seq, ? AS pair)",
+            params=[seq_s, pair_s],
+        ).fetchone()[0]
+        expected = _greedy_rewrite(seqs, pair)
+        assert got == " ".join(expected)
+        # conservation: merges never create or destroy characters
+        assert got.replace(" ", "") == seq_s.replace(" ", "")
+        # each match shortens the sequence by exactly one symbol
+        assert len(got.split(" ")) == len(expected)
+
+    check()
+
+
 def test_bpe_train_matches_textbook_trainer(spark):
     rows = all_queries()["q_bpe_train"].fn(spark, SF_DIR).collect()
     got = sorted((r["merge_rank"], r["pair"], r["merged"], r["pair_count"]) for r in rows)
