@@ -26,14 +26,26 @@ def _cpu_calibration(spark) -> dict:
     The VM's effective CPU speed varies round to round (shared-host
     throttling has been observed to swing pure-compute wall ~1.5x), so
     absolute walls are only comparable across rounds after normalizing by a
-    constant-work yardstick: one single-thread JVM fold and one pure-Python
-    loop, both data-independent. Medians of 3.
+    constant-work yardstick: one single-thread JVM fold, one pure-Python
+    loop, and one PARALLEL fold (the same 50M-row work executed as 32
+    concurrent tasks) — all data-independent. Medians of 3.
+
+    The parallel probe exists because the single-thread probes are blind to
+    multi-core contention: the r9 driver run published 24 phantom >1.5x
+    moves on untouched code while both single-thread probes read ~1.04x —
+    a co-resident workload steals cores from a 32-way sweep without slowing
+    any ONE thread. 32 simultaneous tasks contend for exactly what the
+    query sweep contends for, so host-wide core pressure shows up here
+    first; the snapshot-overwrite gate in main() keys off it.
     """
-    jvm_walls, py_walls = [], []
+    jvm_walls, par_walls, py_walls = [], [], []
     for _ in range(3):
         t0 = time.perf_counter()
         spark.range(0, 50_000_000, 1, 1).selectExpr("sum(id * 3 % 7)").collect()
         jvm_walls.append((time.perf_counter() - t0) * 1000)
+        t0 = time.perf_counter()
+        spark.range(0, 32 * 50_000_000, 1, 32).selectExpr("sum(id * 3 % 7)").collect()
+        par_walls.append((time.perf_counter() - t0) * 1000)
         t0 = time.perf_counter()
         s = 0
         for i in range(2_000_000):
@@ -41,8 +53,23 @@ def _cpu_calibration(spark) -> dict:
         py_walls.append((time.perf_counter() - t0) * 1000)
     return {
         "jvm_fold_50m_ms": round(sorted(jvm_walls)[1], 1),
+        "jvm_fold_50m_x32_ms": round(sorted(par_walls)[1], 1),
         "python_loop_2m_ms": round(sorted(py_walls)[1], 1),
     }
+
+
+def contended_vs_snapshot(
+    prev_snapshot: dict, calibration: dict, threshold: float = 1.3
+) -> float | None:
+    """Ratio of this run's PARALLEL calibration probe to the snapshot's when
+    it exceeds ``threshold`` (host contended — quarantine the run), else
+    None. Slower-only: a FASTER host means the old snapshot was the
+    contended one, and retaining it would be the contamination."""
+    prev_par = (prev_snapshot.get("calibration") or {}).get("jvm_fold_50m_x32_ms")
+    new_par = (calibration or {}).get("jvm_fold_50m_x32_ms")
+    if prev_par and new_par and new_par / prev_par > threshold:
+        return round(new_par / prev_par, 2)
+    return None
 
 
 def sf_from_dir(path: str) -> float:
@@ -125,11 +152,16 @@ def main() -> None:
     # trigger a near-full re-run and ~triple total wall; past the cap the
     # calibration block is the cross-round normalizer.
     REMEASURE_CAP = 25
+    prev_snapshot: dict = {}
     try:
         _root = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(_root, "BENCH_FULL.json")) as f:
-            prev = json.load(f)
-        prev_q = prev.get("queries", {}) if prev.get("sf") == sf_from_dir(SF_DIR) else {}
+            prev_snapshot = json.load(f)
+        prev_q = (
+            prev_snapshot.get("queries", {})
+            if prev_snapshot.get("sf") == sf_from_dir(SF_DIR)
+            else {}
+        )
     except (OSError, ValueError):
         prev_q = {}
     deviations = {
@@ -197,30 +229,62 @@ def main() -> None:
         "n_queries": len(timings),
         "calibration": _cpu_calibration(spark),
         "median_of_3": sorted(medianized),
+        "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     if suites is not None:
         full["suites"] = suites
+
+    # Contention gate (r9 verdict #2): the r9 driver run published 24 phantom
+    # >1.5x moves and a 3.0 baseline cell while the single-thread calibration
+    # read ~1.04x — multi-core contention is invisible to single-thread
+    # probes. If this run's PARALLEL probe is >1.3x slower than the snapshot
+    # it would overwrite, the host was contended for exactly the resource the
+    # 32-way sweep uses: warn, divert the numbers to BENCH_CONTENDED.json,
+    # and RETAIN the existing BENCH_FULL.json + REPORT.md. The stdout
+    # headline still carries this run's numbers (flagged with contended_x)
+    # so a wall-budgeted driver run is never lost, only quarantined.
+    contended_x = contended_vs_snapshot(prev_snapshot, full["calibration"])
+    if contended_x:
+        full["contended_vs_snapshot_x"] = contended_x
+    prev_par = (prev_snapshot.get("calibration") or {}).get("jvm_fold_50m_x32_ms")
+    new_par = full["calibration"].get("jvm_fold_50m_x32_ms")
 
     # The driver keeps only the last ~2KB of stdout, so the full per-query map
     # goes to BENCH_FULL.json in the repo (round-over-round comparable) and the
     # FINAL stdout line is a compact headline guaranteed to fit the tail.
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+    snapshot_name = "BENCH_CONTENDED.json" if contended_x else "BENCH_FULL.json"
+    if contended_x:
+        print(
+            f"bench: parallel calibration probe {new_par:.0f} ms is {contended_x}x the "
+            f"snapshot's {prev_par:.0f} ms — host contended; retaining BENCH_FULL.json "
+            f"and writing this run to BENCH_CONTENDED.json",
+            file=sys.stderr,
+        )
+    with open(os.path.join(repo_root, snapshot_name), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
     # REPORT.md is rendered FROM BENCH_FULL.json, so re-render it whenever the
     # snapshot is rewritten — the r8 verdict's missing-item #2 was exactly this
     # pair drifting when the driver re-benched after the builder's final
     # commit. Keeping the regen inside bench.py makes the pair self-healing
-    # under any runner (builder, driver, judge).
-    try:
-        import runpy
+    # under any runner (builder, driver, judge). SystemExit is caught too:
+    # runpy with run_name='__main__' propagates it (a BaseException) if the
+    # report script ever adopts sys.exit(main()), and that must not kill the
+    # final headline line the driver parses.
+    if not contended_x:
+        try:
+            import runpy
 
-        runpy.run_path(os.path.join(repo_root, "scratch", "make_report.py"), run_name="__main__")
-    except Exception as exc:  # the bench numbers must land even if the report can't
-        print(f"REPORT.md regen skipped: {exc}", file=sys.stderr)
+            runpy.run_path(os.path.join(repo_root, "scratch", "make_report.py"), run_name="__main__")
+        except (Exception, SystemExit) as exc:  # bench numbers must land even if the report can't
+            print(f"REPORT.md regen skipped: {exc}", file=sys.stderr)
 
-    print(build_headline_line(total, timings, suites, sf_from_dir(SF_DIR), full["calibration"]))
+    print(
+        build_headline_line(
+            total, timings, suites, sf_from_dir(SF_DIR), full["calibration"], contended_x
+        )
+    )
     spark.stop()
 
 
@@ -235,6 +299,7 @@ def build_headline_line(
     suites: dict | None,
     sf: float,
     calibration: dict | None = None,
+    contended_x: float | None = None,
 ) -> str:
     out = {
         "metric": "total_query_wall_time",
@@ -247,6 +312,10 @@ def build_headline_line(
     }
     if calibration is not None:
         out["cal"] = calibration
+    if contended_x is not None:
+        # this run's parallel probe vs the retained snapshot's — the walls
+        # above were measured on a contended host; read them accordingly
+        out["contended_x"] = contended_x
     if suites is not None:
         out["suites"] = _suite_headline(suites)
     line = json.dumps(out, separators=(",", ":"))
@@ -274,8 +343,13 @@ def _suite_headline(suites: dict) -> dict:
     h = {
         "writer_org_bytes_reduction_x": g("writer_org", "bytes_reduction_x"),
         "delete_storm_speedup_x": g("delete_storm", "modeled_speedup_x"),
-        # primary parallel-fetch metric: request counts (exact reference
-        # match); the wall ratio is informational — see BASELINE.md footnote
+        # primary parallel-fetch metrics, in trust order: the DETERMINISTIC
+        # all-modeled ratio leads (r9 verdict #6: the measured-inline
+        # denominator absorbed host contention and swung the driver's
+        # baseline cell to 3.0 on untouched code), then the exact
+        # request-count parity; the measured wall ratio is retained for the
+        # reference's own methodology — see BASELINE.md footnote
+        "parallel_fetch_modeled_x": g("parallel_fetch", "parallel_vs_inline_modeled_x"),
         "fetch_requests_external": g("parallel_fetch", "metadata_requests_external"),
         "parallel_fetch_x": g("parallel_fetch", "parallel_vs_inline_x"),
         # ratio components (r8 advice: the ratio alone made run-to-run TTFB

@@ -182,6 +182,7 @@ def test_bench_headline_fits_driver_tail():
         "delete_storm": {"modeled_speedup_x": 123456.7},
         "parallel_fetch": {
             "parallel_vs_inline_x": 123.45,
+            "parallel_vs_inline_modeled_x": 123.45,
             "metadata_requests_external": 100000,
         },
         "manifest_parse": {"parse_ms_32mb": 12345.67},
@@ -221,8 +222,12 @@ def test_bench_headline_fits_driver_tail():
             "png_vs_ppm_bytes_x": 123.45,
         },
     }
-    cal = {"jvm_fold_50m_ms": 123456.7, "python_loop_2m_ms": 123456.7}
-    line = bench.build_headline_line(9999.9999, timings, suites, 0.1, cal)
+    cal = {
+        "jvm_fold_50m_ms": 123456.7,
+        "jvm_fold_50m_x32_ms": 123456.7,
+        "python_loop_2m_ms": 123456.7,
+    }
+    line = bench.build_headline_line(9999.9999, timings, suites, 0.1, cal, 123.45)
     assert len(line.encode()) < cap, f"worst-case headline {len(line)}B >= {cap}B"
     json.loads(line)  # still valid JSON after truncation
 
@@ -239,3 +244,30 @@ def test_bench_headline_fits_driver_tail():
         )
         assert len(line.encode()) < cap
         json.loads(line)
+
+
+def test_bench_contention_gate():
+    """r9 verdict #2: a run whose 32-task calibration probe reads >1.3x the
+    committed snapshot's was measured under multi-core contention and must be
+    quarantined (BENCH_CONTENDED.json) instead of overwriting the snapshot;
+    within-threshold, missing-probe, and faster-host runs all pass."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    prev = {"calibration": {"jvm_fold_50m_x32_ms": 1000.0}}
+    gate = bench.contended_vs_snapshot
+    assert gate(prev, {"jvm_fold_50m_x32_ms": 1400.0}) == 1.4      # contended
+    assert gate(prev, {"jvm_fold_50m_x32_ms": 1250.0}) is None     # within 1.3x
+    assert gate(prev, {"jvm_fold_50m_x32_ms": 500.0}) is None      # faster host
+    assert gate({}, {"jvm_fold_50m_x32_ms": 1400.0}) is None       # no snapshot probe
+    assert gate(prev, {}) is None                                  # no run probe
+    # the quarantine flag rides the headline so a driver run is never silent
+    line = bench.build_headline_line(1.0, {"q": 1.0}, None, 0.1, prev["calibration"], 1.4)
+    import json
+
+    assert json.loads(line)["contended_x"] == 1.4
