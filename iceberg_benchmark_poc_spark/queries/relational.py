@@ -167,9 +167,13 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by region/nation: 4-way star join with broadcast dimensions.
 
-    customer/nation/region are dimension-sized at every SF, so they are
-    explicitly broadcast — the fact table (lineitem) is never shuffled for
-    them. Only the lineitem<->orders join moves big data, and AQE handles any
+    nation/region are fixed 25/5-row catalogs, so they are explicitly
+    broadcast; customer GROWS with SF, so its join is left to the planner —
+    auto-broadcast picks the replicated build at bench scales and AQE falls
+    back to a shuffle join once the table outgrows the threshold (a forced
+    hint would freeze the broadcast into the plan a 100x scale-up cannot
+    re-plan away — pinned registry-wide by tests/test_plans.py). Only the
+    lineitem<->orders join necessarily moves big data, and AQE handles any
     orderkey skew. This is the join topology every reference "resolution
     strategy" approximates (small side replicated to the big side's tasks).
     """
@@ -183,7 +187,7 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -216,14 +220,17 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Generalizes the reference's min-by selection (§2.6) to grouped top-k:
     aggregate first (shrinks to |part| rows), then rank within brand — the
-    window runs on the aggregated table, never on raw lineitem.
+    window runs on the aggregated table, never on raw lineitem. part grows
+    with SF and carries no filter here, so its join is planner-chosen
+    (broadcast at bench scale, shuffle once it outgrows the threshold)
+    rather than hint-forced.
     """
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_partkey", "p_name")
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,0)")).cast("double").alias("total_qty"))
     )
@@ -309,9 +316,14 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The interesting join is supplier: its key is composite
     (l_suppkey = s_suppkey AND s_nationkey = c_nationkey) — the second
-    conjunct correlates two dimensions through the fact row. All four
-    dimensions broadcast, so lineitem<->orders is the only shuffled join;
-    the region filter prunes nations before the fact table ever sees them.
+    conjunct correlates two dimensions through the fact row. The supplier
+    side is forced-broadcast as the pre-filtered `supplier ⋈ nation ⋈
+    region(ASIA)` unit, so the region restriction (1 of 5 regions) lands
+    BELOW the exchange — never a forced broadcast of the unfiltered
+    SF-scaled dimension (pinned registry-wide by tests/test_plans.py).
+    customer carries no filter here, so its join is planner-chosen
+    (broadcast at bench scale, shuffle past the threshold); lineitem<->
+    orders stays the only unavoidable big shuffle.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -322,15 +334,19 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s_local = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+            F.broadcast(s_local),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == c.c_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             _rev_sum().alias("revenue"),
@@ -462,8 +478,10 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promotion revenue share for one ship month.
 
     Conditional aggregation over a fact-dimension join: the date predicate
-    pushes to the lineitem scan (one month survives), part BROADCASTS, and
-    the conditional sums partial-aggregate map-side into a single row. The
+    pushes to the lineitem scan (one month survives), the unfiltered part
+    join is planner-chosen (auto-broadcast at bench scale, shuffle once the
+    SF-scaled table outgrows the threshold — never hint-frozen), and the
+    conditional sums partial-aggregate map-side into a single row. The
     promo share is computed by the caller from the two exact decimal-folded
     sums — emitting both (instead of the ratio) keeps the hash comparison on
     exactly-reproducible values.
@@ -475,7 +493,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     zero = F.lit(0).cast("decimal(38,0)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.sum(F.when(F.col("p_type") == "PROMO", _rev_fp()).otherwise(zero))
@@ -564,7 +582,8 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped result is broadcastable — this is the genuine shuffle-join +
     shuffle-agg path. Scale: the returnflag + ship-year predicates push to
     the lineitem scan (a small slice survives), the orders join shuffles on
-    orderkey with AQE sizing the partitions, customer broadcasts (dimension),
+    orderkey with AQE sizing the partitions, the unfiltered customer join is
+    planner-chosen (broadcast at bench scale, shuffle past the threshold),
     and the revenue sums partial-aggregate map-side before the custkey
     shuffle. Decimal folds keep the HAVING cut and sums engine-exact.
     """
@@ -577,7 +596,7 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
         .agg(
             F.count("*").alias("n_items"),
@@ -626,29 +645,37 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two independent dimension chains hang off the same fact row — supplier's
     nation via l_suppkey and customer's nation via l_orderkey->o_custkey —
     and the filter is a disjunction across the PAIR of chains, so neither
-    chain's nation predicate can prune alone; each side only prunes to the
-    two-nation superset. Scale: supplier/customer/nation all broadcast (the
-    only shuffle left is lineitem<->orders on orderkey), the pair predicate
-    evaluates after both chains resolve, and the (nation, nation, year)
-    grouping is tiny. Revenue folds through DECIMAL for engine parity.
+    chain's nation predicate can prune alone; each side DOES prune to the
+    two-nation superset, and that cut is applied where it counts — on the
+    dimension chains BEFORE their broadcast exchanges, so each forced
+    broadcast ships only the two nations' suppliers/customers (2/25 of the
+    dimension; never an unfiltered SF-scaled build side — pinned
+    registry-wide by tests/test_plans.py). The only shuffle left is
+    lineitem<->orders on orderkey; the pair predicate evaluates after both
+    chains resolve, and the (nation, nation, year) grouping is tiny.
+    Revenue folds through DECIMAL for engine parity.
     """
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     a, b = _Q7_NATIONS
+    n1 = n.filter(F.col("n_name").isin(a, b)).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(a, b)).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s_pair = s.join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))
+    c_pair = c.join(F.broadcast(n2), c.c_nationkey == F.col("cn_key"))
     pair = ((F.col("supp_nation") == a) & (F.col("cust_nation") == b)) | (
         (F.col("supp_nation") == b) & (F.col("cust_nation") == a)
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(s_pair), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(c_pair), o.o_custkey == F.col("c_custkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(_rev_sum().alias("revenue"), F.count("*").alias("n_items"))
@@ -694,10 +721,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The deepest dimension topology in the set — seven tables, with nation
     joined TWICE under different roles (customer's nation restricts the
-    market region; supplier's nation labels the volume). Scale: part/
-    supplier/customer/nation/region all broadcast, so the single big-data
-    shuffle remains lineitem<->orders; the market filter (region + part
-    type) prunes fact rows at the join, and the per-year conditional sums
+    market region; supplier's nation labels the volume). Scale: the forced
+    broadcasts are the CUT sides only — part pre-filtered by type, and
+    customer pre-joined to the region-filtered nation chain so the EUROPE
+    restriction (1 of 5 regions) lands below its exchange. The supplier
+    chain has no restriction (every nation labels volume), so that join is
+    planner-chosen (auto-broadcast at bench scale, shuffle past the
+    threshold) rather than hint-frozen. The single unavoidable big-data
+    shuffle remains lineitem<->orders, and the per-year conditional sums
     partial-aggregate map-side. Emitting nation_volume and total_volume
     (not their ratio) keeps the comparison on exact decimal folds.
     """
@@ -719,14 +750,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_nationkey").alias("cn_key"))
     )
     ns = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    c_market = c.join(F.broadcast(nc), c.c_nationkey == F.col("cn_key"))
+    s_labeled = s.join(F.broadcast(ns), s.s_nationkey == F.col("sn_key"))
     zero = F.lit(0).cast("decimal(38,0)")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
+        .join(s_labeled, l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(c_market), o.o_custkey == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
@@ -814,7 +845,11 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarter filter pushes to the lineitem scan, per-suppkey revenue
     partial-aggregates map-side, and the 1-row max joins back by broadcast —
     the equality is tested on the exact fixed-point fold, not the double
-    projection, so a tie can't be split by float rounding. supplier broadcasts.
+    projection, so a tie can't be split by float rounding. The max-attaining
+    rev side is 1-row-scale after the filter, so the name join against the
+    unfiltered SF-scaled supplier is planner-chosen (AQE sees the post-
+    filter cardinality and broadcasts the SMALL side) rather than
+    hint-freezing supplier as the build side.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.to_date("l_shipdate") >= F.lit(_Q15_START))
@@ -827,7 +862,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(max_rev), rev.rev_fp == max_rev.max_rev)
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -1019,8 +1054,10 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: lineitem joins orders once on orderkey; the per-order quantifier
     aggregate and the flag-back join reuse that same key, so AQE reuses the
     exchange rather than re-shuffling a second and third copy of the fact
-    table (the plan the naive double-self-join would produce). Supplier and
-    nation broadcast; output is one row per supplier — metadata-scale.
+    table (the plan the naive double-self-join would produce). nation (25
+    rows) broadcasts by hint; the unfiltered SF-scaled supplier join is
+    planner-chosen (broadcast at bench scale, shuffle past the threshold).
+    Output is one row per supplier — metadata-scale.
     """
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -1047,7 +1084,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     waiting = flagged.filter(F.col("late")).join(qualifying, "l_orderkey")
     return (
-        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name", "n_name")
         .agg(F.count("*").alias("numwait"))
@@ -1093,9 +1130,11 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit.
 
     Scale: the part filter prunes BEFORE its broadcast (only matching
-    partkeys ship to executors); supplier and nation broadcast; the one
-    real shuffle is lineitem<->orders on orderkey. The (nation, year)
-    grouping is 25 x |years| rows.
+    partkeys ship to executors); nation (25 rows) broadcasts by hint; the
+    unfiltered SF-scaled supplier join is planner-chosen (broadcast at
+    bench scale, shuffle past the threshold). The one unavoidable shuffle
+    is lineitem<->orders on orderkey. The (nation, year) grouping is
+    25 x |years| rows.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = (
@@ -1111,7 +1150,7 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(38,0)")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -1216,9 +1255,12 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: every check is an independent aggregate that reduces to one
     row before the union, so the result is always exactly 9 rows. The
-    dimension-side anti joins broadcast their key columns; the
-    lineitem<->orders checks shuffle on orderkey only after pruning to
-    the key (and the key+price pair for the reconciliation).
+    anti joins prune to the key column on both sides and leave the join
+    strategy to the planner — every dimension here grows with SF, so a
+    hint-frozen broadcast of its key set would stop fitting at 100x
+    (auto-broadcast still replicates the small side at bench scales).
+    The lineitem<->orders checks shuffle on orderkey only after pruning
+    to the key (and the key+price pair for the reconciliation).
     """
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -1235,11 +1277,9 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dups = df.groupBy(key).agg(F.count("*").alias("n")).filter(F.col("n") > 1)
         return one(name, dups)
 
-    def fk_orphan(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str,
-                  broadcast_dim: bool = True) -> DataFrame:
+    def fk_orphan(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str) -> DataFrame:
         keys = dim.select(pk)
-        right = F.broadcast(keys) if broadcast_dim else keys
-        return one(name, fact.select(fk).join(right, F.col(fk) == F.col(pk), "left_anti"))
+        return one(name, fact.select(fk).join(keys, F.col(fk) == F.col(pk), "left_anti"))
 
     rev = l.groupBy("l_orderkey").agg(F.sum(_rev_fp()).alias("rev"))
     mismatch = (
@@ -1255,8 +1295,7 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pk_dup("customer_pk_dup", c, "c_custkey"),
         pk_dup("part_pk_dup", p, "p_partkey"),
         pk_dup("supplier_pk_dup", s, "s_suppkey"),
-        fk_orphan("lineitem_fk_orders", l, "l_orderkey", o, "o_orderkey",
-                  broadcast_dim=False),
+        fk_orphan("lineitem_fk_orders", l, "l_orderkey", o, "o_orderkey"),
         fk_orphan("lineitem_fk_part", l, "l_partkey", p, "p_partkey"),
         fk_orphan("lineitem_fk_supplier", l, "l_suppkey", s, "s_suppkey"),
         fk_orphan("orders_fk_customer", o, "o_custkey", c, "c_custkey"),
@@ -1358,8 +1397,9 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational convention).
 
     Scale: the only fact-table shuffle is the l_suppkey aggregation
-    (map-side combined to one row per supplier); supplier and nation are
-    broadcast dims, and the HHI fold runs over the supplier-scale table.
+    (map-side combined to one row per supplier); nation (25 rows)
+    broadcasts by hint, the unfiltered SF-scaled supplier join is
+    planner-chosen, and the HHI fold runs over the supplier-scale table.
     rev_i^2 at REV_SCALE=1e4 reaches ~1e26 for a 1e9-revenue supplier —
     far inside DECIMAL(38,0); the bigint cast applies only to the final
     ppm ratio.
@@ -1369,7 +1409,7 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        srev.join(F.broadcast(s), srev.l_suppkey == s.s_suppkey)
+        srev.join(s, srev.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
