@@ -279,6 +279,19 @@ def main() -> None:
             runpy.run_path(os.path.join(repo_root, "scratch", "make_report.py"), run_name="__main__")
         except (Exception, SystemExit) as exc:  # bench numbers must land even if the report can't
             print(f"REPORT.md regen skipped: {exc}", file=sys.stderr)
+        # COVERAGE.md's scaling section is derived from the BENCH_FULL/
+        # BENCH_SF1 pair the same way (r9 verdict #1: hand-written scaling
+        # claims contradicted the committed snapshot). The script no-ops
+        # with a note unless the pair is the committed sf0.1/sf1 pairing.
+        try:
+            import runpy
+
+            runpy.run_path(
+                os.path.join(repo_root, "scratch", "update_coverage_scaling.py"),
+                run_name="__main__",
+            )
+        except (Exception, SystemExit) as exc:
+            print(f"COVERAGE.md scaling regen skipped: {exc}", file=sys.stderr)
 
     print(
         build_headline_line(

@@ -1,0 +1,144 @@
+"""Regenerate COVERAGE.md's measured-scaling section from the committed
+bench snapshots — never hand-written (r9 verdict #1: the hand-maintained
+"10x -> 2.5x" / "0 of 200 superlinear" claims contradicted the committed
+BENCH_SF1.json after a contended re-measure; the r8 "22/22" coverage claim
+went stale the same way. Derived text cannot drift from its source).
+
+Reads BENCH_FULL.json (must be the sf0.1 snapshot) and BENCH_SF1.json
+(must be sf1), classifies every shared query's wall ratio with the same
+thresholds as scratch/scaling_curve.py, and rewrites the block between the
+scaling:generated markers in COVERAGE.md. Invoked automatically by
+bench.py after a snapshot overwrite (alongside the REPORT.md regen) and
+pinned by tests/test_entry.py::test_coverage_scaling_section_matches_snapshots.
+
+Usage: python scratch/update_coverage_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- scaling:generated:begin (scratch/update_coverage_scaling.py) -->"
+END = "<!-- scaling:generated:end -->"
+
+#: scaling_curve.py's classification bounds, as multiples of the data ratio
+SUBLINEAR_LT = 0.5
+SUPERLINEAR_GT = 2.0
+
+
+def render_section(lo: dict, hi: dict) -> str:
+    """The generated block (marker lines included), or raise ValueError when
+    the snapshot pair is not the committed sf0.1/sf1 pairing."""
+    if lo.get("sf") != 0.1 or hi.get("sf") != 1:
+        raise ValueError(
+            f"snapshot pair is sf={lo.get('sf')}/{hi.get('sf')}, need 0.1/1 — "
+            "re-run bench.py at both scales before regenerating"
+        )
+    ratio_sf = hi["sf"] / lo["sf"]
+    rows = [
+        (hi["queries"][n] / w, w, hi["queries"][n], n)
+        for n, w in lo["queries"].items()
+        if hi["queries"].get(n) and w
+    ]
+    rows.sort(reverse=True)
+    sub = [r for r in rows if r[0] < SUBLINEAR_LT * ratio_sf]
+    lin = [r for r in rows if SUBLINEAR_LT * ratio_sf <= r[0] <= SUPERLINEAR_GT * ratio_sf]
+    sup = [r for r in rows if r[0] > SUPERLINEAR_GT * ratio_sf]
+    lo_total, hi_total = lo.get("value"), hi.get("value")
+
+    def cal_line(key: str, label: str) -> str | None:
+        a = (lo.get("calibration") or {}).get(key)
+        b = (hi.get("calibration") or {}).get(key)
+        if a and b:
+            return f"{label} {a:.0f}→{b:.0f} ms ({b / a:.2f}x)"
+        return None
+
+    cals = [
+        c
+        for c in (
+            cal_line("jvm_fold_50m_ms", "jvm fold"),
+            cal_line("jvm_fold_50m_x32_ms", "32-task fold"),
+            cal_line("python_loop_2m_ms", "python loop"),
+        )
+        if c
+    ]
+    slowest = sorted(rows, key=lambda r: -r[2])[:6]
+
+    w: list[str] = [BEGIN]
+    w.append("")
+    w.append(
+        f"Snapshots: BENCH_FULL.json sf0.1 ({lo.get('generated_utc', 'unstamped')}) vs "
+        f"BENCH_SF1.json sf1 ({hi.get('generated_utc', 'unstamped')}); "
+        f"{len(rows)} shared queries, classification thresholds "
+        f"<{SUBLINEAR_LT * ratio_sf:.0f}x / >{SUPERLINEAR_GT * ratio_sf:.0f}x "
+        f"(scratch/scaling_curve.py)."
+    )
+    w.append("")
+    w.append(
+        f"- **{ratio_sf:.0f}x data → {hi_total / lo_total:.1f}x total wall** "
+        f"({lo_total:.1f} s → {hi_total:.1f} s across the shared registry)."
+    )
+    w.append(
+        f"- **{len(sup)} of {len(rows)} queries scale superlinearly** "
+        f"(>{SUPERLINEAR_GT * ratio_sf:.0f}x); {len(sub)} are sublinear "
+        f"(<{SUBLINEAR_LT * ratio_sf:.0f}x — local-scheduler job-floor amortization "
+        f"and metadata-scale inputs), {len(lin)} are ~linear (scan-bound, the "
+        f"healthy shape for a distributed engine)."
+    )
+    if sup:
+        worst = ", ".join(f"{n} {a:.2f}→{b:.2f} s ({r:.1f}x)" for r, a, b, n in sup[:8])
+        w.append(f"- Superlinear tail (each needs a plan audit or an environment diagnosis): {worst}.")
+    else:
+        top = rows[0] if rows else None
+        if top:
+            w.append(
+                f"- Worst ratio anywhere: {top[3]} at {top[0]:.1f}x "
+                f"({top[1]:.2f} s → {top[2]:.2f} s) — inside the linear band."
+            )
+    w.append(
+        "- Slowest sf1 queries: "
+        + ", ".join(f"{n} {b:.1f} s ({r:.1f}x)" for r, _a, b, n in slowest)
+        + "."
+    )
+    if cals:
+        w.append(f"- Host calibration sf0.1→sf1 run: {'; '.join(cals)} — ratios above are uncorrected.")
+    w.append("")
+    if not sup:
+        w.append(
+            "This is the concrete 100x-readiness evidence the plan audits argue"
+        )
+        w.append(
+            "for statically: no pair blow-up, no driver-side O(n^2), no spill"
+        )
+        w.append("cliff appears when the data grows an order of magnitude.")
+        w.append("")
+    w.append(END)
+    return "\n".join(w)
+
+
+def main() -> None:
+    try:
+        with open(os.path.join(ROOT, "BENCH_FULL.json")) as f:
+            lo = json.load(f)
+        with open(os.path.join(ROOT, "BENCH_SF1.json")) as f:
+            hi = json.load(f)
+        section = render_section(lo, hi)
+    except (OSError, ValueError, KeyError, ZeroDivisionError) as exc:
+        print(f"COVERAGE.md scaling regen skipped: {exc}")
+        return
+    path = os.path.join(ROOT, "COVERAGE.md")
+    text = open(path).read()
+    i, j = text.find(BEGIN), text.find(END)
+    if i < 0 or j < 0:
+        print("COVERAGE.md scaling regen skipped: markers not found")
+        return
+    out = text[:i] + section + text[j + len(END):]
+    with open(path, "w") as f:
+        f.write(out)
+    print(f"rewrote COVERAGE.md scaling section ({len(section.splitlines())} lines)")
+
+
+if __name__ == "__main__":
+    main()

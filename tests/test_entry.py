@@ -333,3 +333,29 @@ def test_report_md_matches_committed_bench_snapshot():
     med_line = f"- {len(bench.get('median_of_3', []))} walls are median-of-3"
     assert total_line in text, f"REPORT.md total-wall line stale: expected {total_line!r}"
     assert med_line in text, f"REPORT.md median-of-3 line stale: expected {med_line!r}"
+
+
+def test_coverage_scaling_section_matches_snapshots():
+    """COVERAGE.md's measured-scaling block must be byte-identical to a fresh
+    render from the committed BENCH_FULL.json + BENCH_SF1.json pair — r9
+    verdict #1: the hand-written scaling claims ('10x -> 2.5x', '0 of 200
+    superlinear') contradicted the committed snapshot. Derived, never typed."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "update_coverage_scaling", os.path.join(root, "scratch", "update_coverage_scaling.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(os.path.join(root, "BENCH_FULL.json")) as f:
+        lo = json.load(f)
+    with open(os.path.join(root, "BENCH_SF1.json")) as f:
+        hi = json.load(f)
+    expected = mod.render_section(lo, hi)
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        text = f.read()
+    assert expected in text, (
+        "COVERAGE.md scaling block differs from a fresh render of the "
+        "committed snapshots — run `python scratch/update_coverage_scaling.py`"
+    )
