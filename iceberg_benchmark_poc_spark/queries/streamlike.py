@@ -243,7 +243,7 @@ _FLUSH_ENTRY_BYTES = "200 + (event_id * 7919) % 65536"
 @register(
     "q_manifest_flush",
     oracle=f"""
-        WITH RECURSIVE seq AS (
+        WITH RECURSIVE seq AS MATERIALIZED (
           SELECT user_id % {FLUSH_Q_WRITERS} AS writer_id, event_id,
                  row_number() OVER (PARTITION BY user_id % {FLUSH_Q_WRITERS} ORDER BY event_id) AS rn,
                  CAST(SUM({_FLUSH_ENTRY_BYTES}) OVER (
@@ -286,7 +286,11 @@ def q_manifest_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized ``_flush_scan`` core. The DuckDB oracle expresses the same
     machine as a recursive CTE stepping flush-boundary to flush-boundary —
     one recursion level per flush, not per row — which is what makes this
-    custom operator SQL-checkable at all.
+    custom operator SQL-checkable at all. The windowed base relation is
+    pinned ``AS MATERIALIZED`` (the module-wide iterative-oracle rule):
+    every recursion level rejoins ``seq``, and letting DuckDB re-derive
+    the prefix-sum window per level made this the slowest oracle in the
+    sf1 sweep (3.1x slower at sf0.1, far worse at sf1).
 
     Scale: one shuffle on writer_id, then each writer replays independently
     in a single Arrow batch; the per-writer scan is O(flushes x log n).
