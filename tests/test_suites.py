@@ -271,3 +271,19 @@ def test_bench_contention_gate():
     import json
 
     assert json.loads(line)["contended_x"] == 1.4
+
+
+def test_committed_snapshots_carry_both_calibration_probes():
+    """r9 verdict #2 done-criterion: both committed bench snapshots must
+    carry the single-thread AND the 32-task calibration probes — the
+    quarantine gate needs a committed parallel-probe reference to compare
+    against, and a snapshot missing it silently disables the gate."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("BENCH_FULL.json", "BENCH_SF1.json"):
+        with open(os.path.join(root, name)) as f:
+            cal = json.load(f).get("calibration") or {}
+        for probe in ("jvm_fold_50m_ms", "jvm_fold_50m_x32_ms", "python_loop_2m_ms"):
+            assert cal.get(probe), f"{name} missing calibration probe {probe}"
