@@ -101,6 +101,11 @@ def test_bloom_prune_counts_agree(spark, tmp_path):
     # and both timings are real
     assert r["storage_premium_pct"] > 0
     assert r["point_lookup_plain_ms"] > 0 and r["point_lookup_bloom_ms"] > 0
+    # pruning evidence from the scan node itself: the bloom path must surface
+    # strictly fewer rows than the full scan (row groups actually skipped)
+    assert r["rows_scanned_plain"] == 200_000
+    assert r["rows_scanned_bloom"] < r["rows_scanned_plain"]
+    assert r["rowgroups_scanned"] < r["rowgroups_total"]
 
 
 def test_skew_join_plans_agree(spark):
