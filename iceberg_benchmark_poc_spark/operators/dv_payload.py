@@ -113,18 +113,24 @@ def decode_positions(blob: bytes) -> list[int]:
 MAGIC_ROARING = b"MDV2"
 
 
-def encode_positions_roaring(positions: list[int]) -> bytes:
+def encode_positions_roaring(positions: list[int], run_optimize: bool = False) -> bytes:
     """Roaring-container payload: the reference's actual wire format.
 
     Mirrors poc/utils/mdv_generator.py:56-72 (BitMap.serialize -> header ->
     zlib level 6): the body is portable Roaring serialization (see
     operators/roaring.py), zlib-compressed, behind the same 16-byte frame as
     the MDV1 varint codec so both formats coexist in one BinaryType column.
+    ``run_optimize=True`` matches the reference exactly — it calls
+    ``run_optimize()`` on every bitmap before serializing
+    (poc/utils/mdv_generator.py:134,164), so contiguous delete ranges
+    collapse to run containers.
     """
     from .roaring import roaring_serialize
 
     pos = _unique_sorted(positions)
-    body = zlib.compress(roaring_serialize(pos, assume_normalized=True), ZLIB_LEVEL)
+    body = zlib.compress(
+        roaring_serialize(pos, assume_normalized=True, run_optimize=run_optimize), ZLIB_LEVEL
+    )
     return MAGIC_ROARING + struct.pack("<IQ", int(pos.size), len(body)) + body
 
 
@@ -154,6 +160,12 @@ def encode_positions_udf(positions: pd.Series) -> pd.Series:
 @F.pandas_udf(BinaryType())
 def encode_positions_roaring_udf(positions: pd.Series) -> pd.Series:
     return positions.map(encode_positions_roaring)
+
+
+@F.pandas_udf(BinaryType())
+def encode_positions_roaring_runs_udf(positions: pd.Series) -> pd.Series:
+    # the reference's actual write path: run_optimize() before serialize
+    return positions.map(lambda p: encode_positions_roaring(p, run_optimize=True))
 
 
 @F.pandas_udf(ArrayType(LongType()))

@@ -136,3 +136,78 @@ def q_roaring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("pos").cast("bigint").alias("max_pos"),
         F.aggregate("pos", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("pos_sum"),
     )
+
+
+RUNS_SAMPLE_MOD = 150  # same sampled file set as q_roaring_roundtrip
+RUNS_CHUNK = 65536  # second delete block lands in the next 65536-key chunk
+
+
+@register(
+    "q_roaring_runs",
+    oracle=with_fixtures(
+        f"""
+        WITH deleted AS (
+          SELECT d.file_id, (d.file_id * 13) % 5000 + j.range AS pos
+          FROM dv_entries d, range(8000) j
+          WHERE d.file_id % {RUNS_SAMPLE_MOD} = 0
+            AND j.range < d.deleted_row_count * 8
+          UNION ALL
+          SELECT d.file_id, {RUNS_CHUNK} + d.file_id % 100 + j.range AS pos
+          FROM dv_entries d, range(64) j
+          WHERE d.file_id % {RUNS_SAMPLE_MOD} = 0
+            AND j.range < 1 + d.deleted_row_count % 64
+        )
+        SELECT file_id,
+               CAST(count(*) AS BIGINT)  AS n_deleted,
+               CAST(min(pos) AS BIGINT)  AS min_pos,
+               CAST(max(pos) AS BIGINT)  AS max_pos,
+               CAST(sum(pos) AS BIGINT)  AS pos_sum
+        FROM deleted
+        GROUP BY file_id
+        """,
+        "dv_entries",
+    ),
+    tags=("dv", "binary", "roaring", "pandas-udf"),
+)
+def q_roaring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roundtrip contiguous delete ranges through run-optimized Roaring.
+
+    The reference run_optimize()s every bitmap before serializing
+    (poc/utils/mdv_generator.py:134,164) — its headline ~9-bytes-for-500-
+    contiguous-deletes compression is a run-container result. This query
+    exercises that exact write path: each sampled file deletes one large
+    contiguous block (deleted_row_count*8, up to 8000 rows — crossing the
+    4096 array/bitset threshold so runs must beat BOTH flat containers) plus
+    a second small block in the next 65536-key chunk (multi-container run
+    stream, run-flag bitset with two containers). Encode uses
+    run_optimize=True (SERIAL_COOKIE 12347 wire layout, operators/roaring.py)
+    and decode goes through the shared any-format decoder, so the oracle's
+    value hash certifies the run codec end-to-end. The plan stays narrow —
+    arrays are built, encoded, decoded, and aggregated inside the scan
+    partition, zero shuffles, same as q_roaring_roundtrip.
+    """
+    from ..operators.dv_payload import encode_positions_roaring_runs_udf
+
+    dv = dv_entries(spark, sf_dir).filter(F.col("file_id") % RUNS_SAMPLE_MOD == 0)
+    positions = dv.select(
+        "file_id",
+        F.concat(
+            F.sequence(
+                (F.col("file_id") * 13) % 5000,
+                (F.col("file_id") * 13) % 5000 + F.col("deleted_row_count") * 8 - 1,
+            ),
+            F.sequence(
+                F.lit(RUNS_CHUNK) + F.col("file_id") % 100,
+                F.lit(RUNS_CHUNK) + F.col("file_id") % 100 + F.col("deleted_row_count") % 64,
+            ),
+        ).alias("positions"),
+    )
+    blobs = positions.select("file_id", encode_positions_roaring_runs_udf("positions").alias("payload"))
+    decoded = blobs.select("file_id", decode_positions_udf("payload").alias("pos"))
+    return decoded.select(
+        "file_id",
+        F.size("pos").cast("bigint").alias("n_deleted"),
+        F.array_min("pos").cast("bigint").alias("min_pos"),
+        F.array_max("pos").cast("bigint").alias("max_pos"),
+        F.aggregate("pos", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("pos_sum"),
+    )

@@ -118,7 +118,87 @@ def test_roaring_rejects_unknown_cookie():
     import pytest
 
     with pytest.raises(ValueError, match="cookie"):
-        roaring_deserialize(b"\x39\x30\x00\x00\x00\x00\x00\x00")  # 12345 = run cookie
+        roaring_deserialize(b"\x39\x30\x00\x00\x00\x00\x00\x00")  # 12345: not a roaring cookie
+
+
+def test_roaring_run_golden_bytes():
+    """Pin the run-container wire layout (hand-derived from the portable
+    spec, the format the reference's run_optimize()d blobs use —
+    poc/utils/mdv_generator.py:134,164): cookie word (n-1)<<16|12347 |
+    run-flag bitset | (key, card-1) | NO offsets below 4 containers |
+    uint16 n_runs | (start, length) pairs covering [start, start+length]."""
+    blob = roaring_serialize(range(100, 600), run_optimize=True)
+    assert blob.hex() == (
+        "3b300000"  # (1-1)<<16 | SERIAL_COOKIE 12347
+        "01"  # run-flag bitset: container 0 is runs
+        "0000" "f301"  # key 0, cardinality-1 = 499
+        # no offset header: 1 container < NO_OFFSET_THRESHOLD (4)
+        "0100"  # one run
+        "6400" "f301"  # start 100, length 499 -> covers 100..599
+    )
+    # 500 contiguous deletes in 15 bytes: the reference's headline
+    # compression case (~9 bytes after its zlib frame) is a run result
+    assert len(blob) == 15
+    assert roaring_deserialize(blob) == list(range(100, 600))
+
+
+def test_roaring_run_roundtrip_mixed_containers():
+    """Run, array, and bitset containers coexisting in one stream, with the
+    offset header present (>= 4 containers) and absent (< 4)."""
+    chunk = 65536
+    vals = (
+        list(range(1000, 1800))  # chunk 0: contiguous -> runs
+        + [chunk + v for v in range(0, 9000, 2)]  # chunk 1: stride 2, card 4500 -> bitset
+        + [2 * chunk + v for v in (5, 99, 7000)]  # chunk 2: sparse -> array
+        + list(range(3 * chunk, 3 * chunk + 65536))  # chunk 3: full -> 1 run
+    )
+    blob = roaring_serialize(vals, run_optimize=True)
+    assert roaring_deserialize(blob) == sorted(set(vals))
+    # same data without run_optimize stays on the legacy cookie and decodes
+    legacy = roaring_serialize(vals)
+    assert legacy[:4] == b"\x3a\x30\x00\x00"
+    assert roaring_deserialize(legacy) == sorted(set(vals))
+    # runs beat both the 800-value array (chunk 0) and the bitset (chunk 3)
+    assert len(blob) < len(legacy)
+
+
+def test_roaring_run_optimize_keeps_flat_when_runs_lose():
+    """run_optimize must fall back to array/bitset when runs are bigger:
+    stride-2 values have one run per value (2+4n > 2n array bytes), so the
+    stream stays on the no-run cookie exactly like CRoaring's rule."""
+    blob = roaring_serialize(range(0, 1000, 2), run_optimize=True)
+    assert blob[:4] == b"\x3a\x30\x00\x00"  # SERIAL_COOKIE_NO_RUNCONTAINER
+    assert roaring_deserialize(blob) == list(range(0, 1000, 2))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**32 - 600), st.integers(1, 500)),
+        max_size=20,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_roaring_run_optimize_roundtrip_property(spans):
+    """Unions of random contiguous spans (the shape run containers exist
+    for) roundtrip exactly through the run-optimized encoder."""
+    vals = sorted({start + i for start, length in spans for i in range(length)})
+    blob = roaring_serialize(vals, run_optimize=True)
+    assert roaring_deserialize(blob) == vals
+    # and the decoder agrees with the non-optimized encoding of the same set
+    assert roaring_deserialize(roaring_serialize(vals)) == vals
+
+
+def test_roaring_run_corrupt_cardinality_rejected():
+    """A run container whose expanded size disagrees with the descriptive
+    header's cardinality must fail loudly (truncated/corrupt blob)."""
+    import struct
+
+    import pytest
+
+    blob = bytearray(roaring_serialize(range(100, 600), run_optimize=True))
+    blob[7:9] = struct.pack("<H", 100)  # lie about cardinality-1
+    with pytest.raises(ValueError, match="corrupt run container"):
+        roaring_deserialize(bytes(blob))
 
 
 def test_varint_five_byte_deltas():
