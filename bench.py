@@ -105,6 +105,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         spark.catalog.clearCache()
 
+    # Calibration + contention gate run BEFORE any median-of-3 re-measures
+    # (r10 advice): a contended host — which inflates deviations — would
+    # otherwise burn up to (10 + sub-1.3s band + 25) x2 extra measured runs
+    # exactly when the whole run is headed for quarantine anyway. Knowing
+    # contended_x up front lets every re-measure pass be skipped.
+    prev_snapshot: dict = {}
+    try:
+        _root = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(_root, "BENCH_FULL.json")) as f:
+            prev_snapshot = json.load(f)
+    except (OSError, ValueError):
+        prev_snapshot = {}
+    calibration = _cpu_calibration(spark)
+    contended_x = contended_vs_snapshot(prev_snapshot, calibration)
+    if contended_x:
+        print(
+            f"bench: parallel calibration probe reads {contended_x}x the committed "
+            f"snapshot's — host contended; skipping median-of-3 re-measures "
+            f"(run will be quarantined to BENCH_CONTENDED)",
+            file=sys.stderr,
+        )
+
     # De-noise the numbers the verdict actually reads: per-query walls swing
     # 2-4x run-to-run at sf0.1 (scheduler jitter dominates sub-second jobs),
     # so the 10 slowest queries get two more measured runs and report the
@@ -121,8 +143,9 @@ def main() -> None:
 
     top10 = sorted(timings, key=lambda n: -timings[n])[:10]
     medianized = set(top10)
-    for name in top10:
-        _median_of_3(name)
+    if not contended_x:
+        for name in top10:
+            _median_of_3(name)
 
     # Every wall under MEDIANIZE_LT is medianized too (r07 verdict #4):
     # single-shot sub-second jobs swing 1.5-3x on scheduler jitter alone,
@@ -137,10 +160,11 @@ def main() -> None:
     # (its jitter is proportionally small) unless the deviation pass below
     # flags it.
     MEDIANIZE_LT = 1.3
-    for name in sorted(timings):
-        if timings[name] < MEDIANIZE_LT and name not in medianized:
-            medianized.add(name)
-            _median_of_3(name)
+    if not contended_x:
+        for name in sorted(timings):
+            if timings[name] < MEDIANIZE_LT and name not in medianized:
+                medianized.add(name)
+                _median_of_3(name)
 
     # Apparent round-over-round MOVES get the same treatment before they are
     # published: any query whose single-shot wall deviates >1.5x from its
@@ -152,18 +176,11 @@ def main() -> None:
     # trigger a near-full re-run and ~triple total wall; past the cap the
     # calibration block is the cross-round normalizer.
     REMEASURE_CAP = 25
-    prev_snapshot: dict = {}
-    try:
-        _root = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(_root, "BENCH_FULL.json")) as f:
-            prev_snapshot = json.load(f)
-        prev_q = (
-            prev_snapshot.get("queries", {})
-            if prev_snapshot.get("sf") == sf_from_dir(SF_DIR)
-            else {}
-        )
-    except (OSError, ValueError):
-        prev_q = {}
+    prev_q = (
+        prev_snapshot.get("queries", {})
+        if prev_snapshot.get("sf") == sf_from_dir(SF_DIR) and not contended_x
+        else {}
+    )
     deviations = {
         name: max(timings[name] / prev_wall, prev_wall / timings[name])
         for name, prev_wall in prev_q.items()
@@ -227,7 +244,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_from_dir(SF_DIR),
         "n_queries": len(timings),
-        "calibration": _cpu_calibration(spark),
+        "calibration": calibration,
         "median_of_3": sorted(medianized),
         "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
@@ -243,22 +260,33 @@ def main() -> None:
     # and RETAIN the existing BENCH_FULL.json + REPORT.md. The stdout
     # headline still carries this run's numbers (flagged with contended_x)
     # so a wall-budgeted driver run is never lost, only quarantined.
-    contended_x = contended_vs_snapshot(prev_snapshot, full["calibration"])
+    # (contended_x itself is computed up front, before the re-measure passes.)
     if contended_x:
         full["contended_vs_snapshot_x"] = contended_x
-    prev_par = (prev_snapshot.get("calibration") or {}).get("jvm_fold_50m_x32_ms")
-    new_par = full["calibration"].get("jvm_fold_50m_x32_ms")
+
+    # SF-mismatch guard (r10 advice): the committed BENCH_FULL.json is the
+    # sf0.1 snapshot that REPORT.md, COVERAGE.md, and the round-over-round
+    # comparison all key off. A deliberate run at another SF (the sf1
+    # scaling refresh, an sf0.01 smoke) must never silently replace it —
+    # divert to an sf-suffixed snapshot instead, and suffix the quarantine
+    # file the same way so a contended off-sf run can't clobber the sf0.1
+    # quarantine either.
+    run_sf = sf_from_dir(SF_DIR)
+    prev_sf = prev_snapshot.get("sf")
+    sf_mismatch = bool(prev_snapshot) and prev_sf is not None and prev_sf != run_sf
+    sf_suffix = f"_sf{run_sf}" if sf_mismatch else ""
 
     # The driver keeps only the last ~2KB of stdout, so the full per-query map
     # goes to BENCH_FULL.json in the repo (round-over-round comparable) and the
     # FINAL stdout line is a compact headline guaranteed to fit the tail.
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    snapshot_name = "BENCH_CONTENDED.json" if contended_x else "BENCH_FULL.json"
-    if contended_x:
+    snapshot_name = (
+        f"BENCH_CONTENDED{sf_suffix}.json" if contended_x else f"BENCH_FULL{sf_suffix}.json"
+    )
+    if sf_mismatch:
         print(
-            f"bench: parallel calibration probe {new_par:.0f} ms is {contended_x}x the "
-            f"snapshot's {prev_par:.0f} ms — host contended; retaining BENCH_FULL.json "
-            f"and writing this run to BENCH_CONTENDED.json",
+            f"bench: run sf={run_sf} != committed snapshot sf={prev_sf}; writing to "
+            f"{snapshot_name} and leaving BENCH_FULL.json untouched",
             file=sys.stderr,
         )
     with open(os.path.join(repo_root, snapshot_name), "w") as f:
@@ -272,7 +300,7 @@ def main() -> None:
     # runpy with run_name='__main__' propagates it (a BaseException) if the
     # report script ever adopts sys.exit(main()), and that must not kill the
     # final headline line the driver parses.
-    if not contended_x:
+    if not contended_x and not sf_mismatch:
         try:
             import runpy
 

@@ -125,7 +125,9 @@ def main() -> None:
         with open(os.path.join(ROOT, "BENCH_SF1.json")) as f:
             hi = json.load(f)
         section = render_section(lo, hi)
-    except (OSError, ValueError, KeyError, ZeroDivisionError) as exc:
+    except (OSError, TypeError, ValueError, KeyError, ZeroDivisionError) as exc:
+        # TypeError included: a snapshot missing "value" feeds None into the
+        # hi_total/lo_total arithmetic — still a malformed-snapshot skip
         print(f"COVERAGE.md scaling regen skipped: {exc}")
         return
     path = os.path.join(ROOT, "COVERAGE.md")
