@@ -269,7 +269,9 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both selective filters (market segment, date window) sit on the scan
     side of their joins, so pushdown shrinks every input before any shuffle;
-    customer is dimension-sized and broadcast. The final top-10 is a
+    the segment-sliced customer join is planner-chosen (auto-broadcast at
+    bench scale; a 1/5 slice of an SF-scaled table outgrows any broadcast
+    eventually, so no hint freezes it — r10 advice). The final top-10 is a
     TakeOrderedAndProject — no full sort of the aggregate — with l_orderkey
     as the deterministic tie-break (engine parity rule for LIMIT).
     """
@@ -279,7 +281,7 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.to_date("l_shipdate") > cutoff)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.to_date("o_orderdate").alias("order_date"),
@@ -317,13 +319,14 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     The interesting join is supplier: its key is composite
     (l_suppkey = s_suppkey AND s_nationkey = c_nationkey) — the second
     conjunct correlates two dimensions through the fact row. The supplier
-    side is forced-broadcast as the pre-filtered `supplier ⋈ nation ⋈
-    region(ASIA)` unit, so the region restriction (1 of 5 regions) lands
-    BELOW the exchange — never a forced broadcast of the unfiltered
-    SF-scaled dimension (pinned registry-wide by tests/test_plans.py).
-    customer carries no filter here, so its join is planner-chosen
-    (broadcast at bench scale, shuffle past the threshold); lineitem<->
-    orders stays the only unavoidable big shuffle.
+    side joins as the pre-filtered `supplier ⋈ nation ⋈ region(ASIA)` unit,
+    so the region restriction (1 of 5 regions) lands below the join — but
+    a 1/5 slice of an SF-scaled dimension still grows linearly, so the
+    join is PLANNER-CHOSEN (auto-broadcast at bench scale, shuffle once
+    the slice outgrows the threshold; hints are reserved for the fixed
+    25-row nation / 5-row region legs — r10 advice). customer carries no
+    filter here, so its join is planner-chosen too; lineitem<->orders
+    stays the only unavoidable big shuffle.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -343,7 +346,7 @@ def q_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s_local),
+            s_local,
             (li.l_suppkey == F.col("s_suppkey"))
             & (F.col("s_nationkey") == c.c_nationkey),
         )
@@ -537,12 +540,13 @@ def q_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches where each conjunct spans both tables, so no single branch can
     be pushed wholesale. Catalyst extracts the common single-side residues
     (brand IN set, size/quantity hull ranges) for scan-level pruning and
-    evaluates the full disjunction after the broadcast join — the part side
-    stays dimension-sized, the fact side is scanned once.
+    evaluates the full disjunction after the part join — planner-chosen
+    (auto-broadcast at bench scale; part is SF-scaled, so no hint freezes
+    the build side — r10 advice), with the fact side scanned once.
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     pred = None
     for brand, s0, s1, q0, q1 in _Q19_BRANCHES:
         branch = (
@@ -646,14 +650,15 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation via l_suppkey and customer's nation via l_orderkey->o_custkey —
     and the filter is a disjunction across the PAIR of chains, so neither
     chain's nation predicate can prune alone; each side DOES prune to the
-    two-nation superset, and that cut is applied where it counts — on the
-    dimension chains BEFORE their broadcast exchanges, so each forced
-    broadcast ships only the two nations' suppliers/customers (2/25 of the
-    dimension; never an unfiltered SF-scaled build side — pinned
-    registry-wide by tests/test_plans.py). The only shuffle left is
-    lineitem<->orders on orderkey; the pair predicate evaluates after both
-    chains resolve, and the (nation, nation, year) grouping is tiny.
-    Revenue folds through DECIMAL for engine parity.
+    two-nation superset (2/25 of the dimension), applied below the join.
+    Only the fixed 25-row nation legs are hint-broadcast; the pruned
+    supplier/customer chains are PLANNER-CHOSEN (auto-broadcast at bench
+    scale, shuffle once a 100x scale-up makes a 2/25 slice of an SF-scaled
+    table too big to ship — a hint here would freeze a choice AQE should
+    re-make; r10 advice). The only always-shuffle is lineitem<->orders on
+    orderkey; the pair predicate evaluates after both chains resolve, and
+    the (nation, nation, year) grouping is tiny. Revenue folds through
+    DECIMAL for engine parity.
     """
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -674,8 +679,8 @@ def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s_pair), l.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(c_pair), o.o_custkey == F.col("c_custkey"))
+        .join(s_pair, l.l_suppkey == F.col("s_suppkey"))
+        .join(c_pair, o.o_custkey == F.col("c_custkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(_rev_sum().alias("revenue"), F.count("*").alias("n_items"))
@@ -721,15 +726,17 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The deepest dimension topology in the set — seven tables, with nation
     joined TWICE under different roles (customer's nation restricts the
-    market region; supplier's nation labels the volume). Scale: the forced
-    broadcasts are the CUT sides only — part pre-filtered by type, and
-    customer pre-joined to the region-filtered nation chain so the EUROPE
-    restriction (1 of 5 regions) lands below its exchange. The supplier
-    chain has no restriction (every nation labels volume), so that join is
-    planner-chosen (auto-broadcast at bench scale, shuffle past the
-    threshold) rather than hint-frozen. The single unavoidable big-data
-    shuffle remains lineitem<->orders, and the per-year conditional sums
-    partial-aggregate map-side. Emitting nation_volume and total_volume
+    market region; supplier's nation labels the volume). Scale: hints are
+    reserved for the genuinely bounded sides — the fixed nation/region
+    legs. Part is pre-filtered by type and the customer chain is pre-joined
+    to the region-filtered nation list so the EUROPE restriction (1 of 5
+    regions) lands below its join, but constant-fraction slices of
+    SF-scaled tables still grow linearly, so those joins — like the
+    unrestricted supplier chain — are PLANNER-CHOSEN (auto-broadcast at
+    bench scale, shuffle past the threshold) rather than hint-frozen
+    (r10 advice). The single unavoidable
+    big-data shuffle remains lineitem<->orders, and the per-year conditional
+    sums partial-aggregate map-side. Emitting nation_volume and total_volume
     (not their ratio) keeps the comparison on exact decimal folds.
     """
     l = load_table(spark, sf_dir, "lineitem")
@@ -754,10 +761,10 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_labeled = s.join(F.broadcast(ns), s.s_nationkey == F.col("sn_key"))
     zero = F.lit(0).cast("decimal(38,0)")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(s_labeled, l.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(c_market), o.o_custkey == F.col("c_custkey"))
+        .join(c_market, o.o_custkey == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
@@ -905,9 +912,11 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves: (1) `qty < 0.2 * avg` is algebraically rearranged to
     `5 * qty * n < sum` over DECIMAL folds, so the boundary cut cannot
     flip on float rounding; (2) the per-part aggregate is computed only
-    for the brand's parts — the brand filter broadcasts into BOTH the
-    fact scan and the aggregate's input (a semi join), so the big table
-    never aggregates groups that are about to be discarded.
+    for the brand's parts — the brand semi-join prunes BOTH the fact scan
+    and the aggregate's input, so the big table never aggregates groups
+    that are about to be discarded. The semi join is planner-chosen
+    (auto-broadcast at bench scale; a 1/|brands| slice of SF-scaled part
+    grows linearly, so no hint freezes it — r10 advice).
     """
     p = (
         load_table(spark, sf_dir, "part")
@@ -915,7 +924,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        p, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
         F.sum(F.col("l_quantity").cast("decimal(38,0)")).alias("qty_sum"),
@@ -1129,12 +1138,12 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p_retailprice * l_quantity * cost-constant) so the floors agree
     bit-for-bit.
 
-    Scale: the part filter prunes BEFORE its broadcast (only matching
-    partkeys ship to executors); nation (25 rows) broadcasts by hint; the
-    unfiltered SF-scaled supplier join is planner-chosen (broadcast at
-    bench scale, shuffle past the threshold). The one unavoidable shuffle
-    is lineitem<->orders on orderkey. The (nation, year) grouping is
-    25 x |years| rows.
+    Scale: the part filter prunes before its join; nation (25 rows)
+    broadcasts by hint; the part and supplier joins are planner-chosen
+    (auto-broadcast at bench scale, shuffle past the threshold — both are
+    SF-scaled, so no hint freezes them; r10 advice). The one unavoidable
+    shuffle is lineitem<->orders on orderkey. The (nation, year) grouping
+    is 25 x |years| rows.
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = (
@@ -1149,7 +1158,7 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice") * F.col("l_quantity") * _Q9_COST_FP
     ).cast("decimal(38,0)")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))

@@ -121,15 +121,16 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The correlated-min subquery becomes a min window over p_partkey — one
     shuffle keyed by part, exact on integer cents so ties keep every
-    attaining supplier on both engines. Scale: both forced broadcasts are
+    attaining supplier on both engines. Scale: both dimension sides are
     PRE-FILTERED before they reach partsupp — part by the size + type
     predicates (one size of ~50 and a type LIKE), and supplier as the single
     `supplier ⋈ nation ⋈ region(EUROPE)` unit so the region restriction
-    (1 of 5 regions) lands before the broadcast, never after it (an
-    unfiltered SF-scaled dimension must never be a forced build side —
-    pinned registry-wide by tests/test_plans.py). The window partitions by
-    part key, so no global sort and no skew (a part has at most |suppliers
-    of the region| rows).
+    (1 of 5 regions) lands below the join — but both remain constant
+    fractions of SF-scaled tables, so the joins are PLANNER-CHOSEN
+    (auto-broadcast at bench scale, shuffle past the threshold; hints are
+    reserved for the fixed nation/region legs — r10 advice). The window
+    partitions by part key, so no global sort and no skew (a part has at
+    most |suppliers of the region| rows).
     """
     ps = _partsupp(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(
@@ -144,8 +145,8 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name", "s_acctbal")
     )
     cost = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(sup), ps.ps_suppkey == F.col("s_suppkey"))
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(sup, ps.ps_suppkey == F.col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "ps_supplycost_cents")
     )
     w = Window.partitionBy("p_partkey")
@@ -180,16 +181,16 @@ def _q11_stock_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part stock value for the Q11 nation — the sub-plan q_important_stock
     consumes twice (scalar fold + row-wise cut). Kept un-checkpointed here so
     tests/test_plans.py can pin its physical shape (map-side partial agg, one
-    ps_partkey exchange, pre-filtered supplier⋈nation broadcast); the query
-    itself cuts the plan with a lazy localCheckpoint."""
+    ps_partkey exchange); the query itself cuts the plan with a lazy
+    localCheckpoint. The supplier⋈nation(1/25) slice is SF-scaled, so its
+    join is planner-chosen, not hint-frozen (r10 advice); only the fixed
+    25-row nation leg carries a hint."""
     ps = _partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
     return (
         ps.join(
-            F.broadcast(
-                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
-            ),
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey"),
             ps.ps_suppkey == F.col("s_suppkey"),
         )
         .groupBy("ps_partkey")
@@ -348,18 +349,17 @@ def q_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: how many distinct suppliers can deliver each
     surviving (brand, type, size) combination.
 
-    The NOT-IN-subquery becomes a broadcast left-anti join (the excluded
-    set — negative-balance suppliers, standing in for Q16's
-    customer-complaints filter — is tiny by construction); the distinct
-    count shuffles once on the group key with the suppkey folded into the
-    aggregation buffer. The part predicate trio prunes the broadcast
-    dimension before the fact join — selectivity argument for the forced
-    broadcast: `p_size IN (7 values)` alone keeps ~7/50 of the part
-    catalog (sizes are uniform 1..50 in the fixture and in TPC-H), so the
-    build side is an order of magnitude under the unfiltered dimension at
-    every SF; at cluster scale where even that outgrows the broadcast
-    threshold, dropping the hint lets AQE fall back to shuffle — the join
-    stays an equi-join either way.
+    The NOT-IN-subquery becomes a left-anti join (the excluded set —
+    negative-balance suppliers, standing in for Q16's customer-complaints
+    filter — is a small fraction by construction); the distinct count
+    shuffles once on the group key with the suppkey folded into the
+    aggregation buffer. The part predicate trio prunes the dimension
+    before the fact join (`p_size IN (7 values)` alone keeps ~7/50 of the
+    part catalog — sizes are uniform 1..50 in the fixture and in TPC-H).
+    Both joins are PLANNER-CHOSEN rather than hint-frozen: each side is a
+    constant fraction of an SF-scaled table, so auto-broadcast applies at
+    bench scale and AQE falls back to shuffle at cluster scale — the join
+    stays an equi-join either way (r10 advice).
     """
     ps = _partsupp(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(
@@ -373,8 +373,8 @@ def q_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("ps_suppkey"))
     )
     return (
-        ps.join(F.broadcast(bad), "ps_suppkey", "left_anti")
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(p, ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -426,11 +426,14 @@ def q_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated form. The surplus test 2*avail > qty stays integral.
     Scale: the year filter pushes to the scan, the pair aggregation
     combines map-side and shares the (part, supplier) key with the join
-    that follows. Both forced broadcasts are pre-filtered: part by the
+    that follows. Both dimension sides are pre-filtered: part by the
     name prefix (`small%` keeps one of the fixture's ~8 name adjectives,
     ~13% of the catalog; TPC-H's own Q20 binds one of 92 name words), and
     supplier as the `supplier ⋈ nation(NATION_7)` unit (1 of 25 nations)
-    so the nation cut lands before the broadcast.
+    so the nation cut lands below the join — but both slices scale with
+    SF, so the joins are PLANNER-CHOSEN rather than hint-frozen
+    (auto-broadcast at bench scale, shuffle past the threshold;
+    r10 advice).
     """
     ps = _partsupp(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -451,8 +454,8 @@ def q_surplus_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ps.ps_partkey == shipped.l_partkey) & (ps.ps_suppkey == shipped.l_suppkey),
         )
         .filter(2 * F.col("ps_availqty") > F.col("qty"))
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        .join(p, ps.ps_partkey == p.p_partkey)
+        .join(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey),
               ps.ps_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name")
         .distinct()
