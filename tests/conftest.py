@@ -2,6 +2,18 @@
 
 Tests run at sf0.001 (500-6000 rows per table) so the whole oracle-parity
 suite stays fast; the driver repeats the identical comparison at sf0.01.
+
+The full suite exceeds a 600 s tool/CI budget, so it splits into two
+documented commands (r10 verdict #6), each green and under 10 minutes:
+
+    SPARK_GRAFT_TEST_SHARD=1 python -m pytest tests/ -q
+    SPARK_GRAFT_TEST_SHARD=2 python -m pytest tests/ -q
+
+Sharding is per-file via TEST_SHARDS below; a guard test fails collection
+of any file not assigned to exactly one shard, so new test files must be
+placed deliberately. Unset SPARK_GRAFT_TEST_SHARD to run everything in one
+command (the two shards partition the suite — together they run exactly
+the full set).
 """
 
 from __future__ import annotations
@@ -17,6 +29,55 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+#: two-command split of the suite (r10 verdict #6). Balanced by measured
+#: wall: shard 1 carries the two structural heavyweights (plan audits +
+#: full oracle parity), shard 2 the executing suites (benchmark suites,
+#: streaming, multimodal) plus everything light.
+TEST_SHARDS: dict[int, set[str]] = {
+    1: {
+        "test_plans.py",
+        "test_oracle_parity.py",
+        "test_avro.py",
+        "test_bpe.py",
+        "test_dv_payload.py",
+        "test_layout.py",
+        "test_lifecycle_model.py",
+        "test_vectors_fast.py",
+        "test_iceberg_runtime.py",
+    },
+    2: {
+        "test_suites.py",
+        "test_streaming.py",
+        "test_stateful.py",
+        "test_entry.py",
+        "test_multimodal.py",
+        "test_corpus_ops.py",
+        "test_graph.py",
+        "test_chi2_staging.py",
+        "test_tpch_derived.py",
+        "test_properties.py",
+    },
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    shard = os.environ.get("SPARK_GRAFT_TEST_SHARD")
+    if not shard:
+        return
+    keep_files = TEST_SHARDS[int(shard)]
+    all_assigned = set().union(*TEST_SHARDS.values())
+    kept, deselected = [], []
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname not in all_assigned:
+            raise pytest.UsageError(
+                f"{fname} is not assigned to any shard in tests/conftest.py "
+                "TEST_SHARDS — place new test files deliberately"
+            )
+        (kept if fname in keep_files else deselected).append(item)
+    items[:] = kept
+    config.hook.pytest_deselected(items=deselected)
 
 TABLES = (
     "region",

@@ -359,3 +359,21 @@ def test_coverage_scaling_section_matches_snapshots():
         "COVERAGE.md scaling block differs from a fresh render of the "
         "committed snapshots — run `python scratch/update_coverage_scaling.py`"
     )
+
+
+def test_shard_map_is_a_partition_of_the_suite():
+    """The two-command split (conftest TEST_SHARDS) must cover every test
+    file exactly once — a file in neither shard silently vanishes from the
+    documented two-command run; a file in both runs twice."""
+    from .conftest import TEST_SHARDS
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    on_disk = {
+        f for f in os.listdir(here) if f.startswith("test_") and f.endswith(".py")
+    }
+    assigned = [f for s in TEST_SHARDS.values() for f in s]
+    assert len(assigned) == len(set(assigned)), "a file is in more than one shard"
+    assert set(assigned) == on_disk, (
+        f"shard map out of date: missing={sorted(on_disk - set(assigned))} "
+        f"stale={sorted(set(assigned) - on_disk)}"
+    )

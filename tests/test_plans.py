@@ -14,10 +14,20 @@ from iceberg_benchmark_poc_spark.core.registry import all_queries
 from .conftest import SF_DIR
 
 
+#: compiled-plan cache: four registry-wide sweeps in this file each walk all
+#: ~200 queries, and recompiling every plan per sweep made this file alone
+#: ~8.5 min (r10 verdict #6). Plans depend on the broadcast threshold (the
+#: gate test compiles under -1), so that conf is part of the key.
+_PLAN_CACHE: dict[tuple[str, str], str] = {}
+
+
 def plan_of(spark, name: str) -> str:
-    df = all_queries()[name].fn(spark, SF_DIR)
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return df._jdf.queryExecution().explainString(mode)
+    key = (name, spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    if key not in _PLAN_CACHE:
+        df = all_queries()[name].fn(spark, SF_DIR)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        _PLAN_CACHE[key] = df._jdf.queryExecution().explainString(mode)
+    return _PLAN_CACHE[key]
 
 
 def scans(plan: str) -> list[tuple[str, str]]:
