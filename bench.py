@@ -423,6 +423,8 @@ def _suite_headline(suites: dict) -> dict:
         "skew_salted_speedup_x": g("skew_join", "salted_speedup_x"),
         "bucketed_join_speedup_x": g("bucketed_join", "bucketed_speedup_x"),
         "bloom_point_lookup_x": g("bloom_prune", "bloom_speedup_x"),
+        "bloom_scan_rows_reduction_x": g("bloom_prune", "scan_rows_reduction_x"),
+        "mdv_run_bytes_500": g("mdv_compression", "contiguous_run_bytes"),
         # flat scan is the BASELINE-comparable number (reference flat @50K:
         # 355.9 ms); the 2-level prune gets its own honestly-named key
         "tree_flat_scan_ms_50k": g("adaptive_tree", "50000", "flat_scan_ms"),

@@ -40,6 +40,10 @@ REF = {
     "density_decision_ms": 51_108.8,
     "density_inline_rate": 1.0,
     "gc_cliff_detected": False,
+    # BASELINE.md "MDV compression" row (index.html Scenario B): run
+    # containers ~9 bytes for 500 contiguous deletes, ~2 bytes/delete sparse
+    "mdv_run_bytes_500": 9.0,
+    "mdv_sparse_bytes_per_delete": 2.0,
 }
 
 
@@ -173,6 +177,18 @@ def main() -> None:
         "Density policy decision, 10K MDVs (ms)", "51,108.8", fmt(dpms),
         ratio(dpms, REF["density_decision_ms"]),
     ))
+    mc_run = g("mdv_compression", "contiguous_run_bytes")
+    mc_sparse = g("mdv_compression", "sparse_bytes_per_delete")
+    if mc_run:
+        rows.append((
+            "MDV run-container size, 500 contiguous deletes (bytes)", "≈9",
+            f"{fmt(mc_run)} ({fmt(g('mdv_compression', 'run_vs_array_reduction_x'))}× under the array form)",
+            ratio(mc_run, REF["mdv_run_bytes_500"]),
+        ))
+        rows.append((
+            "MDV sparse bytes/delete", "≈2", fmt(mc_sparse, 3),
+            ratio(mc_sparse, REF["mdv_sparse_bytes_per_delete"]),
+        ))
     ratios = []
     for label, ref_s, eng_s, r in rows:
         mark = "" if r is None else (" ✅" if r <= 1.0 else (" ⚠️" if r > 2.0 else ""))

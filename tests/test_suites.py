@@ -292,3 +292,17 @@ def test_committed_snapshots_carry_both_calibration_probes():
             cal = json.load(f).get("calibration") or {}
         for probe in ("jvm_fold_50m_ms", "jvm_fold_50m_x32_ms", "python_loop_2m_ms"):
             assert cal.get(probe), f"{name} missing calibration probe {probe}"
+
+
+def test_mdv_compression_wire_sizes():
+    """Deterministic codec-size parity cells (BASELINE.md 'MDV compression'):
+    a 500-contiguous-delete run container must be a fixed 15 bytes (cookie
+    word + run bitset + descriptor + n_runs + one pair) and the sparse shape
+    ~2 bytes/delete — these are exact wire-format facts, not timings."""
+    from iceberg_benchmark_poc_spark.bench.suites import suite_mdv_compression
+
+    r = suite_mdv_compression()
+    assert r["contiguous_run_bytes"] == 15
+    assert r["contiguous_array_bytes"] == 16 + 2 * 500
+    assert r["run_vs_array_reduction_x"] > 60
+    assert 2.0 <= r["sparse_bytes_per_delete"] < 2.1
