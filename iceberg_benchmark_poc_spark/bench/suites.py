@@ -591,7 +591,7 @@ def suite_skew_join(
     }
 
 
-def suite_bloom_prune(spark: SparkSession, tmp_dir: str, n_rows: int = 20_000_000, n_files: int = 4) -> dict:
+def suite_bloom_prune(spark: SparkSession, tmp_dir: str, n_rows: int = 40_000_000, n_files: int = 4) -> dict:
     """Parquet bloom-filter row-group pruning for point lookups.
 
     The data-skipping layer min/max stats can't provide: a high-cardinality
@@ -1322,7 +1322,7 @@ def run_all_suites(spark: SparkSession, sf_dir: str, tmp_dir: str, quick: bool =
         "bucketed_join": suite_bucketed_join(
             spark, tmp_dir, n_fact=200_000 if quick else 2_000_000, n_dim=40_000 if quick else 400_000
         ),
-        "bloom_prune": suite_bloom_prune(spark, tmp_dir, n_rows=2_000_000 if quick else 20_000_000, n_files=4),
+        "bloom_prune": suite_bloom_prune(spark, tmp_dir, n_rows=2_000_000 if quick else 40_000_000, n_files=4),
         "mdv_compression": suite_mdv_compression(),
         "adaptive_tree": suite_adaptive_tree(spark, tree_scales),
         "wide_table": suite_wide_table(spark, tmp_dir, n_cols=100 if quick else 500, n_files=10 if quick else 50),
