@@ -257,3 +257,52 @@ def test_unterminated_varint_is_valueerror():
     blob = MAGIC + struct.pack("<IQ", 1, len(body)) + body
     with pytest.raises(ValueError):
         decode_positions(blob)
+
+
+def test_roaring_bytes_identical_to_java_roaringbitmap(spark):
+    """Certify the codec against the REAL implementation: Spark's JVM
+    bundles org.roaringbitmap (RoaringBitmap-1.3.0, used for task
+    tracking), so serialize the same sets through Java RoaringBitmap —
+    with and without runOptimize() — and require BYTE-IDENTICAL output
+    from roaring_serialize, plus our decoder reading Java's blobs. This is
+    the run-container analogue of test_avro's java-core certification: the
+    reference's blobs come from pyroaring, which wraps CRoaring, which
+    shares this exact portable format."""
+    jvm = spark._jvm
+    RB = jvm.org.roaringbitmap.RoaringBitmap
+
+    def java_serialize(vals, run_optimize):
+        bm = RB()
+        for v in vals:
+            bm.add(v)
+        if run_optimize:
+            bm.runOptimize()
+        n = bm.serializedSizeInBytes()
+        buf = jvm.java.nio.ByteBuffer.allocate(n).order(jvm.java.nio.ByteOrder.LITTLE_ENDIAN)
+        bm.serialize(buf)
+        return bytes(bytearray(buf.get(i) & 0xFF for i in range(n)))
+
+    chunk = 65536
+    cases = {
+        "contig500": list(range(100, 600)),
+        "sparse_array": list(range(0, 500 * 97, 97)),
+        "mixed_all_kinds": (
+            list(range(1000, 1800))
+            + [chunk + v for v in range(0, 9000, 2)]
+            + [2 * chunk + v for v in (5, 99, 7000)]
+            + list(range(3 * chunk, 4 * chunk))
+        ),
+        "full_chunk": list(range(chunk)),
+        "bitset_to_one_run": list(range(4097)),
+        "pseudo_random": [(i * 2654435761) % (1 << 22) for i in range(3000)],
+    }
+    for name, vals in cases.items():
+        for ro in (False, True):
+            mine = roaring_serialize(vals, run_optimize=ro)
+            theirs = java_serialize(vals, ro)
+            assert mine == theirs, (
+                f"{name} run_opt={ro}: {len(mine)}B != java {len(theirs)}B"
+            )
+            assert roaring_deserialize(theirs) == sorted(set(vals)), (
+                f"{name} run_opt={ro}: decoder failed on java bytes"
+            )
