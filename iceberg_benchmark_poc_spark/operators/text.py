@@ -23,6 +23,27 @@ from ..core.fixtures import hash60
 #: after the 60-bit hash is reduced mod it — no overflow under ANSI mode).
 PORTABLE_HASH_PRIME = 1_000_000_007
 
+
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Fan a too-narrow scan out to the cluster's slot count — a no-op at
+    scale, a parallelism rescue on small inputs.
+
+    A compute-heavy NARROW stage (per-row hashing, signature folds) can only
+    use as many cores as the scan has input splits. At production scale the
+    table is thousands of files and this returns the input unchanged; on a
+    one-small-file input (the local fixtures, a tiny dimension) the scan is
+    a single task and every downstream narrow operator serializes behind it.
+    The condition is plan-time METADATA (partition count vs
+    defaultParallelism) — never data values — so the rows, and therefore
+    every query result, are unchanged; the round-robin shuffle it inserts
+    moves only the small input (SPARK-23207 sort-before-repartition keeps
+    the assignment deterministic under task retry).
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
 MINHASH_K = 8  # hash functions per signature
 LSH_ROWS_PER_BAND = 2  # => 4 bands; P(candidate) = 1-(1-j^2)^4 for jaccard j
 SHINGLE_WORDS = 3  # word trigram shingles
@@ -278,17 +299,30 @@ def simhash_sig(
     packs the per-bit majority signs. Near-dup docs differ in few bits
     (compare via hamming distance over bitwise XOR downstream).
 
-    The per-bit popcounts are aggregated in packed 20-bit lanes: sum s_j
-    accumulates bits {j, j+20, j+40} of each word hash into lanes 0/20/40 of
-    one BIGINT, so the groupBy carries 20 aggregate columns instead of 60 —
-    one shuffle of narrow per-doc partials, independent of document length.
-    Majority vote for bit b: 2 * popcount_b > n_words.
+    Each document's word set is deduplicated IN PLACE (array_distinct over
+    the whitespace split, empty tokens dropped — the same set the old
+    explode->filter->DISTINCT form produced with a word-scale shuffle),
+    then exploded narrowly so the md5 hash and the lane sums run inside
+    whole-stage codegen. The per-bit popcounts are aggregated in packed
+    20-bit lanes: sum s_j accumulates bits {j, j+20, j+40} of each word
+    hash into lanes 0/20/40 of one BIGINT, so the groupBy carries 20
+    aggregate columns instead of 60 — and because the aggregation
+    partial-combines map-side, the ONLY shuffle moves one short row per
+    document, independent of document length (the old form's first shuffle
+    carried every distinct (doc, word) string). Majority vote for bit b:
+    2 * popcount_b > n_words. Docs with no non-empty word produce no row
+    (exploding an empty set produces none).
     """
     n_sums = (bits + LANES_PER_SUM - 1) // LANES_PER_SUM
     words = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
-        .filter(F.col("w") != "")
-        .distinct()
+        spread_small_scan(docs).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit(""))
+                )
+            ).alias("w"),
+        )
         .withColumn("h", hash60(F.col("w")))
     )
     packed_sums = []

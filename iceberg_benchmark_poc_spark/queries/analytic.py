@@ -519,16 +519,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct()
-    outdeg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    # node table consumed 1 + PR_ITERS times (rank init + each round's left
+    # join): checkpoint it, and unpivot endpoints via explode (one edge pass)
+    nodes = (
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # out-degree is an edge ATTRIBUTE: attach it to the edge set ONCE and
+    # checkpoint, so each round pays one join (edges_deg x ranks) instead of
+    # two (the per-round outdeg join re-aggregated and re-shuffled the same
+    # src-keyed table every iteration)
+    edges_deg = (
+        edges.join(
+            edges.groupBy("src").agg(F.count("*").alias("outdeg")),
+            "src",
+        )
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
     base = (15 * PR_SCALE) // 100
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg.withColumnRenamed("node", "src"), "src")
+            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("(85 * r) div (100 * outdeg)")).cast("bigint").alias("c"))
         )
@@ -651,11 +664,14 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _degrees(pairs: DataFrame) -> DataFrame:
+    """Node degrees, lazily checkpointed: every consumer joins it twice
+    (dp/dq legs), and the unpivot is an explode of the endpoint array —
+    ONE pass over the edge set instead of the unionAll form's two."""
     return (
-        pairs.select(F.col("p").alias("node"))
-        .unionAll(pairs.select(F.col("q").alias("node")))
+        pairs.select(F.explode(F.array("p", "q")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -757,11 +773,10 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     deg = _degrees(pairs)
     tri = _oriented_triangles(pairs, deg)
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("x").alias("node")))
-        .unionAll(tri.select(F.col("y").alias("node")))
-    )
+    # unpivot by exploding the corner array: ONE execution of the wedge-
+    # closing join chain (the unionAll form re-ran the whole triangle
+    # subplan once per corner — 3x the joins for the same rows)
+    corners = tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
 
 
@@ -815,10 +830,15 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     item-support joins so only surviving pairs shuffle again. The 1-row
     order-count fold broadcasts.
     """
+    # lazy localCheckpoint: the distinct (order, part) set feeds FOUR
+    # consumers (the order-count fold, the item supports, and both sides of
+    # the pair self-join) — without the cut the lineitem scan + distinct
+    # exchange re-executes per consumer
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     item = li.groupBy(F.col("l_partkey").alias("p")).agg(F.count("*").alias("n_p"))
@@ -895,9 +915,10 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("p"), F.col("b.l_partkey").alias("q"))
         .distinct()
     )
+    # endpoint unpivot via explode: one execution of the fact self-join
+    # (the unionAll form ran the pair build once per endpoint leg)
     deg = (
-        pairs.select(F.col("p").alias("node"))
-        .unionAll(pairs.select(F.col("q").alias("node")))
+        pairs.select(F.explode(F.array("p", "q")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
@@ -1275,9 +1296,18 @@ def q_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy localCheckpoint (q_pagerank pattern): every BFS round references
     # the edge set, and without truncation Catalyst re-executes the
     # fact-scale pair build per round; checkpointing materializes it once
+    # symmetrize by exploding both orientations of each edge: one execution
+    # of the fact pair build (the unionAll form ran it once per direction)
     edges = (
-        pairs.select(F.col("p").alias("src"), F.col("q").alias("dst"))
-        .unionAll(pairs.select(F.col("q").alias("src"), F.col("p").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("p").alias("src"), F.col("q").alias("dst")),
+                    F.struct(F.col("q").alias("src"), F.col("p").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .localCheckpoint(eager=False)
     )
     seeds = (
@@ -1363,10 +1393,10 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     deg = _degrees(pairs)
     tri = _oriented_triangles(pairs, deg)
+    # corner unpivot via explode: one execution of the wedge-closing plan
+    # (the unionAll form re-ran it once per corner)
     tcount = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("x").alias("node")))
-        .unionAll(tri.select(F.col("y").alias("node")))
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("t"))
     )
@@ -1431,11 +1461,20 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _copurchase_pairs(spark, sf_dir)
     deg = _degrees(pairs)
     tri = _oriented_triangles(pairs, deg)
+    # unpivot the triangle's three edges by exploding an array of structs:
+    # one execution of the wedge-closing plan (the unionAll form re-ran it
+    # once per edge position)
     edge_tri = (
-        tri.select(F.col("u").alias("a"), F.col("x").alias("b"))
-        .unionAll(tri.select(F.col("u").alias("a"), F.col("y").alias("b")))
-        .unionAll(tri.select(F.col("x").alias("a"), F.col("y").alias("b")))
-        .select(F.least("a", "b").alias("p"), F.greatest("a", "b").alias("q"))
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("x").alias("b")),
+                    F.struct(F.col("u").alias("a"), F.col("y").alias("b")),
+                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select(F.least("e.a", "e.b").alias("p"), F.greatest("e.a", "e.b").alias("q"))
         .groupBy("p", "q")
         .agg(F.count("*").alias("c"))
     )

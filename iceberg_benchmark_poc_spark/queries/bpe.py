@@ -51,7 +51,9 @@ BPE_MERGES = 10
 #: marker cannot collide with real text
 BPE_EOW = "</w>"
 
-#: the merge rewrite, written once as ANSI SQL both engines run verbatim.
+#: the merge rewrite as ANSI SQL — the oracle runs this text verbatim, and
+#: the Spark side applies the IDENTICAL algorithm as literal ``F.replace``
+#: expressions with the collected pair (see _bpe_rounds).
 #: DOUBLE every separator first, so each symbol boundary carries two spaces
 #: and the single-space-padded pattern consumes only ONE of them per side:
 #: disjoint adjacent occurrences ('b a n a n a' + pair 'a n') then both
@@ -111,29 +113,49 @@ def _best_pair(words: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_rounds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[DataFrame]]:
-    """Run BPE_MERGES rounds; returns (final word types, per-round 1-row merge
-    tables). Each round's words relation is cut with a lazy localCheckpoint
-    (the q_kmeans unrolled-loop pattern) so the two consumers of round i —
-    pair counting and the rewrite — share one execution."""
+def _bpe_rounds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[tuple]]:
+    """Run BPE_MERGES rounds; returns (final word types, per-round
+    (pair, cnt) scalars). Each round's words relation is cut with a lazy
+    localCheckpoint (the q_kmeans unrolled-loop pattern) so the next round
+    never re-derives it.
+
+    The per-round 1-row argmax is COLLECTED to the driver (the same
+    per-iteration-scalar class as q_dup_clusters' convergence fold: one row
+    of constant size at any corpus scale) and the merge rewrite is applied
+    as a literal expression. The previous form shipped the argmax back via
+    a checkpointed 1-row broadcast join, which cost three extra scheduler
+    round-trips per round (argmax checkpoint + broadcast build + join-side
+    checkpoint) for the identical rewrite — the BPE recurrence is
+    inherently one synchronization barrier per merge, so the collect IS
+    the barrier and everything else rides on it."""
     # narrow the checkpointed dictionary: it is vocabulary-bounded (tens of
     # rows here, ~10M types at web scale — kilobytes per partition either
-    # way), and every one of the 3*BPE_MERGES round jobs re-launches one
-    # task per checkpoint partition, so width is pure scheduler overhead
+    # way), and every round job re-launches one task per checkpoint
+    # partition, so width is pure scheduler overhead
     words = _word_types(spark, sf_dir).coalesce(8).localCheckpoint(eager=False)
-    bests: list[DataFrame] = []
+    bests: list[tuple] = []
     for _ in range(BPE_MERGES):
-        # the 1-row argmax has two consumers (next round's rewrite + the
-        # train output's union) — cut it too, or each union row re-runs the
-        # round's pair aggregation and q_bpe_train pays ~2x the jobs of
-        # q_bpe_encode for the same loop
-        best = _best_pair(words).localCheckpoint(eager=False)
-        bests.append(best)
-        words = (
-            words.join(F.broadcast(best), F.lit(True), "left")  # 1-row scalar (BNLJ allowlist)
-            .select(F.expr(_MERGE_SQL).alias("seq"), "weight")
-            .localCheckpoint(eager=False)
+        row = _best_pair(words).collect()[0]  # 1-row scalar argmax
+        pair, cnt = row["pair"], row["cnt"]
+        bests.append((pair, cnt))
+        if pair is None:
+            # no adjacent pair left anywhere: every later round is a no-op
+            # (_MERGE_SQL's NULL case passed seq through unchanged)
+            bests.extend([(None, None)] * (BPE_MERGES - len(bests)))
+            break
+        # literal form of _MERGE_SQL: double every separator, replace the
+        # single-space-padded doubled pair with the merged symbol, collapse
+        doubled_pair = " " + pair.replace(" ", "  ") + " "
+        merged_pad = " " + pair.replace(" ", "") + " "
+        padded = F.concat(
+            F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), F.lit(" ")
         )
+        rewritten = F.replace(
+            F.trim(F.replace(padded, F.lit(doubled_pair), F.lit(merged_pad))),
+            F.lit("  "),
+            F.lit(" "),
+        )
+        words = words.select(rewritten.alias("seq"), "weight").localCheckpoint(eager=False)
     return words, bests
 
 
@@ -201,16 +223,13 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's word types. The merge table IS the tokenizer — rank order is
     how an encoder replays it."""
     _, bests = _bpe_rounds(spark, sf_dir)
-    out = None
-    for i, b in enumerate(bests):
-        row = b.select(
-            F.lit(i).cast("bigint").alias("merge_rank"),
-            "pair",
-            F.expr("replace(pair, ' ', '')").alias("merged"),
-            F.col("cnt").alias("pair_count"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+    rows = [
+        (i, pair, pair.replace(" ", "") if pair is not None else None, cnt)
+        for i, (pair, cnt) in enumerate(bests)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank bigint, pair string, merged string, pair_count bigint"
+    )
 
 
 @register(

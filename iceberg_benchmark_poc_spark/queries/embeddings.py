@@ -369,18 +369,30 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("embedding")).alias("qe"),
         *[_bucket_col(b).alias(f"bucket{b}") for b in range(N_NEARDUP_BANDS)],
     )
+    # lazily checkpointed: feats feeds the two band-join sides plus the
+    # keep/dup verify legs (4 consumers) — without the cut the quantize +
+    # norm + 3 bucket projections re-derive from the classes cache per leg
     feats = feats.select(
         "vec_id",
         "qe",
         F.sqrt(dot_quant(F.col("qe"), F.col("qe")).cast("double")).alias("norm"),
         *[f"bucket{b}" for b in range(N_NEARDUP_BANDS)],
-    )
-    bands = None
-    for b in range(N_NEARDUP_BANDS):
-        one = feats.select(
-            "vec_id", F.lit(b).alias("band"), F.col(f"bucket{b}").alias("bucket")
-        )
-        bands = one if bands is None else bands.unionByName(one)
+    ).localCheckpoint(eager=False)
+    # band unpivot via explode: ONE pass over feats (the unionByName form
+    # re-ran the feats projection once per band)
+    bands = feats.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"bucket{b}").alias("bucket")
+                    )
+                    for b in range(N_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     cand = (
         bands.select(F.col("vec_id").alias("keep_id"), "band", "bucket")
         .join(bands.select(F.col("vec_id").alias("dup_id"), "band", "bucket"), ["band", "bucket"])

@@ -1367,24 +1367,51 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = jaccard_from_arrays(lsh_pairs_from_wide(minhash_from_arrays(docs_arr)), docs_arr)
     edges = jac.filter(F.col("jaccard") >= NEAR_JACCARD).select("doc_a", "doc_b")
-    sym = edges.unionByName(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # symmetrize by exploding both orientations: ONE execution of the
+    # LSH-candidate + Jaccard-verify pipeline (the unionByName form ran the
+    # whole edge derivation once per direction before the persist)
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("doc_a"), F.col("doc_b").alias("doc_b")),
+                    F.struct(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # propagate only over the edge subgraph: every member of a size>1
     # component touches an edge, so singletons (the overwhelming majority of
     # a deduped corpus) never enter the loop — each round's join, checkpoint,
     # and convergence agg run on |edge nodes| rows, not |corpus| rows.
-    nodes = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    #
+    # Round 0 is FUSED into label construction: every node's initial label
+    # is min(itself, its direct neighbors) — one aggregation over sym
+    # replaces both the nodes-distinct exchange and the first
+    # join+groupBy+join propagation round (for the common near-clique
+    # components this initialization already IS the fixed point, so the
+    # loop below runs once to verify and exits).
+    #
     # lazy (eager=False) checkpoints: the per-round convergence agg is the
     # action that materializes the checkpoint, so each round costs ONE Spark
     # job instead of two (eager checkpoint + agg) — at fixed ~100ms job
     # latency over MAX_CC_ITERS rounds that is the dominant driver-side cost
     # of the loop, and at cluster scale it halves the scheduler round-trips.
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=False
+    labels = (
+        sym.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("nbr_min"))
+        .select("doc_id", F.least(F.col("doc_id"), F.col("nbr_min")).alias("cluster_id"))
+        .localCheckpoint(eager=False)
     )
-    prev_sum = None  # first round always runs; diameter >= 1 whenever edges exist
+    # per-element labels are monotonically non-increasing, so an unchanged
+    # SUM proves an unchanged label vector: seed the check with the fused
+    # round's sum (the collect doubles as the checkpoint materialization)
+    # and test EVERY round — each detected-converged round saves a full
+    # join+groupBy+join round, which costs far more than the scalar fold.
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     converged = False
     for it in range(MAX_CC_ITERS):
         nbr_min = (
@@ -1402,16 +1429,11 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        # labels' sum is monotonically non-increasing, so equality across a
-        # TWO-round window still proves convergence — checking every other
-        # round halves the action count (near-dup clusters converge in 2-3
-        # rounds, so this saves one scheduler round-trip per query)
-        if it % 2 == 1 or it == MAX_CC_ITERS - 1:
-            cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-            if cur_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = cur_sum
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
     if not converged:
         # high-diameter topology (chained near-dups): label propagation
         # would under-merge if we fell out of the loop here. Switch to the
@@ -1734,18 +1756,26 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("int").alias("hamming"),
         F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
     )
-    nib = None
-    for b in range(N_SIMHASH_BANDS):
-        one = classes.select(
-            "simhash",
-            "n",
-            "rep",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b)
-            .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
-            .alias("chunk"),
-        )
-        nib = one if nib is None else nib.unionByName(one)
+    # band unpivot via explode: ONE pass over the class cache per join side
+    # (the unionByName form re-projected the classes once per band per side)
+    nib = classes.select(
+        "simhash",
+        "n",
+        "rep",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * b)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("chunk"),
+                    )
+                    for b in range(N_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("simhash", "n", "rep", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     cand = (
         nib.select(
             F.col("simhash").alias("sig_a"), F.col("n").alias("na"), F.col("rep").alias("ra"),

@@ -398,8 +398,6 @@ BNLJ_ALLOWED = {
     "q_benford",         # one-row grand-total fold broadcast to the 9-digit table
     "q_keyness_terms",   # one-row corpus-token-total fold broadcast to the vocabulary
     "q_important_stock",  # 1-row national-stock-total fold broadcast to per-part values
-    "q_bpe_train",       # per-round 1-row argmax pair joined LEFT-on-TRUE to the type dict
-    "q_bpe_encode",      # same trained-merge 1-row joins behind the shared round helper
 }
 
 
@@ -732,7 +730,16 @@ def test_no_query_force_broadcasts_an_unfiltered_sf_table(spark):
             plan = plan_of(spark, name)
             nodes = _sketch_nodes(plan)
             details = _node_details(plan)
-            assert nodes and details, f"could not parse formatted plan for {name}"
+            assert nodes, f"could not parse formatted plan for {name}"
+            if not details:
+                # a driver-materialized leaf (Scan ExistingRDD from a
+                # collected scalar table, e.g. q_bpe_train's merge list)
+                # has no per-node details section — and nothing to audit,
+                # provided it really is exchange/join-free
+                assert not any(
+                    "Exchange" in nm or "Join" in nm for _, nm, _ in nodes
+                ), f"plan for {name} has exchanges but no parseable details"
+                continue
             for i, (depth, nm, _nid) in enumerate(nodes):
                 if "BroadcastExchange" not in nm:
                     continue
