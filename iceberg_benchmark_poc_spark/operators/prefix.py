@@ -52,8 +52,19 @@ def global_prefix_sum(
         else df.repartitionByRange(*order_cols)
     )
     # spark_partition_id is non-deterministic-tagged, so Catalyst cannot push
-    # it below the range exchange — it reads the post-shuffle range id
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # it below the range exchange — it reads the post-shuffle range id.
+    #
+    # The lazy localCheckpoint is CORRECTNESS, not tuning: with_pid feeds two
+    # consumers (the local scan and the per-range offsets), and
+    # repartitionByRange draws fresh random sample boundaries on every
+    # execution. The two instances normally collapse into one execution via
+    # exchange reuse, but reuse is not guaranteed — a cached relation below
+    # the exchange defeats it (observed: persisted input => the join side
+    # and the offsets side ranged DIFFERENTLY, pids meant different key
+    # ranges, silently corrupt running sums). Materializing the ranged+pid
+    # relation pins ONE set of range boundaries for both consumers; the
+    # exchange still executes exactly once.
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
@@ -99,7 +110,8 @@ def global_prefix_max(
         if num_ranges is not None
         else df.repartitionByRange(*order_cols)
     )
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # same two-consumer range-boundary pinning as global_prefix_sum above
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)

@@ -50,19 +50,34 @@ def exact_quantiles(
     percentages: list[float],
     n_rows: int | None = None,
     out_col: str = "bs",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """One-row DataFrame: ``out_col`` = array of exact interpolated quantiles.
 
     ``value`` must be an integral/orderable numeric column; the result array
     is ``double`` and bit-equal to
     ``F.expr(f"percentile(v, array({percentages}))")``. Pass ``n_rows`` if
-    the caller already knows the row count to skip the scalar count fold.
+    the caller already knows the row count to skip the scalar fold.
+
+    Pass ``counts`` — a ``(__qv, __qcnt)`` DataFrame of per-distinct-value
+    counts — when the caller already has (or wants to reuse) the value
+    histogram; ``df``/``value`` are then ignored. When ``n_rows`` is
+    unknown it is folded from the counts table, NOT counted off the raw
+    rows: the histogram is cached first, so the scalar fold costs one pass
+    over |distinct values| rows (bounded domain — the operator's target
+    case) and the cached histogram is reused by the main plan instead of a
+    second full scan of the input.
     """
-    vals_df = df.select(value.alias("__qv"))
+    if counts is None:
+        counts = (
+            df.select(value.alias("__qv")).groupBy("__qv").agg(F.count("*").alias("__qcnt"))
+        )
     if n_rows is None:
-        n_rows = vals_df.count()
+        from pyspark import StorageLevel
+
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
+        n_rows = counts.agg(F.sum("__qcnt")).collect()[0][0] or 0
     n_rows = max(n_rows, 1)
-    counts = vals_df.groupBy("__qv").agg(F.count("*").alias("__qcnt"))
     cum = global_prefix_sum(counts, [F.col("__qv")], F.col("__qcnt"), "__qcum")
     ks = sorted(
         {

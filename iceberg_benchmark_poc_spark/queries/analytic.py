@@ -280,17 +280,25 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("c"))
-    bounds = exact_quantiles(cents, F.col("c"), _DECILES)
-    assigned = cents.join(F.broadcast(bounds)).select(
-        "c",
+    # ONE full scan: the per-distinct-cent histogram is cached inside
+    # exact_quantiles (it folds n_rows from it) and EVERY later step —
+    # boundary picking, bucket assignment, per-bucket rollup — runs on the
+    # |distinct cents| histogram rows, never the raw rows again (the old
+    # form re-scanned lineitem to assign buckets row-by-row: same bucket
+    # for equal cents, so assign once per distinct value and sum counts)
+    counts = cents.groupBy(F.col("c").alias("__qv")).agg(F.count("*").alias("__qcnt"))
+    bounds = exact_quantiles(None, None, _DECILES, counts=counts)
+    assigned = counts.join(F.broadcast(bounds)).select(
+        F.col("__qv").alias("c"),
+        "__qcnt",
         F.aggregate(
-            "bs", F.lit(0), lambda acc, b: acc + F.when(F.col("c") >= b, 1).otherwise(0)
+            "bs", F.lit(0), lambda acc, b: acc + F.when(F.col("__qv") >= b, 1).otherwise(0)
         )
         .cast("int")
         .alias("bucket"),
     )
     return assigned.groupBy("bucket").agg(
-        F.count("*").alias("n_rows"),
+        F.sum("__qcnt").cast("bigint").alias("n_rows"),
         F.min("c").cast("bigint").alias("lo_cents"),
         F.max("c").cast("bigint").alias("hi_cents"),
     )

@@ -18,13 +18,11 @@ this band is capability beyond the reference by design):
    what keeps the plan viable at 100 TB, where the dictionary still fits in
    a handful of partitions while the corpus does not.
 
-Iteration uses the q_kmeans/label-propagation pattern: a bounded, unrolled
-loop whose per-round result is cut with a lazy ``localCheckpoint`` so round
-i+1 never re-derives round i (without the cut the lineage doubles per round
-— pair-count AND merge both consume the words relation). The per-round
-argmax is a 1-row aggregate joined back via an allowlisted 1-row broadcast
-(LEFT on TRUE so a pair-less final round passes types through unchanged
-rather than dropping them).
+Iteration collects the per-round 1-row argmax to the driver (the same
+per-iteration-scalar class as the label-propagation convergence fold) and
+chains the merge rewrite as literal replace expressions over ONE cached
+type dictionary — one scheduler barrier per merge round, which is the
+recurrence's inherent minimum (see _bpe_rounds).
 
 Cross-engine parity: every string op in the hot path — char split via
 ``split(w, '')``, adjacent pairs via index ``transform``, merge via padded
@@ -42,7 +40,7 @@ from ..core.io import load_table
 from ..core.registry import register
 
 #: bounded merge budget — enough to merge the synthetic corpus's frequent
-#: stems while keeping the unrolled plan at a fixed 3-jobs-per-round cost
+#: stems while keeping the unrolled loop at one scheduler barrier per round
 BPE_MERGES = 10
 
 #: end-of-word marker appended as its own symbol (classic BPE): merges may
@@ -115,47 +113,76 @@ def _best_pair(words: DataFrame) -> DataFrame:
 
 def _bpe_rounds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[tuple]]:
     """Run BPE_MERGES rounds; returns (final word types, per-round
-    (pair, cnt) scalars). Each round's words relation is cut with a lazy
-    localCheckpoint (the q_kmeans unrolled-loop pattern) so the next round
-    never re-derives it.
+    (pair, cnt) scalars).
 
     The per-round 1-row argmax is COLLECTED to the driver (the same
     per-iteration-scalar class as q_dup_clusters' convergence fold: one row
     of constant size at any corpus scale) and the merge rewrite is applied
-    as a literal expression. The previous form shipped the argmax back via
-    a checkpointed 1-row broadcast join, which cost three extra scheduler
-    round-trips per round (argmax checkpoint + broadcast build + join-side
-    checkpoint) for the identical rewrite — the BPE recurrence is
-    inherently one synchronization barrier per merge, so the collect IS
-    the barrier and everything else rides on it."""
-    # narrow the checkpointed dictionary: it is vocabulary-bounded (tens of
+    as a literal expression — the BPE recurrence is inherently one
+    synchronization barrier per merge, so the collect IS the barrier and
+    everything else rides on it.
+
+    Round i's words relation is the CACHED type dictionary with i literal
+    replace expressions chained on top — no per-round checkpoint. A
+    checkpoint per round materialized each rewrite as its own cache write
+    and made every argmax read a fresh RDD (an extra scheduler job per
+    round); the chained form re-applies i string replaces over the cached
+    base inside the argmax's own scan stage. The rewrite chain is
+    vocabulary-scale narrow work (BPE_MERGES * |types| replaces in total
+    across the loop — at 10M types and 10 merges that is bounded map work
+    fused into stages that already scan those rows), and the expression
+    tree grows by a constant per round, so plan size stays trivial."""
+    # narrow the cached dictionary: it is vocabulary-bounded (tens of
     # rows here, ~10M types at web scale — kilobytes per partition either
-    # way), and every round job re-launches one task per checkpoint
-    # partition, so width is pure scheduler overhead
-    words = _word_types(spark, sf_dir).coalesce(8).localCheckpoint(eager=False)
+    # way), and every round job re-launches one task per cached partition,
+    # so width is pure scheduler overhead
+    from pyspark import StorageLevel
+
+    words = (
+        _word_types(spark, sf_dir)
+        .coalesce(8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bests: list[tuple] = []
-    for _ in range(BPE_MERGES):
-        row = _best_pair(words).collect()[0]  # 1-row scalar argmax
-        pair, cnt = row["pair"], row["cnt"]
-        bests.append((pair, cnt))
-        if pair is None:
-            # no adjacent pair left anywhere: every later round is a no-op
-            # (_MERGE_SQL's NULL case passed seq through unchanged)
-            bests.extend([(None, None)] * (BPE_MERGES - len(bests)))
-            break
-        # literal form of _MERGE_SQL: double every separator, replace the
-        # single-space-padded doubled pair with the merged symbol, collapse
-        doubled_pair = " " + pair.replace(" ", "  ") + " "
-        merged_pad = " " + pair.replace(" ", "") + " "
-        padded = F.concat(
-            F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), F.lit(" ")
-        )
-        rewritten = F.replace(
-            F.trim(F.replace(padded, F.lit(doubled_pair), F.lit(merged_pad))),
-            F.lit("  "),
-            F.lit(" "),
-        )
-        words = words.select(rewritten.alias("seq"), "weight").localCheckpoint(eager=False)
+    # AQE is off for the argmax collects only (restored in finally, and the
+    # returned words relation executes later under the session default):
+    # each argmax is a fixed-shape two-exchange plan with a ONE-ROW result,
+    # so AQE has nothing to adapt (no skew, no join, nothing to coalesce
+    # that matters) yet materializes every exchange as its own job — three
+    # scheduler barriers per merge round instead of one, on a loop that is
+    # already inherently one barrier per round. This is not a local-mode
+    # constant: AQE's per-exchange jobs are driver round-trips on a real
+    # cluster too, and the pair-aggregation shuffle falls back to the
+    # conf'd spark.sql.shuffle.partitions, which the session sizes for the
+    # deployment (SPARK_GRAFT_SHUFFLE_PARTITIONS).
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_old = spark.conf.get(aqe_key)
+    spark.conf.set(aqe_key, "false")
+    try:
+        for _ in range(BPE_MERGES):
+            row = _best_pair(words).collect()[0]  # 1-row scalar argmax
+            pair, cnt = row["pair"], row["cnt"]
+            bests.append((pair, cnt))
+            if pair is None:
+                # no adjacent pair left anywhere: every later round is a no-op
+                # (_MERGE_SQL's NULL case passed seq through unchanged)
+                bests.extend([(None, None)] * (BPE_MERGES - len(bests)))
+                break
+            # literal form of _MERGE_SQL: double every separator, replace the
+            # single-space-padded doubled pair with the merged symbol, collapse
+            doubled_pair = " " + pair.replace(" ", "  ") + " "
+            merged_pad = " " + pair.replace(" ", "") + " "
+            padded = F.concat(
+                F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), F.lit(" ")
+            )
+            rewritten = F.replace(
+                F.trim(F.replace(padded, F.lit(doubled_pair), F.lit(merged_pad))),
+                F.lit("  "),
+                F.lit(" "),
+            )
+            words = words.select(rewritten.alias("seq"), "weight")
+    finally:
+        spark.conf.set(aqe_key, aqe_old)
     return words, bests
 
 
