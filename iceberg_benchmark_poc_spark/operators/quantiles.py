@@ -61,18 +61,23 @@ def exact_quantiles(
 
     Pass ``counts`` — a ``(__qv, __qcnt)`` DataFrame of per-distinct-value
     counts — when the caller already has (or wants to reuse) the value
-    histogram; ``df``/``value`` are then ignored. When ``n_rows`` is
-    unknown it is folded from the counts table, NOT counted off the raw
-    rows: the histogram is cached first, so the scalar fold costs one pass
-    over |distinct values| rows (bounded domain — the operator's target
-    case) and the cached histogram is reused by the main plan instead of a
-    second full scan of the input.
+    histogram; ``df``/``value`` are then ignored, and an unknown ``n_rows``
+    is folded from the CACHED histogram (one pass over |distinct values|
+    rows, reused by the main plan) instead of re-scanning the input.
+
+    Without ``counts``, an unknown ``n_rows`` is a plain ``count()`` of the
+    raw rows — deliberately: a bare count over a parquet scan collapses to
+    row-group metadata (aggregate pushdown), which is far cheaper than
+    building and caching a histogram that near-unique value domains (raw
+    doubles) would inflate to row scale.
     """
     if counts is None:
+        if n_rows is None:
+            n_rows = df.select(value.alias("__qv")).count()
         counts = (
             df.select(value.alias("__qv")).groupBy("__qv").agg(F.count("*").alias("__qcnt"))
         )
-    if n_rows is None:
+    elif n_rows is None:
         from pyspark import StorageLevel
 
         counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
