@@ -23,7 +23,7 @@ import zlib
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BinaryType, LongType
+from pyspark.sql.types import ArrayType, BinaryType, LongType, StructField, StructType
 
 MAGIC = b"MDV1"
 ZLIB_LEVEL = 6  # reference poc/utils/mdv_generator.py:62
@@ -173,3 +173,74 @@ def decode_positions_udf(blobs: pd.Series) -> pd.Series:
     # ndarray cells go straight back through Arrow — no per-position
     # PyObject list materialization
     return blobs.map(lambda b: decode_positions_any_np(bytes(b)))
+
+
+# ---------------------------------------------------------------------------
+# fused roundtrip-stats UDFs: scalars in, scalars out
+# ---------------------------------------------------------------------------
+#
+# The oracle-gated roundtrip queries only need per-file STATS of the decoded
+# set (count/min/max/sum). Staged as three Spark operators (JVM
+# transform(sequence) generation -> encode UDF -> decode UDF -> JVM array
+# fold), every row shipped its full position array across the Python
+# boundary twice (up to 8K BIGINTs each way) and paid an interpreted
+# higher-order `aggregate` fold JVM-side. Fused, each row crosses as TWO
+# int64 scalars and returns FOUR — generation (same arithmetic the oracle
+# runs), encode, decode, and stats all execute vectorized in numpy inside
+# one Arrow batch. The codec work is byte-identical (same encode_* /
+# decode_positions_any_np functions the staged UDFs wrap).
+
+#: explicit StructType (not a DDL string): the Python worker re-imports this
+#: module without an active SparkContext, and DDL parsing needs one
+_STATS_SCHEMA = StructType(
+    [
+        StructField("n_deleted", LongType()),
+        StructField("min_pos", LongType()),
+        StructField("max_pos", LongType()),
+        StructField("pos_sum", LongType()),
+    ]
+)
+
+
+def _stats_frame(file_ids: pd.Series, drcs: pd.Series, gen, encode) -> pd.DataFrame:
+    rows = []
+    for fid, drc in zip(file_ids.astype("int64"), drcs.astype("int64")):
+        out = decode_positions_any_np(encode(gen(int(fid), int(drc))))
+        # decoders emit sorted positions, but use min/max for robustness
+        rows.append((int(out.size), int(out.min()), int(out.max()), int(out.sum())))
+    return pd.DataFrame(rows, columns=["n_deleted", "min_pos", "max_pos", "pos_sum"])
+
+
+def _gen_mdv1(fid: int, drc: int) -> np.ndarray:
+    # q_dv_payload_roundtrip: (fid*17 + j*13) % 1000 for j < drc
+    return (fid * 17 + np.arange(drc, dtype=np.int64) * 13) % 1000
+
+
+def _gen_roaring(fid: int, drc: int) -> np.ndarray:
+    # q_roaring_roundtrip: (fid*31 + j*7) % 60000 for j < drc*8
+    return (fid * 31 + np.arange(drc * 8, dtype=np.int64) * 7) % 60000
+
+
+def _gen_runs(fid: int, drc: int) -> np.ndarray:
+    # q_roaring_runs: one contiguous block of drc*8 at (fid*13)%5000, plus
+    # 1 + drc%64 positions in the next 65536-key chunk
+    a = (fid * 13) % 5000 + np.arange(drc * 8, dtype=np.int64)
+    b = 65536 + fid % 100 + np.arange(1 + drc % 64, dtype=np.int64)
+    return np.concatenate([a, b])
+
+
+@F.pandas_udf(_STATS_SCHEMA)
+def mdv1_roundtrip_stats_udf(file_id: pd.Series, drc: pd.Series) -> pd.DataFrame:
+    return _stats_frame(file_id, drc, _gen_mdv1, encode_positions)
+
+
+@F.pandas_udf(_STATS_SCHEMA)
+def roaring_roundtrip_stats_udf(file_id: pd.Series, drc: pd.Series) -> pd.DataFrame:
+    return _stats_frame(file_id, drc, _gen_roaring, encode_positions_roaring)
+
+
+@F.pandas_udf(_STATS_SCHEMA)
+def roaring_runs_roundtrip_stats_udf(file_id: pd.Series, drc: pd.Series) -> pd.DataFrame:
+    return _stats_frame(
+        file_id, drc, _gen_runs, lambda p: encode_positions_roaring(p, run_optimize=True)
+    )

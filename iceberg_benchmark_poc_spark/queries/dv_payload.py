@@ -14,9 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..core.fixtures import dv_entries, with_fixtures
 from ..core.registry import register
 from ..operators.dv_payload import (
-    decode_positions_udf,
-    encode_positions_roaring_udf,
-    encode_positions_udf,
+    mdv1_roundtrip_stats_udf,
+    roaring_roundtrip_stats_udf,
+    roaring_runs_roundtrip_stats_udf,
 )
 
 SAMPLE_MOD = 100  # files with file_id % 100 == 0 get a modeled payload
@@ -48,35 +48,23 @@ ROWS_PER_FILE = 1000
 def q_dv_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode delete positions to compressed blobs, decode, and aggregate.
 
-    Pipeline: per-file position arrays (a transform over sequence — never
-    exploded) -> encode_positions_udf (delta+varint+zlib BinaryType blob) ->
-    decode_positions_udf -> per-array stats. The oracle recomputes the stats
-    from the generator formula, so a single corrupted bit anywhere in the
-    byte path fails the value hash. The whole plan is narrow — zero
-    shuffles: position arrays are built, encoded, decoded, and aggregated
-    within the scan partition, which is exactly how DV blobs behave at scale
-    (the codec is per-file, so it parallelizes embarrassingly). The encoder
-    dedups and sorts internally, so the generated array needs neither
-    distinct nor sort; dedup is asserted by matching the oracle's DISTINCT
-    counts.
+    Pipeline: one fused Arrow-batched UDF per file row — numpy position
+    generation (the oracle's exact formula), delta+varint+zlib encode, the
+    shared any-format decode, and the four stats, all inside the Python
+    worker. Only TWO int64 scalars cross into Python and FOUR come back;
+    the staged form shipped the full position array across the boundary
+    twice and paid an interpreted JVM `aggregate` fold per row (guide §4:
+    pass only what the function needs, do bulk work vectorized). The
+    oracle recomputes the stats from the generator formula, so a single
+    corrupted bit anywhere in the byte path fails the value hash. The
+    whole plan is narrow — zero shuffles: the codec is per-file, so it
+    parallelizes embarrassingly. The encoder dedups and sorts internally;
+    dedup is asserted by matching the oracle's DISTINCT counts.
     """
     dv = dv_entries(spark, sf_dir).filter(F.col("file_id") % SAMPLE_MOD == 0)
-    positions = dv.select(
-        "file_id",
-        F.transform(
-            F.sequence(F.lit(0), F.col("deleted_row_count") - 1),
-            lambda j: (F.col("file_id") * 17 + j * 13) % ROWS_PER_FILE,
-        ).alias("positions"),
-    )
-    blobs = positions.select("file_id", encode_positions_udf("positions").alias("payload"))
-    decoded = blobs.select("file_id", decode_positions_udf("payload").alias("pos"))
-    return decoded.select(
-        "file_id",
-        F.size("pos").cast("bigint").alias("n_deleted"),
-        F.array_min("pos").cast("bigint").alias("min_pos"),
-        F.array_max("pos").cast("bigint").alias("max_pos"),
-        F.aggregate("pos", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("pos_sum"),
-    )
+    return dv.select(
+        "file_id", mdv1_roundtrip_stats_udf("file_id", "deleted_row_count").alias("s")
+    ).select("file_id", "s.*")
 
 
 ROARING_SAMPLE_MOD = 150  # files with file_id % 150 == 0 get a roaring payload
@@ -120,22 +108,11 @@ def q_roaring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the oracle's value hash.
     """
     dv = dv_entries(spark, sf_dir).filter(F.col("file_id") % ROARING_SAMPLE_MOD == 0)
-    positions = dv.select(
-        "file_id",
-        F.transform(
-            F.sequence(F.lit(0), F.col("deleted_row_count") * 8 - 1),
-            lambda j: (F.col("file_id") * 31 + j * 7) % ROARING_SPAN,
-        ).alias("positions"),
-    )
-    blobs = positions.select("file_id", encode_positions_roaring_udf("positions").alias("payload"))
-    decoded = blobs.select("file_id", decode_positions_udf("payload").alias("pos"))
-    return decoded.select(
-        "file_id",
-        F.size("pos").cast("bigint").alias("n_deleted"),
-        F.array_min("pos").cast("bigint").alias("min_pos"),
-        F.array_max("pos").cast("bigint").alias("max_pos"),
-        F.aggregate("pos", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("pos_sum"),
-    )
+    # fused scalars-in/scalars-out roundtrip (see q_dv_payload_roundtrip):
+    # same roaring_serialize -> zlib -> decode byte path, no array transport
+    return dv.select(
+        "file_id", roaring_roundtrip_stats_udf("file_id", "deleted_row_count").alias("s")
+    ).select("file_id", "s.*")
 
 
 RUNS_SAMPLE_MOD = 150  # same sampled file set as q_roaring_roundtrip
@@ -186,28 +163,10 @@ def q_roaring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays are built, encoded, decoded, and aggregated inside the scan
     partition, zero shuffles, same as q_roaring_roundtrip.
     """
-    from ..operators.dv_payload import encode_positions_roaring_runs_udf
-
     dv = dv_entries(spark, sf_dir).filter(F.col("file_id") % RUNS_SAMPLE_MOD == 0)
-    positions = dv.select(
-        "file_id",
-        F.concat(
-            F.sequence(
-                (F.col("file_id") * 13) % 5000,
-                (F.col("file_id") * 13) % 5000 + F.col("deleted_row_count") * 8 - 1,
-            ),
-            F.sequence(
-                F.lit(RUNS_CHUNK) + F.col("file_id") % 100,
-                F.lit(RUNS_CHUNK) + F.col("file_id") % 100 + F.col("deleted_row_count") % 64,
-            ),
-        ).alias("positions"),
-    )
-    blobs = positions.select("file_id", encode_positions_roaring_runs_udf("positions").alias("payload"))
-    decoded = blobs.select("file_id", decode_positions_udf("payload").alias("pos"))
-    return decoded.select(
-        "file_id",
-        F.size("pos").cast("bigint").alias("n_deleted"),
-        F.array_min("pos").cast("bigint").alias("min_pos"),
-        F.array_max("pos").cast("bigint").alias("max_pos"),
-        F.aggregate("pos", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("pos_sum"),
-    )
+    # fused scalars-in/scalars-out roundtrip (see q_dv_payload_roundtrip):
+    # encode uses run_optimize=True — the same SERIAL_COOKIE 12347 write
+    # path — and decode goes through the shared any-format decoder
+    return dv.select(
+        "file_id", roaring_runs_roundtrip_stats_udf("file_id", "deleted_row_count").alias("s")
+    ).select("file_id", "s.*")
