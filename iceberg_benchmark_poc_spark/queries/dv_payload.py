@@ -53,8 +53,9 @@ def q_dv_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared any-format decode, and the four stats, all inside the Python
     worker. Only TWO int64 scalars cross into Python and FOUR come back;
     the staged form shipped the full position array across the boundary
-    twice and paid an interpreted JVM `aggregate` fold per row (guide §4:
-    pass only what the function needs, do bulk work vectorized). The
+    twice and paid an interpreted JVM `aggregate` fold per row — only the
+    columns the function needs should cross, and bulk work belongs in
+    vectorized code inside the worker. The
     oracle recomputes the stats from the generator formula, so a single
     corrupted bit anywhere in the byte path fails the value hash. The
     whole plan is narrow — zero shuffles: the codec is per-file, so it

@@ -575,11 +575,19 @@ def test_cep_match_reuses_user_partitioning(spark):
 
 
 def test_skyline_never_sorts_the_catalog_globally(spark):
-    """q_skyline's scan must be the two-phase prefix-max: a range exchange
-    plus per-range windows; the only unpartitioned window is the
-    |ranges|-row offsets table (allowlisted), never the catalog itself."""
+    """q_skyline's scan must be the two-phase prefix-max. Since r11 the
+    operator pins its range boundaries with a lazy localCheckpoint
+    (operators/prefix.py — the two consumers must see ONE sampled
+    partitioning), so the range exchange executes below the RDD cut and is
+    no longer visible here. What stays observable and pinned: the cut
+    itself, the catalog-scale window partitioned by the range id (never an
+    unpartitioned window over the catalog — the only global window is the
+    |ranges|-row offsets table), and no cartesian anywhere. The operator's
+    distribution behavior itself is covered by the prefix property tests
+    (including the persisted-input regression)."""
     plan = plan_of(spark, "q_skyline")
-    assert "rangepartitioning(price_cents" in plan
+    assert "ExistingRDD" in plan  # the boundary-pinning cut
+    assert "hashpartitioning(__range_pid" in plan  # per-range catalog window
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
@@ -814,17 +822,19 @@ def test_forecast_revenue_is_a_pure_pushed_scan(spark):
 
 
 def test_bpe_band_is_flat_above_its_checkpoints(spark):
-    """q_bpe_encode's visible plan must stay the minimal shape: checkpointed
-    type dictionary -> explode -> map-side partial sum -> ONE token exchange.
-    All 10 merge rounds hide behind lazy localCheckpoints (the q_khop
-    flat-plan property), so the top plan never re-derives a round. The
-    corpus-scale word count itself partial-aggregates before its exchange
-    (pinned on the un-checkpointed helper)."""
+    """q_bpe_encode's plan must stay the minimal shape: ONE cached type
+    dictionary (InMemoryRelation over the single corpus-scale word-count
+    shuffle) -> the literal replace chain -> explode -> map-side partial
+    sum -> ONE token exchange. All 10 merge rounds are literal expressions
+    over the cache (argmaxes are driver scalars), so the plan contains no
+    joins and no per-round subtrees."""
     plan = plan_of(spark, "q_bpe_encode")
-    assert "ExistingRDD" in plan  # the final round's checkpoint cut
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "InMemoryTableScan" in plan  # the cached dictionary cut
+    # token-agg exchange + the cached dictionary's word-count exchange,
+    # which AQE's explain prints twice (final + initial plan)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
     assert "partial_sum" in plan
-    assert "Join" not in plan  # merge-round joins must not leak above the cut
+    assert "Join" not in plan  # merge rounds are expressions, never joins
 
     from iceberg_benchmark_poc_spark.queries.bpe import _word_types
 
