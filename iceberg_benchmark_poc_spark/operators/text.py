@@ -24,26 +24,6 @@ from ..core.fixtures import hash60
 PORTABLE_HASH_PRIME = 1_000_000_007
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
-    """Fan a too-narrow scan out to the cluster's slot count — a no-op at
-    scale, a parallelism rescue on small inputs.
-
-    A compute-heavy NARROW stage (per-row hashing, signature folds) can only
-    use as many cores as the scan has input splits. At production scale the
-    table is thousands of files and this returns the input unchanged; on a
-    one-small-file input (the local fixtures, a tiny dimension) the scan is
-    a single task and every downstream narrow operator serializes behind it.
-    The condition is plan-time METADATA (partition count vs
-    defaultParallelism) — never data values — so the rows, and therefore
-    every query result, are unchanged; the round-robin shuffle it inserts
-    moves only the small input (SPARK-23207 sort-before-repartition keeps
-    the assignment deterministic under task retry).
-    """
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
-
 MINHASH_K = 8  # hash functions per signature
 LSH_ROWS_PER_BAND = 2  # => 4 bands; P(candidate) = 1-(1-j^2)^4 for jaccard j
 SHINGLE_WORDS = 3  # word trigram shingles
@@ -315,7 +295,7 @@ def simhash_sig(
     """
     n_sums = (bits + LANES_PER_SUM - 1) // LANES_PER_SUM
     words = (
-        spread_small_scan(docs).select(
+        docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 F.array_distinct(
