@@ -43,6 +43,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .prefix import global_prefix_sum
 
+#: deterministic-bucket count for the prefix sum's range ids: ~20-100x the
+#: local core count so the hash spread over shuffle partitions is even
+#: (guide §2.5), while the offsets table stays trivially metadata-scale
+_N_RANGES = 1024
+
 
 def exact_quantiles(
     df: DataFrame,
@@ -65,15 +70,19 @@ def exact_quantiles(
     is folded from the CACHED histogram (one pass over |distinct values|
     rows, reused by the main plan) instead of re-scanning the input.
 
-    Without ``counts``, an unknown ``n_rows`` is a plain ``count()`` of the
-    raw rows — deliberately: a bare count over a parquet scan collapses to
-    row-group metadata (aggregate pushdown), which is far cheaper than
-    building and caching a histogram that near-unique value domains (raw
-    doubles) would inflate to row scale.
+    Without ``counts``, an unknown ``n_rows`` is folded with ``min``/``max``
+    of the value in ONE aggregation of the raw rows — deliberately: all
+    three collapse to row-group metadata over a parquet scan (aggregate
+    pushdown), which is far cheaper than building and caching a histogram
+    that near-unique value domains (raw doubles) would inflate to row
+    scale. The min/max feed the prefix sum's deterministic bucket path
+    (operators/prefix.py): range ids become a pure expression of the value,
+    so no boundary-pinning lineage cut is needed.
     """
+    lo = hi = None
     if counts is None:
         if n_rows is None:
-            n_rows = df.select(value.alias("__qv")).count()
+            n_rows, lo, hi = df.agg(F.count(F.lit(1)), F.min(value), F.max(value)).collect()[0]
         counts = (
             df.select(value.alias("__qv")).groupBy("__qv").agg(F.count("*").alias("__qcnt"))
         )
@@ -81,9 +90,17 @@ def exact_quantiles(
         from pyspark import StorageLevel
 
         counts = counts.persist(StorageLevel.MEMORY_AND_DISK)
-        n_rows = counts.agg(F.sum("__qcnt")).collect()[0][0] or 0
+        n_rows, lo, hi = counts.agg(
+            F.sum("__qcnt"), F.min("__qv"), F.max("__qv")
+        ).collect()[0]
+        n_rows = n_rows or 0
     n_rows = max(n_rows, 1)
-    cum = global_prefix_sum(counts, [F.col("__qv")], F.col("__qcnt"), "__qcum")
+    bucket = (
+        (F.col("__qv"), float(lo), float(hi), _N_RANGES) if lo is not None else None
+    )
+    cum = global_prefix_sum(
+        counts, [F.col("__qv")], F.col("__qcnt"), "__qcum", bucket=bucket
+    )
     ks = sorted(
         {
             k

@@ -8,6 +8,8 @@ broadcast dimension joins, partial aggregation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.io import load_table
@@ -1361,7 +1363,28 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
     )
     g = p.groupBy("price_cents").agg(F.max("p_size").alias("eqmax"))
-    g2 = global_prefix_max(g, [F.col("price_cents")], F.col("eqmax"), "m1")
+    # deterministic range buckets for the prefix max: the price domain folds
+    # from parquet footer stats (aggregate pushdown — metadata-only job), so
+    # the range id is a pure expression and the operator needs no
+    # boundary-pinning lineage cut (floor(x*100) is monotone: the cents
+    # domain is [floor(min*100), floor(max*100)])
+    lo, hi = (
+        load_table(spark, sf_dir, "part")
+        .agg(F.min("p_retailprice"), F.max("p_retailprice"))
+        .collect()[0]
+    )
+    g2 = global_prefix_max(
+        g,
+        [F.col("price_cents")],
+        F.col("eqmax"),
+        "m1",
+        bucket=(
+            F.col("price_cents"),
+            math.floor(lo * 100),
+            math.floor(hi * 100),
+            256,
+        ),
+    )
     return (
         p.join(g2, "price_cents")
         .filter(

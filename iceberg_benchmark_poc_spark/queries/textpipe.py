@@ -775,14 +775,24 @@ def _quality_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("marker_ratio"),
         score.alias("quality_score"),
     )
-    keepers = feat.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    # keeper election in ONE pass: min_by pulls the min-doc_id row per
+    # identical-text class directly out of the hash aggregation. The old
+    # min-per-class + semi-join-back form planned the scoring subtree twice
+    # (two scans of documents, two md5 passes, plus a doc_id join exchange);
+    # this is one scan, one text_hash shuffle of narrow feature rows, no
+    # join. Equivalent because doc_id is unique: the min_by winner IS the
+    # row whose doc_id equals the class minimum.
+    keeper = F.min_by(
+        F.struct("doc_id", "n_bpe_tokens", "marker_ratio", "quality_score"), F.col("doc_id")
+    ).alias("k")
     return (
-        feat.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        feat.groupBy("text_hash")
+        .agg(keeper)
         .filter(
-            (F.col("quality_score") >= F.lit(QUALITY_MIN))
-            & (F.col("marker_ratio") >= F.lit(LANG_MARKER_THRESHOLD))
+            (F.col("k.quality_score") >= F.lit(QUALITY_MIN))
+            & (F.col("k.marker_ratio") >= F.lit(LANG_MARKER_THRESHOLD))
         )
-        .select("doc_id", "n_bpe_tokens", "quality_score")
+        .select("k.doc_id", "k.n_bpe_tokens", "k.quality_score")
     )
 
 
@@ -826,11 +836,17 @@ def q_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _quality_candidates(spark, sf_dir)
     from ..operators.prefix import global_prefix_sum
 
+    # deterministic range buckets (operators/prefix.py): the candidate score
+    # domain is FIXED by construction — the quality gate floors it at
+    # QUALITY_MIN and the score formula caps at 1.0 — so the descending
+    # order maps to ascending buckets of the NEGATED score with literal
+    # bounds: no boundary sampling, no lineage cut, one shared exchange.
     summed = global_prefix_sum(
         cand,
         [F.col("quality_score").desc(), F.col("doc_id")],
         F.col("n_bpe_tokens"),
         "cum_tokens",
+        bucket=(-F.col("quality_score"), -1.0, -float(QUALITY_MIN), 64),
     )
     return (
         summed.withColumn("cum_tokens", F.col("cum_tokens").cast("bigint"))
@@ -1657,8 +1673,19 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _quality_candidates(spark, sf_dir).select("doc_id", "n_bpe_tokens")
     from ..operators.prefix import global_prefix_sum
 
+    # deterministic range buckets over the doc_id domain, folded from parquet
+    # footer stats (aggregate pushdown — metadata-only job): the range id is
+    # a pure expression of the row, so the prefix sum needs no
+    # boundary-pinning lineage cut (see operators/prefix.py)
+    id_lo, id_hi = (
+        load_table(spark, sf_dir, "documents").agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    )
     packed = global_prefix_sum(
-        cand, [F.col("doc_id")], F.col("n_bpe_tokens"), "__cum"
+        cand,
+        [F.col("doc_id")],
+        F.col("n_bpe_tokens"),
+        "__cum",
+        bucket=(F.col("doc_id"), id_lo, id_hi, 256),
     ).withColumn(
         "shard_id",
         F.floor((F.col("__cum") - F.col("n_bpe_tokens")) / SHARD_TOKENS).cast("bigint"),

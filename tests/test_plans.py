@@ -575,20 +575,33 @@ def test_cep_match_reuses_user_partitioning(spark):
 
 
 def test_skyline_never_sorts_the_catalog_globally(spark):
-    """q_skyline's scan must be the two-phase prefix-max. Since r11 the
-    operator pins its range boundaries with a lazy localCheckpoint
-    (operators/prefix.py — the two consumers must see ONE sampled
-    partitioning), so the range exchange executes below the RDD cut and is
-    no longer visible here. What stays observable and pinned: the cut
-    itself, the catalog-scale window partitioned by the range id (never an
+    """q_skyline's scan must be the two-phase prefix-max. Since r12 the
+    operator derives DETERMINISTIC range ids (width_bucket over the cents
+    domain folded from parquet footer stats), so there is no boundary
+    sampling, no boundary-pinning localCheckpoint, and no lineage cut: the
+    whole plan is visible again. Pinned: no ExistingRDD cut, the
+    catalog-scale window partitioned by the range id (never an
     unpartitioned window over the catalog — the only global window is the
-    |ranges|-row offsets table), and no cartesian anywhere. The operator's
+    |ranges|-row offsets table), both phases hanging off ONE shared range
+    exchange (ReusedExchange), and no cartesian anywhere. The operator's
     distribution behavior itself is covered by the prefix property tests
     (including the persisted-input regression)."""
     plan = plan_of(spark, "q_skyline")
-    assert "ExistingRDD" in plan  # the boundary-pinning cut
+    assert "ExistingRDD" not in plan  # the r11 pinning cut is gone
     assert "hashpartitioning(__range_pid" in plan  # per-range catalog window
+    # the deterministic range id is a width_bucket expression, not a sampled
+    # partition id: no rangepartitioning exchange anywhere in the operator
+    assert "width_bucket" in plan
+    assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # runtime exchange reuse (AQE defers it past the static explain): after
+    # execution the final adaptive plan must show the offsets side consuming
+    # the local-scan side's range exchange as a reused stage, proving the
+    # upstream aggregation executed once for both phases
+    df = all_queries()["q_skyline"].fn(spark, SF_DIR)
+    df.collect()  # executes df's own QueryExecution so the AQE plan finalizes
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "reused" in final.lower(), final[:2000]
 
 
 def test_min_cost_supplier_window_partitions_by_part(spark):

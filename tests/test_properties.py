@@ -515,6 +515,68 @@ def test_global_prefix_sum_matches_global_window(spark):
             assert got == expected, f"order={order} n_ranges={n_ranges}"
 
 
+def test_global_prefix_sum_bucket_path_matches_global_window(spark):
+    """The deterministic-bucket path (r12: width_bucket range ids, no
+    boundary-pinning cut) must be bit-identical to the single-partition
+    window — including negative values, a descending order key with a
+    negated bucket key, approximate domains that leave keys OUTSIDE
+    [lo, hi] (ids 0 / n+1 must still order correctly), a degenerate
+    lo == hi domain, and a persisted input (the r11 reuse-failure trigger —
+    harmless here because the ids are pure expressions)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from iceberg_benchmark_poc_spark.operators.prefix import (
+        global_prefix_max,
+        global_prefix_sum,
+    )
+
+    rows = [(i, ((i * 37) % 19) - 9) for i in range(1, 501)]  # values in [-9, 9]
+    df = spark.createDataFrame(rows, "k bigint, v bigint").repartition(8)
+    cases = [
+        ([F.col("k")], (F.col("k"), 1, 500, 64)),
+        ([F.col("k")], (F.col("k"), 100, 400, 7)),  # keys outside the domain
+        ([F.col("k")], (F.col("k"), 3, 3, 16)),  # degenerate lo == hi
+        ([F.col("v").desc(), F.col("k")], (-F.col("v"), -9, 9, 5)),  # negated desc key
+    ]
+    for order, bucket in cases:
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        expected = {
+            r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        got = {
+            r["k"]: r["cum"]
+            for r in global_prefix_sum(df, order, F.col("v"), "cum", bucket=bucket).collect()
+        }
+        assert got == expected, f"order={order} bucket={bucket[1:]}"
+    # exclusive prefix max through the same bucket path
+    wx = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    expected = {r["k"]: r["m"] for r in df.withColumn("m", F.max("v").over(wx)).collect()}
+    got = {
+        r["k"]: r["m"]
+        for r in global_prefix_max(
+            df, [F.col("k")], F.col("v"), "m", bucket=(F.col("k"), 1, 500, 32)
+        ).collect()
+    }
+    assert got == expected
+    # persisted input: pure-expression ids cannot diverge across consumers
+    dfp = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dfp.count()
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        expected = {r["k"]: r["cum"] for r in dfp.withColumn("cum", F.sum("v").over(w)).collect()}
+        for _ in range(2):
+            got = {
+                r["k"]: r["cum"]
+                for r in global_prefix_sum(
+                    dfp, [F.col("k")], F.col("v"), "cum", bucket=(F.col("k"), 1, 500, 16)
+                ).collect()
+            }
+            assert got == expected
+    finally:
+        dfp.unpersist()
+
+
 def test_global_prefix_sum_correct_over_persisted_input(spark):
     """Regression (r11): a PERSISTED input defeats exchange reuse, so the
     operator's range exchange used to execute once per consumer with
