@@ -727,11 +727,13 @@ def q_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally sorted — at 1e9 users the rank lookup still runs on the
     histogram, not the users.
     """
+    import math as _math
+
     from ..operators.prefix import global_prefix_sum
 
+    ev = load_table(spark, sf_dir, "events")
     totals = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
+        ev.select("user_id", F.floor(F.col("value") * 100).cast("bigint").alias("cents"))
         .groupBy("user_id")
         .agg(F.sum("cents").alias("cents"))
     )
@@ -739,7 +741,20 @@ def q_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("nu"), F.sum("cents").cast("bigint").alias("tot")
     )
     hist = totals.groupBy("cents").agg(F.count("*").alias("cnt"))
-    summed = global_prefix_sum(hist, [F.col("cents")], F.col("cnt"), "cum")
+    # deterministic log1p buckets for the prefix scan (operators/prefix.py):
+    # only a LOOSE upper bound exists for a per-user total (event count x max
+    # value, from a metadata-only parquet footer fold), and log spacing keeps
+    # heavy-tailed totals from collapsing into one range — bounds steer
+    # balance only, never values
+    n_ev, v_hi = ev.agg(F.count(F.lit(1)), F.max("value")).collect()[0]
+    cents_hi = max(float(n_ev) * max(float(v_hi or 0.0), 0.0) * 100.0, 1.0)
+    summed = global_prefix_sum(
+        hist,
+        [F.col("cents")],
+        F.col("cnt"),
+        "cum",
+        bucket=(F.log1p(F.greatest(F.col("cents"), F.lit(0))), 0.0, _math.log1p(cents_hi), 1024),
+    )
     thr = (
         summed.crossJoin(F.broadcast(n))
         .filter(F.col("cum") >= F.expr("(9 * nu + 9) div 10"))
@@ -1467,16 +1482,27 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same segment (deterministic under ties, which ntile is not) and
     no user-scale global sort exists anywhere.
 
-    Scale: one shuffle to per-user metrics; per metric, a histogram
-    shuffle + the prefix-sum range exchange; the three 1-row cut tables
-    broadcast back onto users (the allowlisted 1-row folds). At 1e9 users
-    the heavy tables are the three histograms, each |distinct values|.
+    Scale: one shuffle to per-user metrics, then ONE melted histogram
+    shuffle covering all three metrics (r12: the old form built three
+    separate histograms, each with its own shuffle and boundary-pinned
+    prefix-sum range exchange — ~40 scheduler jobs at sf0.1), and one
+    deterministic-bucket range exchange for all three cumulative scans.
+    The 12 cut cells fold to one broadcast row. At 1e9 users the heavy
+    table is the single melted histogram, 3 x |distinct values|. Bucket
+    domains come from a metadata-only parquet footer fold (count/min/max
+    pushdown); freq/cents use log1p buckets because only loose upper
+    bounds exist for the per-user totals — bounds steer balance only,
+    never values (operators/prefix.py semantics, inlined here because the
+    cumulative sum must RESET per metric: the range id is
+    metric * (NB + 2) + width_bucket, contiguous in (metric, v) order).
     """
-    from ..operators.prefix import global_prefix_sum
+    import math as _math
 
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
     u = (
-        load_table(spark, sf_dir, "events")
-        .select(
+        ev.select(
             "user_id",
             _day_index("ts").alias("d"),
             F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
@@ -1489,18 +1515,86 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def cuts(metric: str, prefix: str) -> DataFrame:
-        hist = u.groupBy(F.col(metric).alias("v")).agg(F.count("*").alias("c"))
-        summed = global_prefix_sum(hist, [F.col("v")], F.col("c"), "cum")
-        n1 = summed.agg(F.max("cum").alias("n"))
-        return summed.crossJoin(F.broadcast(n1)).agg(
-            *[
-                F.min(F.when(F.col("cum") * 5 >= k * F.col("n"), F.col("v"))).alias(
-                    f"{prefix}{k}"
-                )
-                for k in (1, 2, 3, 4)
-            ]
+    # metadata-only domain fold (parquet aggregate pushdown): event count
+    # bounds freq, ts span bounds last_day, count*max(value) bounds the
+    # per-user cents total
+    n_ev, ts_lo, ts_hi, v_hi = ev.agg(
+        F.count(F.lit(1)), F.min("ts"), F.max("ts"), F.max("value")
+    ).collect()[0]
+
+    def _py_day(dt) -> int:
+        import calendar
+
+        us = calendar.timegm(dt.utctimetuple()) * 1_000_000 + dt.microsecond
+        return us // DAY_US
+
+    NB = 256  # buckets per metric; ids 0..NB+1 catch out-of-domain keys
+
+    def _bucket(key: F.Column, lo: float, hi: float) -> F.Column:
+        if not (float(lo) < float(hi)):
+            return F.lit(0).cast("bigint")
+        # coalesce: provably non-nullable id, so join-key isnotnull filters
+        # fold away symmetrically and exchange reuse holds (operators/prefix)
+        return F.coalesce(
+            F.width_bucket(key.cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(NB)),
+            F.lit(-1).cast("bigint"),
         )
+
+    melted = u.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("m"), F.col("last_day").cast("bigint").alias("v")),
+                F.struct(F.lit(1).alias("m"), F.col("freq").cast("bigint").alias("v")),
+                F.struct(F.lit(2).alias("m"), F.col("cents").cast("bigint").alias("v")),
+            )
+        ).alias("x")
+    ).select("x.m", "x.v")
+    hist = melted.groupBy("m", "v").agg(F.count("*").alias("c"))
+
+    rid_day = _bucket(F.col("v"), _py_day(ts_lo), _py_day(ts_hi))
+    rid_freq = _bucket(F.log1p(F.col("v")), 0.0, _math.log1p(max(int(n_ev), 1)))
+    cents_hi = max(float(n_ev) * max(float(v_hi or 0.0), 0.0) * 100.0, 1.0)
+    rid_cents = _bucket(F.log1p(F.greatest(F.col("v"), F.lit(0))), 0.0, _math.log1p(cents_hi))
+    rid = F.col("m").cast("bigint") * (NB + 2) + (
+        F.when(F.col("m") == 0, rid_day).when(F.col("m") == 1, rid_freq).otherwise(rid_cents)
+    )
+    ranged = hist.withColumn("__rid", rid).repartition(F.col("__rid"))
+
+    w_local = (
+        Window.partitionBy("__rid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__lc", F.sum("c").over(w_local))
+    # per-range totals off the SAME exchange; base offsets reset per metric
+    # (partitionBy the decoded metric — a |metrics| x |buckets| table)
+    totals = ranged.groupBy("__rid").agg(F.sum("c").alias("__rt"))
+    w_prev = (
+        Window.partitionBy((F.col("__rid") / (NB + 2)).cast("int"))
+        .orderBy("__rid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__base", F.coalesce(F.sum("__rt").over(w_prev), F.lit(0))
+    ).select("__rid", "__base")
+    cum = (
+        local.join(F.broadcast(offsets), "__rid")
+        .withColumn("cum", F.col("__lc") + F.col("__base"))
+        .select("m", "v", "cum")
+    )
+    # per-metric user counts, also metadata-scale, off the totals table
+    nm = totals.groupBy((F.col("__rid") / (NB + 2)).cast("int").alias("m")).agg(
+        F.sum("__rt").alias("n")
+    )
+    cuts_row = cum.join(F.broadcast(nm), "m").agg(
+        *[
+            F.min(
+                F.when((F.col("m") == mi) & (F.col("cum") * 5 >= k * F.col("n")), F.col("v"))
+            ).alias(f"{prefix}{k}")
+            for mi, prefix in ((0, "r"), (1, "f"), (2, "m"))
+            for k in (1, 2, 3, 4)
+        ]
+    )
 
     def seg(col: str, prefix: str):
         e = F.lit(1)
@@ -1508,11 +1602,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             e = e + F.when(F.col(col) > F.col(f"{prefix}{k}"), 1).otherwise(0)
         return e.cast("bigint")
 
-    with_cuts = (
-        u.crossJoin(F.broadcast(cuts("last_day", "r")))
-        .crossJoin(F.broadcast(cuts("freq", "f")))
-        .crossJoin(F.broadcast(cuts("cents", "m")))
-    )
+    with_cuts = u.crossJoin(F.broadcast(cuts_row))
     return with_cuts.groupBy(
         seg("last_day", "r").alias("r_seg"),
         seg("freq", "f").alias("f_seg"),

@@ -144,45 +144,37 @@ def _bpe_rounds(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[tuple
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bests: list[tuple] = []
-    # AQE is off for the argmax collects only (restored in finally, and the
-    # returned words relation executes later under the session default):
-    # each argmax is a fixed-shape two-exchange plan with a ONE-ROW result,
-    # so AQE has nothing to adapt (no skew, no join, nothing to coalesce
-    # that matters) yet materializes every exchange as its own job — three
-    # scheduler barriers per merge round instead of one, on a loop that is
-    # already inherently one barrier per round. This is not a local-mode
-    # constant: AQE's per-exchange jobs are driver round-trips on a real
-    # cluster too, and the pair-aggregation shuffle falls back to the
-    # conf'd spark.sql.shuffle.partitions, which the session sizes for the
-    # deployment (SPARK_GRAFT_SHUFFLE_PARTITIONS).
-    aqe_key = "spark.sql.adaptive.enabled"
-    aqe_old = spark.conf.get(aqe_key)
-    spark.conf.set(aqe_key, "false")
-    try:
-        for _ in range(BPE_MERGES):
-            row = _best_pair(words).collect()[0]  # 1-row scalar argmax
-            pair, cnt = row["pair"], row["cnt"]
-            bests.append((pair, cnt))
-            if pair is None:
-                # no adjacent pair left anywhere: every later round is a no-op
-                # (_MERGE_SQL's NULL case passed seq through unchanged)
-                bests.extend([(None, None)] * (BPE_MERGES - len(bests)))
-                break
-            # literal form of _MERGE_SQL: double every separator, replace the
-            # single-space-padded doubled pair with the merged symbol, collapse
-            doubled_pair = " " + pair.replace(" ", "  ") + " "
-            merged_pad = " " + pair.replace(" ", "") + " "
-            padded = F.concat(
-                F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), F.lit(" ")
-            )
-            rewritten = F.replace(
-                F.trim(F.replace(padded, F.lit(doubled_pair), F.lit(merged_pad))),
-                F.lit("  "),
-                F.lit(" "),
-            )
-            words = words.select(rewritten.alias("seq"), "weight")
-    finally:
-        spark.conf.set(aqe_key, aqe_old)
+    # AQE stays ON for the argmax collects. r11 turned it off on a job-count
+    # argument (AQE materializes each exchange as its own scheduler job),
+    # but the r12 A/B (scratch/ab_bpe.py, interleaved medians on one host)
+    # measured the OPPOSITE on wall: persist+AQE-on 2.31 s vs the committed
+    # persist+AQE-off 2.55-2.60 s at sf0.1 — AQE's coalescing of the tiny
+    # pair-aggregation shuffle outweighs its extra per-exchange jobs, and
+    # the driver's PERF showed the off-form as the round's one regression
+    # (0.88x). Dropping the toggle also removes the session-global conf
+    # mutation (ADVICE r11: racy if queries ever run concurrently).
+    for _ in range(BPE_MERGES):
+        row = _best_pair(words).collect()[0]  # 1-row scalar argmax
+        pair, cnt = row["pair"], row["cnt"]
+        bests.append((pair, cnt))
+        if pair is None:
+            # no adjacent pair left anywhere: every later round is a no-op
+            # (_MERGE_SQL's NULL case passed seq through unchanged)
+            bests.extend([(None, None)] * (BPE_MERGES - len(bests)))
+            break
+        # literal form of _MERGE_SQL: double every separator, replace the
+        # single-space-padded doubled pair with the merged symbol, collapse
+        doubled_pair = " " + pair.replace(" ", "  ") + " "
+        merged_pad = " " + pair.replace(" ", "") + " "
+        padded = F.concat(
+            F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        rewritten = F.replace(
+            F.trim(F.replace(padded, F.lit(doubled_pair), F.lit(merged_pad))),
+            F.lit("  "),
+            F.lit(" "),
+        )
+        words = words.select(rewritten.alias("seq"), "weight")
     return words, bests
 
 

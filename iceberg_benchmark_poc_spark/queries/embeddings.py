@@ -919,47 +919,64 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependence. Output is the K-row cluster census (sizes + truncated
     inertia), bounded at any scale.
 
-    Scale: per round, the corpus is scanned once (centroids broadcast — 8
-    rows, never grows), the recompute shuffles |K| x |dims| partial sums
-    (map-side combined), and nothing else moves. 100 TB k-means is exactly
-    this plan with more executors; iterations-as-jobs with a driver-side
-    convergence check would only add a scalar fold per round.
+    Scale: per round, the corpus is scanned once (centroids fold to ONE
+    broadcast row of array<struct<k,c>> — the q_ivf_topk pattern), the
+    assignment is a map-only array_min expression per vector (r12: the old
+    form crossJoined the corpus x K and shuffled corpus x K rows through a
+    groupBy(vec_id) argmin, then JOINED the assignment back onto the
+    vectors for the recompute — two corpus-scale shuffles per round; now
+    the assignment rides the same row as the vector, so NOTHING
+    corpus-scale ever shuffles), and the recompute moves only |K| x |dims|
+    map-side-combined partial sums. 100 TB k-means is exactly this plan
+    with more executors; iterations-as-jobs with a driver-side convergence
+    check would only add a scalar fold per round.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    xq = emb.select(
+    base = emb.select(
         "vec_id",
         F.transform(
             F.col("embedding"), lambda x: F.floor(x.cast("double") * F.lit(float(_KM_Q))).cast("bigint")
         ).alias("xq"),
+    ).withColumn("x2", F.transform(F.col("xq"), lambda v: v * F.lit(_KM_Q)))
+    # one row: the whole centroid table, sorted by k for a deterministic fold
+    cents_one = (
+        base.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").cast("bigint").alias("k"), F.col("x2").alias("c"))
+        .agg(F.array_sort(F.collect_list(F.struct("k", "c"))).alias("cents"))
     )
-    x2 = xq.select(
-        "vec_id", F.transform(F.col("xq"), lambda v: v * F.lit(_KM_Q)).alias("x2")
-    )
-    cents = x2.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("bigint").alias("k"), F.col("x2").alias("c")
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("x2"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("bigint"),
-        lambda acc, z: acc + z,
-    )
-    assign = None
+
+    def dist_to(c: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col("x2"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, z: acc + z,
+        )
+
+    assigned = None
     for _ in range(KMEANS_ITERS):
-        pairs = x2.crossJoin(F.broadcast(cents))
-        assign = pairs.groupBy("vec_id").agg(
-            F.min(dist * KMEANS_K + F.col("k")).alias("m")
-        ).select(
-            "vec_id",
-            (F.col("m") % KMEANS_K).cast("int").alias("assign"),
-            F.expr(f"m div {KMEANS_K}").alias("d"),
+        # map-only argmin: min(dist * K + k) over the broadcast centroid
+        # array — bit-identical to the old groupBy(vec_id) min, including
+        # the encoded tiebreak, because both fold the same K bigints
+        m = F.array_min(
+            F.transform(F.col("cents"), lambda t: dist_to(t["c"]) * KMEANS_K + t["k"])
         )
-        e = xq.join(assign.select("vec_id", "assign"), "vec_id").select(
-            "assign", F.posexplode("xq").alias("pos", "val")
-        ).select("assign", (F.col("pos") + 1).alias("dim"), "val")
-        s = e.groupBy("assign", "dim").agg(
-            F.sum("val").alias("s"), F.count("*").alias("n")
+        assigned = (
+            base.join(F.broadcast(cents_one))
+            .withColumn("m", m)
+            .select(
+                "vec_id",
+                "xq",
+                (F.col("m") % KMEANS_K).cast("int").alias("assign"),
+                F.expr(f"m div {KMEANS_K}").alias("d"),
+            )
         )
-        cents = (
+        s = (
+            assigned.select("assign", F.posexplode("xq").alias("pos", "val"))
+            .select("assign", (F.col("pos") + 1).alias("dim"), "val")
+            .groupBy("assign", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        )
+        cents_one = (
             s.select("assign", "dim", F.expr(f"(s * {_KM_Q}) div n").alias("ce"))
             .groupBy("assign")
             .agg(
@@ -969,8 +986,9 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             )
             .select(F.col("assign").cast("bigint").alias("k"), "c")
+            .agg(F.array_sort(F.collect_list(F.struct("k", "c"))).alias("cents"))
         )
-    return assign.groupBy(F.col("assign").alias("cluster")).agg(
+    return assigned.groupBy(F.col("assign").alias("cluster")).agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.sum(F.expr(f"d div {1 << 20}")).cast("bigint").alias("inertia_fp"),
     )
