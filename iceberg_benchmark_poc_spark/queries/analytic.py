@@ -1097,52 +1097,49 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The stats-collection pass every catalog (ANALYZE TABLE), data-quality
     monitor, and query optimizer runs first. Four numeric lineitem
-    columns profiled in ONE scan: Spark plans the multi-column exact
-    distinct as a single Expand-based aggregation (one pass over the
-    data, 4x expansion map-side, partial-aggregated), and the 1-row
-    result melts to one row per column via an explode over a built
-    struct array — never a second scan. Values fold to integer cents.
+    columns profiled in ONE scan, melted first: each row explodes to 4
+    narrow (col_name, value) pairs, a map-side-combined (col_name, value)
+    histogram collapses duplicates before the only wide shuffle, and the
+    per-column rollup (row/non-null counts as histogram-count sums, exact
+    distinct as a plain count over histogram rows, min/max) runs on
+    |columns| x |distinct| metadata. Values fold to integer cents.
+
+    r12: this melt + two-level exact-distinct form replaced the Expand
+    multi-distinct (VERDICT r11 #7 A/B, scratch/ab_column_profile.py —
+    interleaved medians 1.28 s vs 2.24 s at sf0.1, bit-equal results):
+    Spark's Expand pushes a 5x row expansion through one object-heavy
+    aggregate, while the melt's first level dedups map-side so the
+    exchange carries only distinct pairs. Both are exact; the HLL swap
+    (q_approx_stats) stays the opt-in escape hatch at 100 TB since it
+    changes results.
 
     Scale: one full scan regardless of column count (vs the naive
-    one-pass-per-column UNION the oracle runs); output is |columns|
-    rows. At 100 TB swap exact distinct for HLL (q_approx_stats) if the
-    2-3x expand overhead matters more than exactness.
+    one-pass-per-column UNION the oracle runs); output is |columns| rows.
     """
     cents = {c: F.floor(F.col(c) * 100).cast("bigint") for c in PROFILE_COLS}
     li = load_table(spark, sf_dir, "lineitem").select(
         *[cents[c].alias(c) for c in PROFILE_COLS]
     )
-    agg = li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        *[
-            a
-            for c in PROFILE_COLS
-            for a in (
-                F.count(F.col(c)).alias(f"{c}__nn"),
-                F.countDistinct(F.col(c)).alias(f"{c}__nd"),
-                F.min(F.col(c)).alias(f"{c}__mn"),
-                F.max(F.col(c)).alias(f"{c}__mx"),
-            )
-        ],
-    )
-    melted = agg.select(
+    melted = li.select(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.col("n_rows").cast("bigint").alias("n_rows"),
-                        F.col(f"{c}__nn").cast("bigint").alias("n_nonnull"),
-                        F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
-                        F.col(f"{c}__mn").alias("min_cents"),
-                        F.col(f"{c}__mx").alias("max_cents"),
-                    )
+                    F.struct(F.lit(c).alias("col_name"), F.col(c).alias("v"))
                     for c in PROFILE_COLS
                 ]
             )
-        ).alias("p")
+        ).alias("x")
+    ).select("x.col_name", "x.v")
+    hist = melted.groupBy("col_name", "v").agg(F.count("*").alias("c"))
+    return hist.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_nonnull"),
+        F.count("v").cast("bigint").alias("n_distinct"),
+        F.min("v").alias("min_cents"),
+        F.max("v").alias("max_cents"),
     )
-    return melted.select("p.*")
 
 
 @register(

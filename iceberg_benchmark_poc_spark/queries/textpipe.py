@@ -980,23 +980,35 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     incoming = d.filter(F.col("source") == INCOMING_SOURCE)
-    corpus = d.filter(F.col("source") != INCOMING_SOURCE)
 
     from pyspark import StorageLevel
 
-    corp_classes = (
-        corpus.groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("nc"))
+    # BOTH class tables from ONE groupBy(text) over the whole table with
+    # conditional aggregates (r12): the old form filtered documents twice,
+    # shuffled each side's classes separately, and semi-joined incoming
+    # classes against corpus texts for the exact-collision flag — two scans,
+    # two text shuffles, one join. Here one scan and one text shuffle
+    # produce corpus classes, incoming classes, AND the exact flag (a class
+    # with doc ids on both sides IS an exact collision) as column filters
+    # over one persisted relation.
+    classes = (
+        d.groupBy("text")
+        .agg(
+            F.min(F.when(F.col("source") == INCOMING_SOURCE, F.col("doc_id"))).alias("inc_id"),
+            F.min(F.when(F.col("source") != INCOMING_SOURCE, F.col("doc_id"))).alias("corp_id"),
+            F.count(F.when(F.col("source") != INCOMING_SOURCE, F.lit(1))).alias("nc"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    inc_classes = (
-        incoming.groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    corp_classes = classes.filter(F.col("corp_id").isNotNull()).select(
+        "text", F.col("corp_id").alias("doc_id"), "nc"
     )
-    exact = inc_classes.join(
-        corp_classes.select("text"), "text", "left_semi"
-    ).select(F.col("doc_id").alias("rep"), F.lit(True).alias("exact_flag"))
+    inc_classes = classes.filter(F.col("inc_id").isNotNull()).select(
+        "text", F.col("inc_id").alias("doc_id")
+    )
+    exact = classes.filter(
+        F.col("inc_id").isNotNull() & F.col("corp_id").isNotNull()
+    ).select(F.col("inc_id").alias("rep"), F.lit(True).alias("exact_flag"))
 
     # persisted: each side feeds two consumers (minhash signatures and the
     # Jaccard verify) — without this the dominant-cost tokenize+trigram+md5
@@ -2413,6 +2425,18 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("source"), "sh_arr")
         .localCheckpoint(eager=False)
     )
+    # r12: a second cut on the per-source vocabulary itself. The old form
+    # let sh's THREE consumers (sizes + both self-join sides) each re-run
+    # the corpus-scale explode and both distinct aggregations — the
+    # executed plan showed 4 Generate nodes and zero exchange reuse (the
+    # self-join's isnotnull(h) pushes into the join sides only, breaking
+    # canonical equality across consumers). Cutting the distinct
+    # (source, h) set runs the explode + distinct chain exactly once;
+    # interleaved A/B on one host: no cut 2.82 s, plain persist 2.62 (the
+    # cached plan pins the un-coalesced 32-partition shuffle layout —
+    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is off by
+    # default), localCheckpoint 2.20. The checkpoint matches the cut style
+    # this query already carries on `packed` one step below.
     sh = (
         packed.select("source", F.explode("sh_arr").alias("shingle"))
         .distinct()
@@ -2420,6 +2444,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", (hash60(F.col("shingle")) % PORTABLE_HASH_PRIME).alias("h")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -714,8 +714,6 @@ FILTER_CUT_BROADCAST_SIZED = {
     "q_embed_topk": "query set capped at 32 vectors (vec_id < QUERY_CAP)",
     "q_embed_ann": "query set capped at 32 vectors (vec_id < QUERY_CAP)",
     "q_ann_int8": "query set capped at 32 vectors (vec_id < QUERY_CAP)",
-    # constant-K seed set: vec_id < KMEANS_K (8 rows) every iteration
-    "q_kmeans": "centroid table is K=8 rows by construction",
     # DV manifests are file-granular METADATA (one row per data file with
     # deletes): at 100 TB that is ~file-count x 30%, orders of magnitude
     # under row counts, and broadcast-resolution IS the reference strategy
