@@ -83,6 +83,19 @@ def get_spark(
         # --- adaptive execution: the scale story ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # The default 1 MB coalesce floor collapses small-but-compute-heavy
+        # shuffles (a deduped class table whose packed shingle arrays expand
+        # ~10x in the next stage) to 1-2 partitions, serializing the heavy
+        # stage. 256k keeps those spread across the cluster; at production
+        # shuffle sizes partitions are >= advisory (64 MB) regardless, so
+        # the floor is inert there (parallelismFirst targets cluster
+        # parallelism first — Spark default, unchanged). Interleaved A/B at
+        # sf0.1: 12-query text/graph mix 1.20x total, q_embed_neardup 1.98x,
+        # cheap-query controls flat (scratch/ab_spread.py).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- scan efficiency ---

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..core.fixtures import dv_entries, with_fixtures
+from ..core.io import spread_narrow
 from ..core.registry import register
 from ..operators.dv_payload import (
     mdv1_roundtrip_stats_udf,
@@ -62,7 +63,14 @@ def q_dv_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes embarrassingly. The encoder dedups and sorts internally;
     dedup is asserted by matching the oracle's DISTINCT counts.
     """
-    dv = dv_entries(spark, sf_dir).filter(F.col("file_id") % SAMPLE_MOD == 0)
+    # the codec UDF is pure per-file work off a possibly single-split scan:
+    # spread the sampled rows before it (no-op at production split counts)
+    dv = spread_narrow(
+        dv_entries(spark, sf_dir)
+        .filter(F.col("file_id") % SAMPLE_MOD == 0)
+        .select("file_id", "deleted_row_count"),
+        "file_id",
+    )
     return dv.select(
         "file_id", mdv1_roundtrip_stats_udf("file_id", "deleted_row_count").alias("s")
     ).select("file_id", "s.*")
@@ -108,7 +116,12 @@ def q_roaring_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     container codecs are exercised and any single-bit corruption in either
     breaks the oracle's value hash.
     """
-    dv = dv_entries(spark, sf_dir).filter(F.col("file_id") % ROARING_SAMPLE_MOD == 0)
+    dv = spread_narrow(
+        dv_entries(spark, sf_dir)
+        .filter(F.col("file_id") % ROARING_SAMPLE_MOD == 0)
+        .select("file_id", "deleted_row_count"),
+        "file_id",
+    )
     # fused scalars-in/scalars-out roundtrip (see q_dv_payload_roundtrip):
     # same roaring_serialize -> zlib -> decode byte path, no array transport
     return dv.select(
@@ -164,7 +177,12 @@ def q_roaring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays are built, encoded, decoded, and aggregated inside the scan
     partition, zero shuffles, same as q_roaring_roundtrip.
     """
-    dv = dv_entries(spark, sf_dir).filter(F.col("file_id") % RUNS_SAMPLE_MOD == 0)
+    dv = spread_narrow(
+        dv_entries(spark, sf_dir)
+        .filter(F.col("file_id") % RUNS_SAMPLE_MOD == 0)
+        .select("file_id", "deleted_row_count"),
+        "file_id",
+    )
     # fused scalars-in/scalars-out roundtrip (see q_dv_payload_roundtrip):
     # encode uses run_optimize=True — the same SERIAL_COOKIE 12347 write
     # path — and decode goes through the shared any-format decoder

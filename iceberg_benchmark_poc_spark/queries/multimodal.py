@@ -22,7 +22,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..core.io import load_table
+from ..core.io import load_table, spread_narrow
 from ..core.registry import register
 from ..operators.multimodal import (
     AUDIO_RATE,
@@ -82,7 +82,13 @@ def _ppm_payloads(d: DataFrame) -> DataFrame:
     An Arrow-batched pandas UDF — the encode half of the codec round-trip
     the queries then decode executor-side. In production the binary column
     arrives already encoded; this stage is the fixture writer.
+
+    The scan is spread before the encode UDF: encode + decode + features are
+    all per-doc map work, so a single-row-group local scan would otherwise
+    run the whole codec band in ONE task (r12 A/B: q_video_features 1.75x,
+    q_media_embed 1.34x, q_frame_sample 1.23x — scratch/ab_spread_scan.py).
     """
+    d = spread_narrow(d, "doc_id")
     enc = F.pandas_udf(
         lambda doc_id, s: pd.Series(
             [
@@ -242,7 +248,9 @@ _AUDIO_MAX_SAMPLES = 4096
 
 def _wav_payloads(d: DataFrame) -> DataFrame:
     """Synthesize each document's deterministic PCM16 waveform and encode it
-    as a real RIFF/WAVE payload (the audio twin of ``_ppm_payloads``)."""
+    as a real RIFF/WAVE payload (the audio twin of ``_ppm_payloads``,
+    including the pre-encode spread of a narrow scan)."""
+    d = spread_narrow(d, "doc_id")
     enc = F.pandas_udf(lambda s: s.map(lambda t: text_to_wav(t.encode("utf-8"))), "binary")
     return d.select("doc_id", enc(F.col("text")).alias("payload"))
 
@@ -338,7 +346,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _avi_payloads(d: DataFrame) -> DataFrame:
     """Synthesize each document's deterministic multi-frame video and encode
     it as a real uncompressed AVI container (the video twin of
-    ``_ppm_payloads`` / ``_wav_payloads``)."""
+    ``_ppm_payloads`` / ``_wav_payloads``, including the pre-encode spread
+    of a narrow scan)."""
+    d = spread_narrow(d, "doc_id")
     enc = F.pandas_udf(lambda s: s.map(lambda t: text_to_avi(t.encode("utf-8"))), "binary")
     return d.select("doc_id", enc(F.col("text")).alias("payload"))
 

@@ -636,7 +636,19 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries |distinct(flag)| x |distinct(status)| x 4 rows,
     not data volume. Quantity folds through DECIMAL as usual.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..core.io import spread_narrow
+
+    # spread a projected scan before the 4x Expand + decimal partial-agg
+    # (single-task on a single-row-group local scan; no-op at production
+    # split counts). The spread key must be the high-entropy line identity —
+    # the three cube columns only take ~30 distinct combinations.
+    li = spread_narrow(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity"
+        ),
+        "l_orderkey",
+        "l_linenumber",
+    )
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..core.fixtures import hash60, hash60_sql
-from ..core.io import load_table
+from ..core.io import load_table, spread_narrow
 from ..core.registry import register
 from ..operators.text import (
     LSH_ROWS_PER_BAND,
@@ -728,7 +728,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy pass with 60 per-bit aggregate expressions; shuffle volume
     is one partial row per doc, independent of document length.
     """
-    d = _docs(spark, sf_dir)
+    # spread a narrow scan before the per-word hashing: the signature build
+    # is pure map work until its one per-doc shuffle, so a single-row-group
+    # local scan would run it in ONE task (r12 A/B 2.56x —
+    # scratch/ab_spread_scan.py); no-op at production split counts
+    d = spread_narrow(_docs(spark, sf_dir), "doc_id")
     return simhash_sig(d)
 
 
@@ -1778,7 +1782,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    d = _docs(spark, sf_dir)
+    # same pre-signature spread as q_simhash: the vote stage is map work
+    # off a possibly single-split scan
+    d = spread_narrow(_docs(spark, sf_dir), "doc_id")
     # the signature build (tokenize -> 60 per-bit votes) feeds 4 band
     # branches x 2 join sides + the self-pair branch — without
     # materialization Spark recomputes the word-explode pass 9x; persisted,
@@ -2103,7 +2109,10 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the LM tables are themselves distributed, unlike the broadcast
     stopword/vocab approach of the lighter quality signals.
     """
-    d = _docs(spark, sf_dir)
+    # spread a narrow scan: unigram/bigram explode stages are map work
+    # feeding map-side-combined aggregations, otherwise single-task on a
+    # single-row-group local scan (no-op at production split counts)
+    d = spread_narrow(_docs(spark, sf_dir), "doc_id")
     w = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
     uni = w.select(F.explode("ws").alias("w"))
     n1 = uni.groupBy("w").agg(F.count("*").alias("n"))

@@ -289,7 +289,7 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan costs anything. One scan + explode is the 100 TB shape.)
     """
     from ..core.fixtures import hash60
-    from ..core.io import load_table
+    from ..core.io import load_table, spread_narrow
 
     date_s = F.col("l_shipdate").cast("string")
     specs = F.array(
@@ -304,9 +304,18 @@ def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") - F.col("l_partkey") % TRUNC_WIDTH).cast("string").alias("pkey"),
         ),
     )
+    # spread a narrow scan of the two projected columns before the md5-heavy
+    # explode: the bucket() transform hashes EVERY row, which a single-row-
+    # group local scan runs in one task (r12 interleaved A/B: 1.54x; no-op
+    # at production split counts, and the exchange carries only the two
+    # columns the specs need)
+    li = spread_narrow(
+        load_table(spark, sf_dir, "lineitem").select("l_shipdate", "l_partkey"),
+        "l_shipdate",
+        "l_partkey",
+    )
     hist = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(F.explode(specs).alias("p"))
+        li.select(F.explode(specs).alias("p"))
         .select("p.spec", "p.pkey")
         .groupBy("spec", "pkey")
         .agg(F.count("*").alias("n_rows"))
